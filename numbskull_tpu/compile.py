@@ -1,0 +1,359 @@
+"""Graph compiler: lower a factor graph to TPU-ready color plans.
+
+This is the TPU-first replacement for the reference's CSR construction
+(reference: numbskull/dataloading.py:16-81 ``compute_var_map``) *and* its
+hogwild thread sharding (reference: numbskull/factorgraph.py:13-24). Instead
+of an inverse index walked one variable at a time by racing threads, we:
+
+1. build the deduplicated (factor, variable, slot) attachment relation with
+   vectorized numpy (same semantics as ``compute_var_map``: one adjacency
+   slot per dataType==0 variable, one per dense value for dataType==1;
+   duplicate (slot, factor) pairs collapsed; ``factors_to_skip`` honored);
+
+2. color the variable conflict graph (vars sharing a factor get different
+   colors) by parallel maximal-independent-set peeling, so each color is a
+   set of variables whose Gibbs updates are conditionally independent —
+   the correctness-preserving replacement for hogwild threads;
+
+3. pack, per color, a flat static-shaped SoA "work item" table: one item
+   per (factor, variable) pair carrying the factor's argument lists,
+   substitution masks and slot values, sorted by target row so potential
+   accumulation is a segment-sum. Items do double duty for inference
+   (potentials per candidate value) and learning (gradient terms).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+_INT = np.int32
+
+
+def _pad_to(n: int, m: int) -> int:
+    return max(((n + m - 1) // m) * m, m)
+
+
+@dataclasses.dataclass
+class ColorPlan:
+    """Static per-color device data (all numpy, padded)."""
+
+    color: int
+    kmax: int                 # max cardinality among this color's variables
+    amax: int                 # max arity among this color's factors
+    # --- variables of this color (R = padded row count) ---
+    cv_vid: np.ndarray        # (R,) global variable id; pad rows -> 0
+    cv_card: np.ndarray       # (R,) cardinality; pad -> 1
+    cv_isev: np.ndarray       # (R,) evidence code 0/1/4; pad -> 4
+    cv_valid: np.ndarray      # (R,) bool
+    # --- work items (I = padded item count) ---
+    it_row: np.ndarray        # (I,) row index into this color's vars; pad -> R-1
+    it_ftype: np.ndarray      # (I,) factor function code
+    it_wid: np.ndarray        # (I,) weight id
+    it_fv: np.ndarray         # (I,) featureValue (learning only)
+    it_dense: np.ndarray      # (I,) bool: active var has dataType==0
+    it_d1: np.ndarray         # (I,) first slot value
+    it_d2: np.ndarray         # (I,) second slot value (== d1 if single slot)
+    it_valid: np.ndarray      # (I,) bool
+    it_arity: np.ndarray      # (I,)
+    it_args_vid: np.ndarray   # (I, A) global var ids of factor args
+    it_args_eq: np.ndarray    # (I, A) dense equal-to values
+    it_args_valid: np.ndarray  # (I, A) bool
+    it_args_card: np.ndarray  # (I, A) cardinality of each arg variable
+    it_subst: np.ndarray      # (I, A) bool: arg is the active variable
+
+    @property
+    def n_rows(self) -> int:
+        return len(self.cv_vid)
+
+    @property
+    def n_items(self) -> int:
+        return len(self.it_row)
+
+
+@dataclasses.dataclass
+class CompiledGraph:
+    """A factor graph lowered to per-color SoA plans."""
+
+    plans: list[ColorPlan]
+    n_vars: int
+    n_weights: int
+    n_factors: int
+    kmax: int
+    var_init: np.ndarray      # (V,) densified initial values (int32)
+    var_card: np.ndarray      # (V,) int32
+    var_isev: np.ndarray      # (V,) int32 evidence codes
+    var_dtype: np.ndarray     # (V,) int32 dataType
+    weight_init: np.ndarray   # (W,) float32
+    weight_fixed: np.ndarray  # (W,) bool
+    color_of: np.ndarray      # (V,) color assignment
+    # host-side metadata for DimmWitted-format dumps
+    vtf_offset: np.ndarray    # (V,) int64
+    vmap_value: np.ndarray    # (num_vtf,) original domain values
+
+    @property
+    def n_colors(self) -> int:
+        return len(self.plans)
+
+
+def build_attachments(variables, factors, fmap, factors_to_skip=None):
+    """Deduplicated (factor, vid, slot-value) attachment triples.
+
+    Semantics of reference compute_var_map (numbskull/dataloading.py:16-81):
+    dataType==0 vars use slot 0 regardless of value; dataType==1 vars use
+    the dense_equal_to slot; duplicates within a slot collapse.
+    """
+    F = len(factors)
+    arity = factors["arity"].astype(np.int64)
+    edge_fid = np.repeat(np.arange(F, dtype=np.int64), arity)
+    if factors_to_skip is not None and len(factors_to_skip):
+        keep = np.ones(F, bool)
+        keep[np.asarray(factors_to_skip, dtype=np.int64)] = False
+        edge_keep = keep[edge_fid]
+        edge_fid = edge_fid[edge_keep]
+        edge_vid = fmap["vid"][edge_keep].astype(np.int64)
+        edge_eq = fmap["dense_equal_to"][edge_keep].astype(np.int64)
+    else:
+        edge_vid = fmap["vid"].astype(np.int64)
+        edge_eq = fmap["dense_equal_to"].astype(np.int64)
+
+    dense = variables["dataType"][edge_vid] == 0
+    slot = np.where(dense, 0, edge_eq)
+
+    order = np.lexsort((slot, edge_vid, edge_fid))
+    f, v, d = edge_fid[order], edge_vid[order], slot[order]
+    if len(f):
+        first = np.ones(len(f), bool)
+        first[1:] = (f[1:] != f[:-1]) | (v[1:] != v[:-1]) | (d[1:] != d[:-1])
+        f, v, d = f[first], v[first], d[first]
+    return f, v, d
+
+
+def conflict_edges(variables, factors, fmap, factors_to_skip=None):
+    """Distinct unordered variable pairs co-occurring in a factor."""
+    F = len(factors)
+    arity = factors["arity"].astype(np.int64)
+    offs = factors["ftv_offset"].astype(np.int64)
+    keep = np.ones(F, bool)
+    if factors_to_skip is not None and len(factors_to_skip):
+        keep[np.asarray(factors_to_skip, dtype=np.int64)] = False
+    pairs = []
+    for a in np.unique(arity):
+        a = int(a)
+        if a < 2:
+            continue
+        sel = keep & (arity == a)
+        if not sel.any():
+            continue
+        idx = offs[sel][:, None] + np.arange(a)
+        vids = fmap["vid"][idx].astype(np.int64)    # (n, a)
+        iu, ju = np.triu_indices(a, k=1)
+        u = vids[:, iu].ravel()
+        w = vids[:, ju].ravel()
+        ne = u != w
+        pairs.append(np.stack([np.minimum(u[ne], w[ne]),
+                               np.maximum(u[ne], w[ne])], axis=1))
+    if not pairs:
+        return np.zeros((0, 2), np.int64)
+    e = np.concatenate(pairs, axis=0)
+    return np.unique(e, axis=0)
+
+
+def color_variables(n_vars: int, edges: np.ndarray,
+                    max_colors: int | None = None,
+                    seed: int = 0) -> np.ndarray:
+    """Color variables so no conflict edge is monochromatic.
+
+    Parallel MIS peeling with random priorities (Jones–Plassmann style),
+    fully vectorized. If ``max_colors`` is given and peeling would exceed
+    it, the remaining variables are all assigned the last color — an
+    explicit opt-in to hogwild-style races, mirroring the reference's
+    always-racing semantics (numbskull/inference.py:16-18).
+    """
+    rng = np.random.default_rng(seed)
+    prio = rng.permutation(n_vars).astype(np.int64)
+    color = np.full(n_vars, -1, np.int64)
+    u, w = (edges[:, 0], edges[:, 1]) if len(edges) else \
+        (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    c = 0
+    while True:
+        uncolored = color < 0
+        if not uncolored.any():
+            break
+        if max_colors is not None and c == max_colors - 1:
+            color[uncolored] = c
+            break
+        # neighbor max priority among uncolored vars, over live edges
+        live = uncolored[u] & uncolored[w]
+        nmax = np.full(n_vars, -1, np.int64)
+        if live.any():
+            np.maximum.at(nmax, u[live], prio[w[live]])
+            np.maximum.at(nmax, w[live], prio[u[live]])
+        winners = uncolored & (prio > nmax)
+        color[winners] = c
+        c += 1
+    return color
+
+
+def compile_graph(weights, variables, factors, fmap,
+                  factors_to_skip=None,
+                  max_colors: int | None = None,
+                  item_pad: int = 128,
+                  row_pad: int = 8,
+                  seed: int = 0,
+                  domain_values=None,
+                  domain_mask=None) -> CompiledGraph:
+    """Lower structured arrays to a CompiledGraph of per-color plans."""
+    V = len(variables)
+    W = len(weights)
+    F = len(factors)
+
+    att_f, att_v, att_d = build_attachments(variables, factors, fmap,
+                                            factors_to_skip)
+    edges = conflict_edges(variables, factors, fmap, factors_to_skip)
+    color = color_variables(V, edges, max_colors=max_colors, seed=seed)
+    n_colors = int(color.max()) + 1 if V else 0
+
+    # --- fold attachment triples into (factor, var) items with <=2 slots ---
+    # triples are sorted by (f, v, d); group consecutive (f, v)
+    n_t = len(att_f)
+    if n_t:
+        new_grp = np.ones(n_t, bool)
+        new_grp[1:] = (att_f[1:] != att_f[:-1]) | (att_v[1:] != att_v[:-1])
+        grp_id = np.cumsum(new_grp) - 1
+        grp_first = np.flatnonzero(new_grp)
+        rank = np.arange(n_t) - grp_first[grp_id]
+        item_local = rank // 2
+        grp_sizes = np.diff(np.append(grp_first, n_t))
+        items_per_grp = (grp_sizes + 1) // 2
+        item_off = np.concatenate(([0], np.cumsum(items_per_grp)[:-1]))
+        trip_item = item_off[grp_id] + item_local
+        n_items_all = int(items_per_grp.sum())
+
+        item_f = np.zeros(n_items_all, np.int64)
+        item_v = np.zeros(n_items_all, np.int64)
+        item_d1 = np.zeros(n_items_all, np.int64)
+        item_f[trip_item] = att_f
+        item_v[trip_item] = att_v
+        even = rank % 2 == 0
+        item_d1[trip_item[even]] = att_d[even]
+        item_d2 = item_d1.copy()
+        item_d2[trip_item[~even]] = att_d[~even]
+    else:
+        item_f = item_v = item_d1 = item_d2 = np.zeros(0, np.int64)
+
+    arity_all = factors["arity"].astype(np.int64)
+    ftv_all = factors["ftv_offset"].astype(np.int64)
+    fmap_vid = fmap["vid"].astype(np.int64)
+    fmap_eq = fmap["dense_equal_to"].astype(np.int64)
+    var_card = variables["cardinality"].astype(np.int64)
+    var_dtype = variables["dataType"].astype(np.int64)
+
+    plans = []
+    for c in range(n_colors):
+        cvars = np.flatnonzero(color == c)
+        R = _pad_to(len(cvars), row_pad) + 1   # +1 dummy row for item padding
+        cv_vid = np.zeros(R, _INT)
+        cv_card = np.ones(R, _INT)
+        cv_isev = np.full(R, 4, _INT)
+        cv_valid = np.zeros(R, bool)
+        cv_vid[:len(cvars)] = cvars
+        cv_card[:len(cvars)] = var_card[cvars]
+        cv_isev[:len(cvars)] = variables["isEvidence"][cvars]
+        cv_valid[:len(cvars)] = True
+        kmax_c = int(var_card[cvars].max()) if len(cvars) else 1
+
+        # row index of each variable of this color
+        row_of = np.zeros(V, np.int64)
+        row_of[cvars] = np.arange(len(cvars))
+
+        sel = np.flatnonzero(color[item_v] == c) if len(item_v) else \
+            np.zeros(0, np.int64)
+        # sort items by target row for segment-sum locality
+        sel = sel[np.argsort(row_of[item_v[sel]], kind="stable")]
+        n_it = len(sel)
+        amax_c = int(arity_all[item_f[sel]].max()) if n_it else 1
+        I = _pad_to(n_it, item_pad)
+
+        it_row = np.full(I, R - 1, _INT)
+        it_ftype = np.full(I, -1, _INT)            # NOOP padding
+        it_wid = np.zeros(I, _INT)
+        it_fv = np.zeros(I, np.float32)
+        it_dense = np.zeros(I, bool)
+        it_d1 = np.zeros(I, _INT)
+        it_d2 = np.zeros(I, _INT)
+        it_valid = np.zeros(I, bool)
+        it_arity = np.ones(I, _INT)
+        it_args_vid = np.zeros((I, amax_c), _INT)
+        it_args_eq = np.zeros((I, amax_c), _INT)
+        it_args_valid = np.zeros((I, amax_c), bool)
+        it_args_card = np.ones((I, amax_c), _INT)
+        it_subst = np.zeros((I, amax_c), bool)
+
+        if n_it:
+            fs = item_f[sel]
+            vs = item_v[sel]
+            it_row[:n_it] = row_of[vs]
+            it_ftype[:n_it] = factors["factorFunction"][fs]
+            it_wid[:n_it] = factors["weightId"][fs]
+            it_fv[:n_it] = factors["featureValue"][fs]
+            it_dense[:n_it] = var_dtype[vs] == 0
+            it_d1[:n_it] = item_d1[sel]
+            it_d2[:n_it] = item_d2[sel]
+            it_valid[:n_it] = True
+            ar = arity_all[fs]
+            it_arity[:n_it] = ar
+            pos = np.arange(amax_c)
+            valid = pos[None, :] < ar[:, None]
+            eidx = np.minimum(ftv_all[fs][:, None] + pos,
+                              len(fmap_vid) - 1)
+            avid = np.where(valid, fmap_vid[eidx], 0)
+            it_args_vid[:n_it] = avid
+            it_args_eq[:n_it] = np.where(valid, fmap_eq[eidx], 0)
+            it_args_valid[:n_it] = valid
+            it_args_card[:n_it] = np.where(valid, var_card[avid], 1)
+            it_subst[:n_it] = valid & (avid == vs[:, None])
+
+        plans.append(ColorPlan(
+            color=c, kmax=kmax_c, amax=amax_c,
+            cv_vid=cv_vid, cv_card=cv_card, cv_isev=cv_isev,
+            cv_valid=cv_valid,
+            it_row=it_row, it_ftype=it_ftype, it_wid=it_wid, it_fv=it_fv,
+            it_dense=it_dense, it_d1=it_d1, it_d2=it_d2, it_valid=it_valid,
+            it_arity=it_arity, it_args_vid=it_args_vid,
+            it_args_eq=it_args_eq, it_args_valid=it_args_valid,
+            it_args_card=it_args_card, it_subst=it_subst))
+
+    # vtf layout for dump mapping (reference numbskull.py:310-317 formula)
+    slots = np.where(var_dtype == 0, 1, var_card)
+    vtf_offset = np.concatenate(([0], np.cumsum(slots)[:-1])) if V else \
+        np.zeros(0, np.int64)
+    num_vtf = int(slots.sum())
+    if domain_values is not None:
+        assert len(domain_values) == num_vtf
+        vmap_value = np.asarray(domain_values, np.int64).copy()
+        # implicit-domain categoricals: value k at slot k
+        implicit = (var_dtype == 1) & ~(domain_mask if domain_mask is not None
+                                        else np.zeros(V, bool))
+    else:
+        vmap_value = np.zeros(num_vtf, np.int64)
+        implicit = var_dtype == 1
+    for v in np.flatnonzero(implicit):
+        vmap_value[vtf_offset[v]:vtf_offset[v] + var_card[v]] = \
+            np.arange(var_card[v])
+
+    return CompiledGraph(
+        plans=plans,
+        n_vars=V, n_weights=W, n_factors=F,
+        kmax=int(var_card.max()) if V else 1,
+        var_init=variables["initialValue"].astype(_INT),
+        var_card=var_card.astype(_INT),
+        var_isev=variables["isEvidence"].astype(_INT),
+        var_dtype=var_dtype.astype(_INT),
+        weight_init=weights["initialValue"].astype(np.float32),
+        weight_fixed=weights["isFixed"].astype(bool),
+        color_of=color,
+        vtf_offset=vtf_offset,
+        vmap_value=vmap_value,
+    )

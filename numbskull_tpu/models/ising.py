@@ -1,0 +1,56 @@
+"""Ising grid model generator.
+
+TPU-framework equivalent of the commented-out N x M Ising generator in the
+reference's C++ tool (reference: ising/ising.cpp:134-200): boolean grid
+variables, EQUAL pairwise factors between 4-neighbors, one shared fixed
+weight. The grid is 2-colorable, so the chromatic sweep runs in exactly
+two fused color steps — the canonical TPU Gibbs benchmark.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from numbskull_tpu import types as T
+
+
+def ising_grid(n: int, m: int, weight: float = 0.1, fixed: bool = True,
+               seed: int = 0):
+    """Build an n x m Ising grid with EQUAL coupling factors.
+
+    Returns (weight, variable, factor, fmap, domain_mask, edges).
+    """
+    rng = np.random.default_rng(seed)
+    V = n * m
+    weights = T.new_weights(1)
+    weights[0]["isFixed"] = fixed
+    weights[0]["initialValue"] = weight
+
+    variables = T.new_variables(V)
+    variables["isEvidence"] = 0
+    variables["initialValue"] = rng.integers(0, 2, V)
+    variables["dataType"] = 0
+    variables["cardinality"] = 2
+
+    ii, jj = np.meshgrid(np.arange(n), np.arange(m), indexing="ij")
+    vid = (ii * m + jj).ravel()
+    up = vid[(ii > 0).ravel()]
+    left = vid[(jj > 0).ravel()]
+    pairs = np.concatenate([
+        np.stack([up, up - m], axis=1),
+        np.stack([left, left - 1], axis=1),
+    ])
+    F = len(pairs)
+    factors = T.new_factors(F)
+    factors["factorFunction"] = T.FUNC_EQUAL
+    factors["weightId"] = 0
+    factors["featureValue"] = 1.0
+    factors["arity"] = 2
+    factors["ftv_offset"] = np.arange(F, dtype=np.int64) * 2
+
+    fmap = T.new_fmap(2 * F)
+    fmap["vid"] = pairs.ravel()
+    fmap["dense_equal_to"] = 0
+
+    domain_mask = np.zeros(V, np.bool_)
+    return weights, variables, factors, fmap, domain_mask, 2 * F

@@ -1,0 +1,360 @@
+"""Public API + CLI: the `NumbSkull` class and `numbskull-tpu` entrypoint.
+
+Mirrors the reference's declarative argument/flag surface and output-file
+contract (reference: numbskull/numbskull.py:18-149 argument tables,
+:359-391 inference/learning output files, :394-423 load/main) so DeepDive
+pipelines and reference users can switch without changes — but everything
+under the hood is the TPU engine (`numbskull_tpu.ops.GibbsEngine`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+import numpy as np
+
+from numbskull_tpu import dataloading
+from numbskull_tpu import types as T
+from numbskull_tpu.compile import compile_graph
+from numbskull_tpu.ops import GibbsEngine, LearnParams
+from numbskull_tpu.timer import Timer
+
+# Declarative argument tables shared by the CLI and the class, mirroring
+# reference numbskull/numbskull.py:18-126 (same dests and defaults).
+arguments = [
+    (("directory",),
+        {"metavar": "DIRECTORY", "nargs": "?", "default": ".", "type": str,
+         "help": "specify the directory of factor graph files"}),
+    (("-o", "--output_dir"),
+        {"metavar": "OUTPUT_DIR", "dest": "output_dir", "default": ".",
+         "type": str,
+         "help": "output dir for inference_result.out.text and "
+                 "inference_result.out.weights.text"}),
+    (("-m", "--meta", "--fg_meta"),
+        {"metavar": "META_FILE", "dest": "metafile", "default": "graph.meta",
+         "type": str, "help": "factor graph metadata file"}),
+    (("-w", "--weight", "--weights"),
+        {"metavar": "WEIGHTS_FILE", "dest": "weightfile",
+         "default": "graph.weights", "type": str,
+         "help": "factor weight file"}),
+    (("-v", "--variable", "--variables"),
+        {"metavar": "VARIABLES_FILE", "dest": "variablefile",
+         "default": "graph.variables", "type": str,
+         "help": "factor graph variables file"}),
+    (("-f", "--factor", "--factors"),
+        {"metavar": "FACTORS_FILE", "dest": "factorfile",
+         "default": "graph.factors", "type": str, "help": "factor file"}),
+    (("--domain", "--domains"),
+        {"metavar": "DOMAINS_FILE", "dest": "domainfile",
+         "default": "graph.domains", "type": str, "help": "domain file"}),
+    (("-l", "--n_learning_epoch"),
+        {"metavar": "NUM_LEARNING_EPOCHS", "dest": "n_learning_epoch",
+         "default": 0, "type": int, "help": "number of learning epochs"}),
+    (("-i", "--n_inference_epoch"),
+        {"metavar": "NUM_INFERENCE_EPOCHS", "dest": "n_inference_epoch",
+         "default": 0, "type": int, "help": "number of inference epochs"}),
+    (("-s", "--stepsize", "-a", "--alpha"),
+        {"metavar": "LEARNING_STEPSIZE", "dest": "stepsize",
+         "default": 0.01, "type": float, "help": "stepsize for learning"}),
+    (("-d", "--decay", "--diminish"),
+        {"metavar": "LEARNING_DECAY", "dest": "decay", "default": 0.95,
+         "type": float, "help": "stepsize decay per learning epoch"}),
+    (("-r", "--reg_param"),
+        {"metavar": "LEARNING_REGULARIZATION_PARAM", "dest": "reg_param",
+         "default": 0.01, "type": float, "help": "regularization penalty"}),
+    (("--regularization",),
+        {"metavar": "REGULARIZATION", "dest": "regularization", "default": 2,
+         "type": int, "help": "regularization (1 = L1, 2 = L2)"}),
+    (("-k", "--truncation"),
+        {"metavar": "TRUNCATION", "dest": "truncation", "default": 1,
+         "type": int,
+         "help": "L1 truncated-gradient: truncate with probability 1/k and "
+                 "magnitude step_size * reg_param * k"}),
+    (("-b", "--burn_in"),
+        {"metavar": "BURN_IN", "dest": "burn_in", "default": 0, "type": int,
+         "help": "number of burn-in epochs"}),
+    (("-t", "--threads", "--n_threads"),
+        {"metavar": "NUM_THREADS", "dest": "nthreads", "default": 1,
+         "type": int,
+         "help": "accepted for reference compatibility; the TPU engine "
+                 "parallelizes per color block, not per thread"}),
+    (("-u", "--dburl"),
+        {"metavar": "DATABASE_URL", "dest": "dburl", "default": "",
+         "type": str, "help": "database URL (distributed graph source)"}),
+    (("--seed",),
+        {"metavar": "SEED", "dest": "seed", "default": 0, "type": int,
+         "help": "PRNG seed (counter-based jax.random; fully reproducible)"}),
+    (("--max_colors",),
+        {"metavar": "MAX_COLORS", "dest": "max_colors", "default": None,
+         "type": int,
+         "help": "cap chromatic colors; overflow vars share the last color "
+                 "(hogwild-style races, like the reference's threads)"}),
+]
+
+flags = [
+    (("--sample_evidence",),
+        {"default": True, "dest": "sample_evidence", "action": "store_true",
+         "help": "sample evidence variables during inference"}),
+    (("--learn_non_evidence",),
+        {"default": False, "dest": "learn_non_evidence",
+         "action": "store_true",
+         "help": "compute gradients from non-evidence variables"}),
+    (("-q", "--quiet"),
+        {"default": False, "dest": "quiet", "action": "store_true",
+         "help": "quiet"}),
+    (("--verbose",),
+        {"default": False, "dest": "verbose", "action": "store_true",
+         "help": "verbose"}),
+]
+
+
+class FactorGraph:
+    """One loaded factor graph: compiled plans + device engine + state.
+
+    Role-equivalent of the reference FactorGraph
+    (numbskull/factorgraph.py:27-229), with sampler state living on
+    device and marginal tallies kept per (variable, value).
+    """
+
+    def __init__(self, cg, fid: int, seed: int = 0):
+        self.cg = cg
+        self.fid = fid
+        self.engine = GibbsEngine(cg)
+        self.state = self.engine.init_state()
+        self.key = jax.random.PRNGKey(seed)
+        self.inference_epochs_done = 0
+        self.inference_total_time = 0.0
+        self.learning_total_time = 0.0
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def burnIn(self, epochs: int, sample_evidence: bool):
+        self.state = self.engine.inference(
+            self.state, self._next_key(), epochs=0, burn=epochs,
+            sample_evidence=sample_evidence)
+
+    def inference(self, burnin_epochs: int, epochs: int,
+                  sample_evidence: bool = False, diagnostics: bool = False):
+        with Timer() as t:
+            self.state = self.engine.inference(
+                self.state, self._next_key(), epochs=epochs,
+                burn=burnin_epochs, sample_evidence=sample_evidence)
+            jax.block_until_ready(self.state.count)
+        self.inference_total_time += t.interval
+        self.inference_epochs_done += epochs
+        if diagnostics:
+            print("FACTOR %d: inference %d epochs took %.3f sec" %
+                  (self.fid, epochs, t.interval))
+            self.diagnostics(self.inference_epochs_done)
+
+    def learn(self, burnin_epochs: int, epochs: int, stepsize: float,
+              decay: float, regularization: int, reg_param: float,
+              truncation: int, diagnostics: bool = False,
+              verbose: bool = False, learn_non_evidence: bool = False):
+        lp = LearnParams(regularization=regularization, reg_param=reg_param,
+                         truncation=truncation,
+                         learn_non_evidence=learn_non_evidence)
+        with Timer() as t:
+            self.state = self.engine.learn(
+                self.state, self._next_key(), epochs=epochs,
+                stepsize=stepsize, decay=decay, burn=burnin_epochs, lp=lp)
+            jax.block_until_ready(self.state.weight_value)
+        self.learning_total_time += t.interval
+        if diagnostics:
+            print("FACTOR %d: learning %d epochs took %.3f sec" %
+                  (self.fid, epochs, t.interval))
+            if verbose:
+                self.diagnosticsLearning()
+
+    # --- getters / diagnostics (reference factorgraph.py:84-123) ----------
+
+    def getWeights(self) -> np.ndarray:
+        return np.asarray(self.state.weight_value)
+
+    def getMarginals(self, epochs: int | None = None) -> np.ndarray:
+        """Marginals in the reference's cardinality-compressed layout."""
+        epochs = epochs or self.inference_epochs_done or 1
+        counts = np.asarray(self.state.count, np.float64) / epochs
+        return self._compress(counts)
+
+    def full_marginals(self, epochs: int | None = None) -> np.ndarray:
+        """(V, K) marginal matrix."""
+        epochs = epochs or self.inference_epochs_done or 1
+        return np.asarray(self.state.count, np.float64) / epochs
+
+    def _compress(self, counts_vk: np.ndarray) -> np.ndarray:
+        """(V, K) -> flat cstart layout (binary vars: P(v=1) only)."""
+        cg = self.cg
+        out = []
+        for v in range(cg.n_vars):
+            if cg.var_card[v] == 2:
+                out.append(counts_vk[v, 1:2])
+            else:
+                out.append(counts_vk[v, :cg.var_card[v]])
+        return np.concatenate(out) if out else np.zeros(0)
+
+    def diagnostics(self, epochs: int):
+        print("Inference took %.03f sec." % self.inference_total_time)
+        epochs = epochs or 1
+        marg = self._compress(np.asarray(self.state.count, np.float64))
+        hist, _ = np.histogram(marg / epochs, bins=10, range=(0.0, 1.0))
+        for i in range(10):
+            print("Prob. %.1f..%.1f: %d variables" %
+                  (i / 10.0, (i + 1) / 10.0, hist[i]))
+
+    def diagnosticsLearning(self):
+        print("Weights:")
+        w = self.getWeights()
+        for i in range(self.cg.n_weights):
+            print("    weightId:", i)
+            print("        isFixed:", bool(self.cg.weight_fixed[i]))
+            print("        weight: ", float(w[i]))
+
+    # --- dumps (DimmWitted text format, reference factorgraph.py:210-229) --
+
+    def dump_weights(self, fout: str):
+        w = self.getWeights()
+        with open(fout, "w") as out:
+            for i in range(self.cg.n_weights):
+                out.write("%d %f\n" % (i, w[i]))
+
+    def dump_probabilities(self, fout: str, epochs: int):
+        epochs = epochs or 1
+        counts = np.asarray(self.state.count, np.float64)
+        cg = self.cg
+        with open(fout, "w") as out:
+            for v in range(cg.n_vars):
+                if cg.var_card[v] == 2:
+                    out.write("%d %d %.3f\n" % (v, 1, counts[v, 1] / epochs))
+                else:
+                    for k in range(cg.var_card[v]):
+                        orig = cg.vmap_value[cg.vtf_offset[v] + k]
+                        out.write("%d %d %.3f\n" %
+                                  (v, orig, counts[v, k] / epochs))
+
+
+class NumbSkull:
+    """Main user-facing class; drop-in analog of the reference NumbSkull
+    (numbskull/numbskull.py:152-391)."""
+
+    def __init__(self, **kwargs):
+        arg_defaults = {}
+        for arg, opts in arguments:
+            if arg[0] == "directory":
+                arg_defaults["directory"] = opts["default"]
+            else:
+                arg_defaults[opts["dest"]] = opts["default"]
+        for arg, opts in flags:
+            arg_defaults[opts["dest"]] = opts["default"]
+        for key, default in arg_defaults.items():
+            setattr(self, key, kwargs.get(key, default))
+        self.factorGraphs: list[FactorGraph] = []
+
+    # --- loading -----------------------------------------------------------
+
+    def loadFactorGraph(self, weight, variable, factor, fmap, domain_mask,
+                        edges, var_copies=1, weight_copies=1,
+                        factors_to_skip=np.empty(0, np.int64)):
+        """Load a programmatically built graph (structured arrays)."""
+        assert isinstance(weight, np.ndarray) and weight.dtype == T.Weight
+        assert isinstance(variable, np.ndarray) and \
+            variable.dtype == T.Variable
+        assert isinstance(factor, np.ndarray) and factor.dtype == T.Factor
+        assert isinstance(fmap, np.ndarray) and fmap.dtype == T.FactorToVar
+        cg = compile_graph(weight, variable, factor, fmap,
+                           factors_to_skip=factors_to_skip,
+                           max_colors=self.max_colors,
+                           domain_mask=domain_mask,
+                           seed=self.seed)
+        self.factorGraphs.append(
+            FactorGraph(cg, len(self.factorGraphs), seed=self.seed))
+
+    def loadFGFromFile(self, directory=None, metafile=None, weightfile=None,
+                       variablefile=None, factorfile=None, domainfile=None,
+                       var_copies=1, weight_copies=1):
+        """Load a DeepDive binary factor graph directory."""
+        directory = directory or self.directory
+        if not directory:
+            print("No factor graph specified")
+            return
+        meta, weights, variables, factors, fmap, vmap, domain_mask = \
+            dataloading.load_factor_graph_files(
+                directory,
+                metafile or self.metafile,
+                weightfile or self.weightfile,
+                variablefile or self.variablefile,
+                factorfile or self.factorfile,
+                domainfile or self.domainfile)
+        if not self.quiet:
+            print("Meta:")
+            print("    weights:  ", meta["weights"])
+            print("    variables:", meta["variables"])
+            print("    factors:  ", meta["factors"])
+            print("    edges:    ", meta["edges"])
+        cg = compile_graph(weights, variables, factors, fmap,
+                           max_colors=self.max_colors,
+                           domain_values=vmap["value"],
+                           domain_mask=domain_mask,
+                           seed=self.seed)
+        if not self.quiet:
+            print("chromatic schedule: %d colors" % cg.n_colors)
+        self.factorGraphs.append(
+            FactorGraph(cg, len(self.factorGraphs), seed=self.seed))
+
+    def getFactorGraph(self, fgID: int = 0) -> FactorGraph:
+        return self.factorGraphs[fgID]
+
+    # --- inference / learning ----------------------------------------------
+
+    def inference(self, fgID: int = 0, out: bool = True):
+        fg = self.factorGraphs[fgID]
+        fg.inference(self.burn_in, self.n_inference_epoch,
+                     sample_evidence=self.sample_evidence,
+                     diagnostics=not self.quiet)
+        if out:
+            os.makedirs(self.output_dir, exist_ok=True)
+            fg.dump_probabilities(
+                os.path.join(self.output_dir, "inference_result.out.text"),
+                self.n_inference_epoch)
+
+    def learning(self, fgID: int = 0, out: bool = True):
+        fg = self.factorGraphs[fgID]
+        fg.learn(self.burn_in, self.n_learning_epoch, self.stepsize,
+                 self.decay, self.regularization, self.reg_param,
+                 self.truncation, diagnostics=not self.quiet,
+                 verbose=self.verbose,
+                 learn_non_evidence=self.learn_non_evidence)
+        if out:
+            os.makedirs(self.output_dir, exist_ok=True)
+            fg.dump_weights(os.path.join(
+                self.output_dir, "inference_result.out.weights.text"))
+
+
+def load(argv=None) -> NumbSkull:
+    """Parse CLI args, build a NumbSkull, load the graph directory."""
+    if argv is None:
+        argv = sys.argv[1:]
+    parser = argparse.ArgumentParser(
+        description="Runs a TPU-native Gibbs sampler", epilog="")
+    parser.add_argument("--version", action="version",
+                        version="%(prog)s " + "0.1.0")
+    for arg, opts in arguments:
+        parser.add_argument(*arg, **opts)
+    for arg, opts in flags:
+        parser.add_argument(*arg, **opts)
+    args = parser.parse_args(argv)
+    ns = NumbSkull(**vars(args))
+    ns.loadFGFromFile()
+    return ns
+
+
+def main(argv=None):
+    ns = load(argv)
+    ns.learning()
+    ns.inference()
+    return ns

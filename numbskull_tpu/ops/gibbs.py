@@ -1,0 +1,334 @@
+"""Chromatic Gibbs sweep and SGD learning sweep (single device).
+
+TPU-native replacement for the reference's hogwild thread kernels
+(reference: numbskull/inference.py:10-33 ``gibbsthread`` and
+numbskull/learning.py:12-125 ``learnthread``/``sample_and_sgd``). One sweep
+= one pass over all variables, executed color by color: within a color no
+two variables share a factor, so the whole color block samples as one
+fused vectorized step — exact Gibbs, unlike the reference's racing
+threads (the stationary distribution matches; per-sample trajectories are
+a proper chain here).
+
+Learning follows the reference's expectation–conjugate-descent scheme:
+a clamped ("evidence") chain and a free chain are advanced together and
+the weight gradient is the difference of factor evaluations between them
+(reference: numbskull/learning.py:46-125). Per-sample hogwild weight
+writes become a per-color segment-sum by weightId; L2 shrinkage is applied
+as factor^(updates) and L1 truncated-gradient (Langford et al.) as a
+single stochastic application with matched expectation per color step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from numbskull_tpu.compile import CompiledGraph
+from numbskull_tpu.ops.factor_eval import eval_factors, present_types_of
+from numbskull_tpu.ops.sample import draw
+from numbskull_tpu.types import EV_EVIDENCE, EV_QUERY
+
+# evidence codes as device-friendly ints
+_EV_Q = EV_QUERY
+_EV_E = EV_EVIDENCE
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SamplerState:
+    """Mutable sampler state (a pytree; device-resident)."""
+
+    var_value: jax.Array        # (V,) int32 free-chain values
+    var_value_evid: jax.Array   # (V,) int32 clamped-chain values
+    weight_value: jax.Array     # (W,) float32
+    count: jax.Array            # (V, K) int32 marginal tallies
+
+
+@dataclasses.dataclass(frozen=True)
+class LearnParams:
+    """Static learning hyperparameters (hashable; triggers re-jit)."""
+
+    regularization: int = 2     # 0 none, 1 L1 truncated gradient, 2 L2
+    reg_param: float = 0.01
+    truncation: int = 1
+    learn_non_evidence: bool = False
+
+
+def _plan_device_arrays(plan, n_vars: int):
+    """Device-resident dict view of a ColorPlan (+ scatter-safe vids)."""
+    scatter_vid = np.where(plan.cv_valid, plan.cv_vid, n_vars)
+    return dict(
+        cv_vid=jnp.asarray(plan.cv_vid),
+        cv_scatter=jnp.asarray(scatter_vid.astype(np.int32)),
+        cv_card=jnp.asarray(plan.cv_card),
+        cv_isev=jnp.asarray(plan.cv_isev),
+        cv_valid=jnp.asarray(plan.cv_valid),
+        it_row=jnp.asarray(plan.it_row),
+        it_ftype=jnp.asarray(plan.it_ftype),
+        it_wid=jnp.asarray(plan.it_wid),
+        it_fv=jnp.asarray(plan.it_fv),
+        it_dense=jnp.asarray(plan.it_dense),
+        it_d1=jnp.asarray(plan.it_d1),
+        it_d2=jnp.asarray(plan.it_d2),
+        it_valid=jnp.asarray(plan.it_valid),
+        it_arity=jnp.asarray(plan.it_arity),
+        it_args_vid=jnp.asarray(plan.it_args_vid),
+        it_args_eq=jnp.asarray(plan.it_args_eq),
+        it_args_valid=jnp.asarray(plan.it_args_valid),
+        it_args_card=jnp.asarray(plan.it_args_card),
+        it_subst=jnp.asarray(plan.it_subst),
+    )
+
+
+def color_potentials(pd, kmax: int, present, var_value, weight_value):
+    """Potentials (R, kmax) for one color's variables, all values at once.
+
+    Equivalent to looping reference potential() (numbskull/inference.py:55-71)
+    over every variable of the color and every candidate value; featureValue
+    is deliberately absent (the reference omits it during inference too).
+    """
+    vals = var_value[pd["it_args_vid"]]                       # (I, A)
+    ks = jnp.arange(kmax, dtype=jnp.int32)                    # (K,)
+    sub = jnp.where(pd["it_subst"][:, None, :],
+                    ks[None, :, None], vals[:, None, :])      # (I, K, A)
+    e = eval_factors(pd["it_ftype"][:, None], sub,
+                     pd["it_args_eq"][:, None, :],
+                     pd["it_args_valid"][:, None, :],
+                     pd["it_args_card"][:, None, :],
+                     pd["it_arity"][:, None], present)        # (I, K)
+    w = weight_value[pd["it_wid"]]                            # (I,)
+    row_card = pd["cv_card"][pd["it_row"]]                    # (I,)
+    contrib_ok = jnp.where(pd["it_dense"][:, None],
+                           ks[None, :] < row_card[:, None],
+                           (ks[None, :] == pd["it_d1"][:, None]) |
+                           (ks[None, :] == pd["it_d2"][:, None]))
+    contrib = jnp.where(contrib_ok & pd["it_valid"][:, None],
+                        w[:, None] * e, 0.0)
+    R = pd["cv_card"].shape[0]
+    return jax.ops.segment_sum(contrib, pd["it_row"], num_segments=R)
+
+
+def _color_step_infer(pd, kmax, present, sample_evidence,
+                      var_value, weight_value, key):
+    """Resample one color block of the free chain."""
+    pot = color_potentials(pd, kmax, present, var_value, weight_value)
+    new = draw(pot, pd["cv_card"], key)
+    isev = pd["cv_isev"]
+    upd = pd["cv_valid"] & ((isev == _EV_Q) |
+                            (sample_evidence & (isev == _EV_E)))
+    old = var_value[pd["cv_vid"]]
+    out = jnp.where(upd, new, old)
+    return var_value.at[pd["cv_scatter"]].set(out, mode="drop")
+
+
+def _eval_items_at(pd, present, chain, value_it):
+    """Evaluate each work item's factor with its active var at value_it."""
+    vals = chain[pd["it_args_vid"]]
+    sub = jnp.where(pd["it_subst"], value_it[:, None], vals)
+    return eval_factors(pd["it_ftype"], sub, pd["it_args_eq"],
+                        pd["it_args_valid"], pd["it_args_card"],
+                        pd["it_arity"], present)
+
+
+def _color_step_learn(pd, kmax, present, lp: LearnParams, n_weights,
+                      weight_fixed, var_init,
+                      var_value, var_value_evid, weight_value,
+                      step, key):
+    """One color block of the dual-chain SGD sweep."""
+    key_e, key_p, key_t = jax.random.split(key, 3)
+    isev = pd["cv_isev"]
+    valid = pd["cv_valid"]
+
+    # clamped chain: evidence vars pinned at initialValue, others sampled
+    pot_e = color_potentials(pd, kmax, present, var_value_evid, weight_value)
+    e_samp = draw(pot_e, pd["cv_card"], key_e)
+    init_here = var_init[pd["cv_vid"]]
+    e_val = jnp.where(isev == _EV_E, init_here, e_samp)
+
+    # free chain: always sampled
+    pot_p = color_potentials(pd, kmax, present, var_value, weight_value)
+    p_val = draw(pot_p, pd["cv_card"], key_p)
+
+    upd = valid & (isev != 4)
+    old_e = var_value_evid[pd["cv_vid"]]
+    old_p = var_value[pd["cv_vid"]]
+    e_val = jnp.where(upd, e_val, old_e)
+    p_val = jnp.where(upd, p_val, old_p)
+
+    # gradient = (eval at proposal on free chain) - (eval at evidence on
+    # clamped chain), per adjacent factor (reference learning.py:100-109)
+    e_it = e_val[pd["it_row"]]
+    p_it = p_val[pd["it_row"]]
+    ev_e = _eval_items_at(pd, present, var_value_evid, e_it)
+    ev_p = _eval_items_at(pd, present, var_value, p_it)
+
+    slot_hit = (pd["it_d1"] == e_it) | (pd["it_d1"] == p_it) | \
+               (pd["it_d2"] == e_it) | (pd["it_d2"] == p_it)
+    include = pd["it_valid"] & (pd["it_dense"] | slot_hit)
+    if lp.learn_non_evidence:
+        vmask = upd
+    else:
+        vmask = valid & (isev == _EV_E)
+    include &= vmask[pd["it_row"]]
+    include &= ~weight_fixed[pd["it_wid"]]
+
+    grad = jnp.where(include, (ev_p - ev_e) * pd["it_fv"], 0.0)
+    gw = jax.ops.segment_sum(grad, pd["it_wid"], num_segments=n_weights)
+    nw = jax.ops.segment_sum(include.astype(jnp.float32), pd["it_wid"],
+                             num_segments=n_weights)
+
+    w = weight_value
+    if lp.regularization == 2:
+        w = w * jnp.power(1.0 / (1.0 + lp.reg_param * step), nw)
+        w = w - step * gw
+    elif lp.regularization == 1:
+        w = w - step * gw
+        # truncated gradient (Langford et al. 2009); the reference flips a
+        # per-variable-update coin with prob 1/truncation — we apply one
+        # stochastic truncation per color step with matched hit probability
+        p_hit = 1.0 - jnp.power(1.0 - 1.0 / lp.truncation, nw)
+        u = jax.random.uniform(key_t, w.shape)
+        l1delta = lp.reg_param * step * lp.truncation
+        w_trunc = jnp.where(w > 0, jnp.maximum(0.0, w - l1delta),
+                            jnp.minimum(0.0, w + l1delta))
+        w = jnp.where(u < p_hit, w_trunc, w)
+    else:
+        w = w - step * gw
+
+    var_value = var_value.at[pd["cv_scatter"]].set(p_val, mode="drop")
+    var_value_evid = var_value_evid.at[pd["cv_scatter"]].set(
+        e_val, mode="drop")
+    return var_value, var_value_evid, w
+
+
+class GibbsEngine:
+    """Single-device chromatic Gibbs sampler over a CompiledGraph.
+
+    All epoch loops run on-device (``lax.fori_loop``); epoch counts are
+    dynamic so changing them never recompiles.
+    """
+
+    def __init__(self, cg: CompiledGraph):
+        self.cg = cg
+        self.kmax = cg.kmax
+        self.n_vars = cg.n_vars
+        self.n_weights = cg.n_weights
+        self.plans = [_plan_device_arrays(p, cg.n_vars) for p in cg.plans]
+        self.plan_kmax = [p.kmax for p in cg.plans]
+        self.present = [present_types_of(p.it_ftype) for p in cg.plans]
+        self.var_card = jnp.asarray(cg.var_card)
+        self.var_isev = jnp.asarray(cg.var_isev)
+        self.var_init = jnp.asarray(cg.var_init)
+        self.weight_fixed = jnp.asarray(cg.weight_fixed)
+        self._jit_cache = {}
+
+    # ---- state -----------------------------------------------------------
+
+    def init_state(self) -> SamplerState:
+        v0 = jnp.asarray(self.cg.var_init)
+        return SamplerState(
+            var_value=v0,
+            var_value_evid=v0,
+            weight_value=jnp.asarray(self.cg.weight_init),
+            count=jnp.zeros((self.n_vars, self.kmax), jnp.int32),
+        )
+
+    # ---- sweeps ----------------------------------------------------------
+    # NOTE: plan arrays / var metadata are threaded through as jit ARGUMENTS
+    # (never closed over) — closed-over jax.Arrays embed as HLO constants
+    # and bloat the executable for large graphs.
+
+    def _sweep_infer(self, plans, sample_evidence, var_value, weight_value,
+                     key):
+        for i, pd in enumerate(plans):
+            var_value = _color_step_infer(
+                pd, self.plan_kmax[i], self.present[i], sample_evidence,
+                var_value, weight_value, jax.random.fold_in(key, i))
+        return var_value
+
+    def _tally(self, var_isev, sample_evidence, count, var_value):
+        mask = (var_isev == _EV_Q) | (sample_evidence & (var_isev == _EV_E))
+        ks = jnp.arange(self.kmax, dtype=jnp.int32)
+        onehot = (var_value[:, None] == ks[None, :]) & mask[:, None]
+        return count + onehot.astype(jnp.int32)
+
+    def _run_infer(self, plans, var_isev, state: SamplerState, key, burn,
+                   epochs, sample_evidence: bool):
+        def burn_body(i, carry):
+            vv, k = carry
+            vv = self._sweep_infer(plans, sample_evidence, vv,
+                                   state.weight_value,
+                                   jax.random.fold_in(k, i))
+            return vv, k
+
+        def epoch_body(i, carry):
+            vv, cnt, k = carry
+            vv = self._sweep_infer(plans, sample_evidence, vv,
+                                   state.weight_value,
+                                   jax.random.fold_in(k, i + (1 << 20)))
+            cnt = self._tally(var_isev, sample_evidence, cnt, vv)
+            return vv, cnt, k
+
+        vv, _ = jax.lax.fori_loop(0, burn, burn_body, (state.var_value, key))
+        vv, cnt, _ = jax.lax.fori_loop(0, epochs, epoch_body,
+                                       (vv, state.count, key))
+        return dataclasses.replace(state, var_value=vv, count=cnt)
+
+    def _run_learn(self, plans, weight_fixed, var_init, state: SamplerState,
+                   key, burn, epochs, step0, decay, lp: LearnParams):
+        def burn_body(i, carry):
+            vv, k = carry
+            vv = self._sweep_infer(plans, True, vv, state.weight_value,
+                                   jax.random.fold_in(k, i))
+            return vv, k
+
+        def epoch_body(i, carry):
+            vv, ve, w, k = carry
+            ek = jax.random.fold_in(k, i + (1 << 20))
+            step = step0 * jnp.power(decay, i.astype(jnp.float32))
+            for ci, pd in enumerate(plans):
+                vv, ve, w = _color_step_learn(
+                    pd, self.plan_kmax[ci], self.present[ci], lp,
+                    self.n_weights, weight_fixed, var_init,
+                    vv, ve, w, step, jax.random.fold_in(ek, ci))
+            return vv, ve, w, k
+
+        vv, _ = jax.lax.fori_loop(0, burn, burn_body, (state.var_value, key))
+        vv, ve, w, _ = jax.lax.fori_loop(
+            0, epochs, epoch_body,
+            (vv, state.var_value_evid, state.weight_value, key))
+        return dataclasses.replace(state, var_value=vv, var_value_evid=ve,
+                                   weight_value=w)
+
+    # ---- public API ------------------------------------------------------
+
+    def _get_jit(self, name, fn, static):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn, static_argnames=static)
+        return self._jit_cache[name]
+
+    def inference(self, state: SamplerState, key, epochs: int,
+                  burn: int = 0, sample_evidence: bool = True
+                  ) -> SamplerState:
+        """Burn in, then run `epochs` tallying sweeps of the free chain."""
+        fn = self._get_jit("infer", self._run_infer, ("sample_evidence",))
+        return fn(self.plans, self.var_isev, state, key,
+                  jnp.int32(burn), jnp.int32(epochs),
+                  sample_evidence=sample_evidence)
+
+    def learn(self, state: SamplerState, key, epochs: int, stepsize: float,
+              decay: float = 1.0, burn: int = 0,
+              lp: LearnParams = LearnParams()) -> SamplerState:
+        """Dual-chain SGD weight learning (burn-in samples evidence)."""
+        fn = self._get_jit("learn", self._run_learn, ("lp",))
+        return fn(self.plans, self.weight_fixed, self.var_init, state, key,
+                  jnp.int32(burn), jnp.int32(epochs),
+                  jnp.float32(stepsize), jnp.float32(decay), lp=lp)
+
+    def marginals(self, state: SamplerState, epochs: int) -> np.ndarray:
+        """(V, K) marginal estimates = count / epochs."""
+        return np.asarray(state.count) / float(max(epochs, 1))
