@@ -54,3 +54,9 @@ def ising_grid(n: int, m: int, weight: float = 0.1, fixed: bool = True,
 
     domain_mask = np.zeros(V, np.bool_)
     return weights, variables, factors, fmap, domain_mask, 2 * F
+
+
+def ising_color_hint(n: int, m: int) -> np.ndarray:
+    """Checkerboard 2-coloring of the grid (pass to compile_graph)."""
+    idx = np.arange(n * m)
+    return (idx // m + idx % m) % 2

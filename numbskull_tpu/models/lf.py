@@ -46,8 +46,13 @@ def lf_exact_cdf(prior: float, accuracy) -> tuple[np.ndarray, list]:
 
 
 def lf_model(prior: float, accuracy, copies: int, seed: int = 0,
-             weight_init: float = 0.0):
+             weight_init: float = 1.0, prior_init: float = 0.0):
     """Build `copies` independent LF-model instances with sampled data.
+
+    Accuracy weights start at `weight_init` (default 1.0, like the
+    reference test_lf_learning.py:80-83) to break the y -> 1-y
+    label-switching symmetry; with a symmetric start the chain may learn
+    the globally sign-flipped solution.
 
     Returns (weight, variable, factor, fmap, domain_mask, edges).
     """
@@ -63,6 +68,7 @@ def lf_model(prior: float, accuracy, copies: int, seed: int = 0,
     weights = T.new_weights(W)
     weights["isFixed"] = False
     weights["initialValue"] = weight_init
+    weights["initialValue"][0] = prior_init
 
     variables = T.new_variables(V)
     factors = T.new_factors(F)

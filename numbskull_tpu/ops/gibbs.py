@@ -56,6 +56,11 @@ class LearnParams:
     reg_param: float = 0.01
     truncation: int = 1
     learn_non_evidence: bool = False
+    # 'mean': stable mini-batch mean gradient per color step (default).
+    # 'sum':  reference-faithful aggregate movement (hogwild sum); matches
+    #         the reference's per-epoch convergence rate on small graphs
+    #         but can overshoot at reference stepsizes on large ones.
+    grad_agg: str = "mean"
 
 
 def _plan_device_arrays(plan, n_vars: int):
@@ -181,23 +186,32 @@ def _color_step_learn(pd, kmax, present, lp: LearnParams, n_weights,
     nw = jax.ops.segment_sum(include.astype(jnp.float32), pd["it_wid"],
                              num_segments=n_weights)
 
+    # Mini-batch semantics: the reference applies nw sequential per-sample
+    # updates whose later gradients self-correct (learning.py:111-125); a
+    # batched sum cannot, and diverges at reference-scale stepsizes on
+    # large graphs. Default is the MEAN gradient per color step — standard
+    # stable mini-batch SGD with noise shrinking as 1/sqrt(batch); 'sum'
+    # reproduces the reference's aggregate per-epoch movement.
+    touched = nw > 0
+    if lp.grad_agg == "mean":
+        gw = gw / jnp.maximum(nw, 1.0)
+
     w = weight_value
     if lp.regularization == 2:
-        w = w * jnp.power(1.0 / (1.0 + lp.reg_param * step), nw)
-        w = w - step * gw
+        shrink = 1.0 / (1.0 + lp.reg_param * step)
+        w = jnp.where(touched, w * shrink - step * gw, w)
     elif lp.regularization == 1:
-        w = w - step * gw
-        # truncated gradient (Langford et al. 2009); the reference flips a
-        # per-variable-update coin with prob 1/truncation — we apply one
-        # stochastic truncation per color step with matched hit probability
-        p_hit = 1.0 - jnp.power(1.0 - 1.0 / lp.truncation, nw)
+        w = jnp.where(touched, w - step * gw, w)
+        # truncated gradient (Langford et al. 2009), reference
+        # learning.py:115-122: coin with prob 1/truncation, magnitude
+        # reg_param * step * truncation — applied once per color step
         u = jax.random.uniform(key_t, w.shape)
         l1delta = lp.reg_param * step * lp.truncation
         w_trunc = jnp.where(w > 0, jnp.maximum(0.0, w - l1delta),
                             jnp.minimum(0.0, w + l1delta))
-        w = jnp.where(u < p_hit, w_trunc, w)
+        w = jnp.where(touched & (u < 1.0 / lp.truncation), w_trunc, w)
     else:
-        w = w - step * gw
+        w = jnp.where(touched, w - step * gw, w)
 
     var_value = var_value.at[pd["cv_scatter"]].set(p_val, mode="drop")
     var_value_evid = var_value_evid.at[pd["cv_scatter"]].set(

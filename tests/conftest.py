@@ -1,0 +1,18 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+NOTE: in this environment the JAX_PLATFORMS env var is overridden by the
+TPU plugin; the only reliable way to force CPU is jax.config.update before
+the backend initializes, which this conftest guarantees by running before
+any test module imports jax.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

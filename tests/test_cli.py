@@ -1,0 +1,63 @@
+"""End-to-end CLI tests (reference analog: test.py integration smoke)."""
+
+import os
+
+import numpy as np
+
+from numbskull_tpu.numbskull import NumbSkull, load, main
+
+REF_DIR = "/root/reference/test"
+
+
+def test_cli_end_to_end(tmp_path):
+    out = str(tmp_path)
+    main([REF_DIR, "-l", "100", "-i", "50", "-b", "5", "-s", "0.2",
+          "-d", "0.99", "-o", out, "-q"])
+    probs = np.loadtxt(os.path.join(out, "inference_result.out.text"))
+    assert probs.shape == (18, 3)
+    assert (probs[:, 0] == np.arange(18)).all()
+    assert (probs[:, 1] == 1).all()
+    assert ((probs[:, 2] >= 0) & (probs[:, 2] <= 1)).all()
+    wts = np.loadtxt(os.path.join(out, "inference_result.out.weights.text"))
+    assert wts.shape == (2,)
+    assert wts[0] == 0
+    # 8/9 evidence vars are 1 -> learned ISTRUE weight clearly positive
+    assert wts[1] > 0.2
+
+
+def test_load_api():
+    ns = load([REF_DIR, "-q"])
+    assert len(ns.factorGraphs) == 1
+    assert ns.factorGraphs[0].cg.n_vars == 18
+
+
+def test_programmatic_smoke():
+    """Analog of reference loadfg.py: every factor function learns+infers
+    without crashing."""
+    from numbskull_tpu import types as T
+
+    for name, code in T.FACTORS.items():
+        if code == T.FUNC_NOOP:
+            continue
+        nvars = 3 if name in ("DP_GEN_DEP_FIXING",
+                              "DP_GEN_DEP_REINFORCING") else 2
+        weight = T.new_weights(1)
+        weight["isFixed"] = True
+        weight["initialValue"] = 1
+        variable = T.new_variables(nvars)
+        variable["cardinality"] = 2
+        factor = T.new_factors(1)
+        factor["factorFunction"] = code
+        factor["weightId"] = 0
+        factor["featureValue"] = 1
+        factor["arity"] = nvars
+        fmap = T.new_fmap(nvars)
+        fmap["vid"] = np.arange(nvars)
+        ns = NumbSkull(n_inference_epoch=20, n_learning_epoch=20,
+                       quiet=True)
+        ns.loadFactorGraph(weight, variable, factor, fmap,
+                           np.zeros(nvars, bool), nvars)
+        ns.learning(out=False)
+        ns.inference(out=False)
+        counts = ns.factorGraphs[0].state.count
+        assert int(np.asarray(counts).sum()) == 20 * nvars, name
