@@ -1,0 +1,106 @@
+"""Benchmark: Gibbs variable-updates/s/chip on the flagship Ising model.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline: the fused Pallas checkerboard kernel (VMEM-resident state,
+hardware PRNG, epoch loop inside the kernel) on a 1024x1024 Ising grid.
+Extras report the XLA stencil path (arbitrary grid sizes) and the general
+work-item engine (arbitrary graphs).
+
+Baseline: the reference (HazyResearch/numbskull) publishes no numbers
+(BASELINE.md); its engine is numba-JIT sequential Gibbs over a CSR index
+(reference numbskull/inference.py:10-33), which sustains ~1e7 variable
+updates/s/core on low-degree boolean graphs. BASELINE.json targets
+>=100x that per chip. vs_baseline = ours / 1e7.
+
+NOTE: all timings materialize results via np.asarray — on tunneled TPU
+backends block_until_ready can return before execution completes.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+NUMBA_CPU_BASELINE = 1.0e7  # updates/s, single-core numba CSR Gibbs
+
+
+def _bench_pallas_grid(n: int, epochs: int):
+    from numbskull_tpu.ops.stencil_pallas import PallasGridGibbsEngine
+
+    eng = PallasGridGibbsEngine(n, n, 0.3)
+    x, cnt = eng.run(seed=0, burn=0, epochs=2)
+    np.asarray(cnt)  # compile + materialize
+    t0 = time.perf_counter()
+    x, cnt = eng.run(seed=1, burn=0, epochs=epochs)
+    cnt = np.asarray(cnt)
+    dt = time.perf_counter() - t0
+    mean = float(cnt.mean()) / epochs
+    return n * n * epochs / dt, dt / epochs, mean
+
+
+def _bench_xla_grid(n: int, epochs: int):
+    from numbskull_tpu.ops.stencil import GridGibbsEngine
+
+    eng = GridGibbsEngine(n, n, 0.3)
+    st = eng.init_state()
+    st = eng.inference(st, jax.random.PRNGKey(0), epochs=2)
+    np.asarray(st.count)
+    t0 = time.perf_counter()
+    st2 = eng.inference(st, jax.random.PRNGKey(1), epochs=epochs)
+    np.asarray(st2.count)
+    dt = time.perf_counter() - t0
+    return n * n * epochs / dt
+
+
+def _bench_general(n: int, epochs: int):
+    from numbskull_tpu.compile import compile_graph
+    from numbskull_tpu.models import ising_color_hint, ising_grid
+    from numbskull_tpu.ops import GibbsEngine
+
+    w, v, f, fm, dm, e = ising_grid(n, n, weight=0.3)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm,
+                       color_hint=ising_color_hint(n, n))
+    eng = GibbsEngine(cg)
+    st = eng.init_state()
+    st = eng.inference(st, jax.random.PRNGKey(0), epochs=2, burn=0)
+    np.asarray(st.count)
+    t0 = time.perf_counter()
+    st2 = eng.inference(st, jax.random.PRNGKey(1), epochs=epochs, burn=0)
+    np.asarray(st2.count)
+    dt = time.perf_counter() - t0
+    return n * n * epochs / dt
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+
+    ups, epoch_s, mean = _bench_pallas_grid(n, epochs)
+    xla_ups = _bench_xla_grid(2048, 200)
+    gen_ups = _bench_general(256, 50)
+
+    healthy = 0.2 < mean < 0.8
+    result = {
+        "metric": "gibbs_variable_updates_per_s_per_chip",
+        "value": round(ups, 1),
+        "unit": "updates/s",
+        "vs_baseline": round(ups / NUMBA_CPU_BASELINE, 2),
+        "config": f"ising {n}x{n}, {epochs} epochs, fused pallas "
+                  "checkerboard kernel",
+        "device": str(jax.devices()[0]),
+        "epoch_ms": round(1e3 * epoch_s, 4),
+        "xla_stencil_ups_2048": round(xla_ups, 1),
+        "general_engine_ups_256": round(gen_ups, 1),
+        "sampler_healthy": healthy,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
