@@ -22,11 +22,38 @@ worst case degrades gracefully, never breaks.
 
 from __future__ import annotations
 
+import ctypes
 import os
 
 import numpy as np
 
 from numbskull_tpu import types
+
+_FASTLOAD = None
+
+
+def _fastload():
+    """ctypes handle to the native factor-stream scanner, if built.
+
+    Build with `make -C native libfastload.so`; override the path with
+    NUMBSKULL_TPU_FASTLOAD. Returns None when unavailable (the numpy
+    run-parser below is the fallback).
+    """
+    global _FASTLOAD
+    if _FASTLOAD is not None:
+        return _FASTLOAD or None
+    candidates = [os.environ.get("NUMBSKULL_TPU_FASTLOAD", "")]
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates.append(os.path.join(here, "..", "native", "libfastload.so"))
+    candidates.append(os.path.join(here, "libfastload.so"))
+    for path in candidates:
+        if path and os.path.isfile(path):
+            lib = ctypes.CDLL(path)
+            lib.fastload_factors.restype = ctypes.c_int
+            _FASTLOAD = lib
+            return lib
+    _FASTLOAD = False
+    return None
 
 _WEIGHT_REC = np.dtype([("weightId", ">i8"),
                         ("isFixed", "u1"),
@@ -135,6 +162,39 @@ def load_factors(data: bytes, nfactors: int, nedges: int,
     factors = np.zeros(nfactors, types.Factor)
     fmap = np.zeros(nedges, types.FactorToVar)
 
+    lib = _fastload()
+    if lib is not None and nfactors:
+        ff = np.zeros(nfactors, np.int16)
+        ar = np.zeros(nfactors, np.int64)
+        fo = np.zeros(nfactors, np.int64)
+        wid = np.zeros(nfactors, np.int64)
+        fv = np.zeros(nfactors, np.float64)
+        vid = np.zeros(nedges, np.int64)
+        eq = np.zeros(nedges, np.int64)
+        p = ctypes.POINTER
+        rc = lib.fastload_factors(
+            buf.ctypes.data_as(p(ctypes.c_uint8)),
+            ctypes.c_int64(buf.size),
+            ctypes.c_int64(nfactors), ctypes.c_int64(nedges),
+            ff.ctypes.data_as(p(ctypes.c_int16)),
+            ar.ctypes.data_as(p(ctypes.c_int64)),
+            fo.ctypes.data_as(p(ctypes.c_int64)),
+            wid.ctypes.data_as(p(ctypes.c_int64)),
+            fv.ctypes.data_as(p(ctypes.c_double)),
+            vid.ctypes.data_as(p(ctypes.c_int64)),
+            eq.ctypes.data_as(p(ctypes.c_int64)))
+        if rc != 0:
+            raise ValueError(f"corrupt graph.factors stream (rc={rc})")
+        factors["factorFunction"] = ff
+        factors["arity"] = ar
+        factors["ftv_offset"] = fo
+        factors["weightId"] = wid
+        factors["featureValue"] = fv
+        fmap["vid"] = vid
+        fmap["dense_equal_to"] = eq
+        return _densify_equal_predicates(factors, fmap, domain_mask,
+                                         variables, vmap)
+
     offset = 0
     fi = 0       # next factor slot
     ei = 0       # next fmap slot
@@ -173,7 +233,13 @@ def load_factors(data: bytes, nfactors: int, nedges: int,
         ei += run * arity
         offset += run * rec_size
 
-    # densify equal-predicates for explicit-domain categorical variables
+    return _densify_equal_predicates(factors, fmap, domain_mask, variables,
+                                     vmap)
+
+
+def _densify_equal_predicates(factors, fmap, domain_mask, variables, vmap):
+    """Equal-predicates of explicit-domain categorical args -> dense
+    indices by bisect (reference numbskull/dataloading.py:219-223)."""
     if domain_mask is not None and domain_mask.any():
         assert variables is not None and vmap is not None
         vids = fmap["vid"]

@@ -32,14 +32,23 @@ def ising_grid(n: int, m: int, weight: float = 0.1, fixed: bool = True,
     variables["dataType"] = 0
     variables["cardinality"] = 2
 
+    # factor order matches the reference generator (ising/ising.cpp:162-196
+    # and native/graphgen.cpp): per cell in row-major order, the up-coupling
+    # then the left-coupling
     ii, jj = np.meshgrid(np.arange(n), np.arange(m), indexing="ij")
-    vid = (ii * m + jj).ravel()
-    up = vid[(ii > 0).ravel()]
-    left = vid[(jj > 0).ravel()]
-    pairs = np.concatenate([
-        np.stack([up, up - m], axis=1),
-        np.stack([left, left - 1], axis=1),
-    ])
+    ii, jj = ii.ravel(), jj.ravel()
+    vid = ii * m + jj
+    pair_list = np.empty((2 * n * m, 2), np.int64)
+    has_up = ii > 0
+    has_left = jj > 0
+    n_per_cell = has_up.astype(np.int64) + has_left
+    starts = np.concatenate(([0], np.cumsum(n_per_cell)[:-1]))
+    pair_list[starts[has_up], 0] = vid[has_up]
+    pair_list[starts[has_up], 1] = vid[has_up] - m
+    left_pos = starts + has_up
+    pair_list[left_pos[has_left], 0] = vid[has_left]
+    pair_list[left_pos[has_left], 1] = vid[has_left] - 1
+    pairs = pair_list[:int(n_per_cell.sum())]
     F = len(pairs)
     factors = T.new_factors(F)
     factors["factorFunction"] = T.FUNC_EQUAL

@@ -1,0 +1,119 @@
+"""Native components: graphgen binary + fastload scanner.
+
+Equivalent of the reference's native component coverage (its C++ ising
+generator feeding the Python loaders; reference ising/ising.cpp). Skipped
+when the native tools haven't been built (`make -C native`).
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from numbskull_tpu import dataloading as dl
+from numbskull_tpu import types as T
+
+NATIVE = os.path.join(os.path.dirname(__file__), "..", "native")
+GRAPHGEN = os.path.join(NATIVE, "graphgen")
+FASTLOAD = os.path.join(NATIVE, "libfastload.so")
+
+needs_graphgen = pytest.mark.skipif(not os.path.exists(GRAPHGEN),
+                                    reason="run `make -C native` first")
+
+
+@needs_graphgen
+def test_graphgen_ising_loads(tmp_path):
+    out = str(tmp_path / "ig")
+    subprocess.run([GRAPHGEN, "ising", out, "6", "7", "0.25"], check=True)
+    meta, w, v, f, fm, _, _ = dl.load_factor_graph_files(out)
+    assert int(meta["variables"]) == 42
+    assert int(meta["factors"]) == 6 * 6 + 7 * 5  # grid edge count
+    assert (f["factorFunction"] == T.FUNC_EQUAL).all()
+    assert w["isFixed"][0] and w["initialValue"][0] == 0.25
+
+
+@needs_graphgen
+def test_graphgen_matches_python_writer(tmp_path):
+    """graphgen's ising output is byte-identical to the python writer fed
+    the same model."""
+    from numbskull_tpu.models import ising_grid
+
+    out = str(tmp_path / "native")
+    subprocess.run([GRAPHGEN, "ising", out, "5", "5", "0.1"], check=True)
+    w, v, f, fm, dm, e = ising_grid(5, 5, weight=0.1)
+    v["initialValue"] = 0  # graphgen writes zero initial values
+    pyout = str(tmp_path / "python")
+    dl.write_factor_graph_files(pyout, w, v, f, fm)
+    for name in ["graph.weights", "graph.variables", "graph.factors",
+                 "graph.meta"]:
+        a = open(os.path.join(out, name), "rb").read()
+        b = open(os.path.join(pyout, name), "rb").read()
+        assert a == b, name
+
+
+@needs_graphgen
+def test_graphgen_coin_learnable(tmp_path):
+    """Generated coin evidence supports weight recovery end to end."""
+    import jax
+
+    from numbskull_tpu.compile import compile_graph
+    from numbskull_tpu.ops import GibbsEngine, LearnParams
+
+    out = str(tmp_path / "coin")
+    subprocess.run([GRAPHGEN, "coin", out, "2000", "0.8", "-0.5", "0.4",
+                    "11"], check=True)
+    _, w, v, f, fm, _, _ = dl.load_factor_graph_files(out)
+    cg = compile_graph(w, v, f, fm)
+    eng = GibbsEngine(cg)
+    st = eng.init_state()
+    st = eng.learn(st, jax.random.PRNGKey(0), epochs=150, stepsize=0.1,
+                   decay=0.99, burn=10,
+                   lp=LearnParams(regularization=2, reg_param=1e-4))
+    got = np.asarray(st.weight_value)
+    assert got[0] == pytest.approx(0.8, abs=0.15)
+    assert got[1] == pytest.approx(-0.5, abs=0.15)
+    assert got[2] == pytest.approx(0.4, abs=0.15)
+
+
+@pytest.mark.skipif(not os.path.exists(FASTLOAD),
+                    reason="run `make -C native` first")
+def test_fastload_matches_numpy_parser(tmp_path):
+    """Native scanner and numpy run-parser produce identical arrays."""
+    rng = np.random.default_rng(2)
+    n = 53
+    arities = rng.integers(1, 6, n)
+    w = T.new_weights(3)
+    v = T.new_variables(30)
+    v["cardinality"] = 2
+    f = T.new_factors(n)
+    f["factorFunction"] = rng.choice([1, 2, 3, 4], n)
+    f["weightId"] = rng.integers(0, 3, n)
+    f["featureValue"] = rng.normal(size=n)
+    f["arity"] = arities
+    f["ftv_offset"] = np.concatenate(([0], np.cumsum(arities)[:-1]))
+    E = int(arities.sum())
+    fm = T.new_fmap(E)
+    fm["vid"] = rng.integers(0, 30, E)
+    out = str(tmp_path / "g")
+    dl.write_factor_graph_files(out, w, v, f, fm)
+
+    data = open(os.path.join(out, "graph.factors"), "rb").read()
+    # native path
+    os.environ["NUMBSKULL_TPU_FASTLOAD"] = FASTLOAD
+    dl._FASTLOAD = None
+    f1, fm1 = dl.load_factors(data, n, E)
+    assert dl._FASTLOAD not in (None, False)
+    # numpy path
+    dl._FASTLOAD = False
+    f2, fm2 = dl.load_factors(data, n, E)
+    dl._FASTLOAD = None
+    assert (f1 == f2).all()
+    assert (fm1 == fm2).all()
+
+    # corrupt stream: native scanner reports, not crashes
+    os.environ["NUMBSKULL_TPU_FASTLOAD"] = FASTLOAD
+    dl._FASTLOAD = None
+    with pytest.raises(ValueError):
+        dl.load_factors(data[:-8], n, E)
+    dl._FASTLOAD = None
