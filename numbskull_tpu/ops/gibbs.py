@@ -63,6 +63,65 @@ class LearnParams:
     grad_agg: str = "mean"
 
 
+def stack_plans(plans, n_vars: int):
+    """Pad per-color plans to common shapes and stack on a leading color
+    axis, so the sweep is a `lax.scan` over colors instead of an
+    unrolled loop — compile time O(1) in color count (high-degree
+    graphs easily need 50+ colors, e.g. the voting experiment family).
+    """
+    import numpy as np  # host-side
+
+    C = len(plans)
+    R = max(p.n_rows for p in plans)
+    I = max(p.n_items for p in plans)
+    A = max(p.amax for p in plans)
+
+    def pad_cv(get, fill, dtype):
+        out = np.full((C, R), fill, dtype)
+        for c, p in enumerate(plans):
+            out[c, :p.n_rows] = get(p)
+        return out
+
+    def pad_it(get, fill, dtype, extra=()):
+        out = np.full((C, I) + extra, fill, dtype)
+        for c, p in enumerate(plans):
+            v = get(p)
+            if extra:
+                out[c, :p.n_items, :v.shape[1]] = v
+            else:
+                out[c, :p.n_items] = v
+        return out
+
+    stacked = dict(
+        cv_vid=pad_cv(lambda p: p.cv_vid, 0, np.int32),
+        cv_card=pad_cv(lambda p: p.cv_card, 1, np.int32),
+        cv_isev=pad_cv(lambda p: p.cv_isev, 4, np.int32),
+        cv_valid=pad_cv(lambda p: p.cv_valid, False, bool),
+        it_row=pad_it(lambda p: p.it_row, R - 1, np.int32),
+        it_ftype=pad_it(lambda p: p.it_ftype, -1, np.int32),
+        it_wid=pad_it(lambda p: p.it_wid, 0, np.int32),
+        it_fv=pad_it(lambda p: p.it_fv, 0, np.float32),
+        it_dense=pad_it(lambda p: p.it_dense, False, bool),
+        it_d1=pad_it(lambda p: p.it_d1, 0, np.int32),
+        it_d2=pad_it(lambda p: p.it_d2, 0, np.int32),
+        it_valid=pad_it(lambda p: p.it_valid, False, bool),
+        it_arity=pad_it(lambda p: p.it_arity, 1, np.int32),
+        it_args_vid=pad_it(lambda p: p.it_args_vid, 0, np.int32, (A,)),
+        it_args_eq=pad_it(lambda p: p.it_args_eq, 0, np.int32, (A,)),
+        it_args_valid=pad_it(lambda p: p.it_args_valid, False, bool,
+                             (A,)),
+        it_args_card=pad_it(lambda p: p.it_args_card, 1, np.int32, (A,)),
+        it_subst=pad_it(lambda p: p.it_subst, False, bool, (A,)),
+    )
+    # pad rows in it_row must target the dummy row of EVERY color; the
+    # dummy row (R-1) is cv_valid=False everywhere by the padding above.
+    # scatter-safe variable ids: pad rows -> n_vars (dropped)
+    stacked["cv_scatter"] = np.where(stacked["cv_valid"],
+                                     stacked["cv_vid"],
+                                     n_vars).astype(np.int32)
+    return {k: jnp.asarray(v) for k, v in stacked.items()}
+
+
 def _plan_device_arrays(plan, n_vars: int):
     """Device-resident dict view of a ColorPlan (+ scatter-safe vids)."""
     scatter_vid = np.where(plan.cv_valid, plan.cv_vid, n_vars)
@@ -226,7 +285,14 @@ class GibbsEngine:
     dynamic so changing them never recompiles.
     """
 
-    def __init__(self, cg: CompiledGraph):
+    #: the sweep compiles as a lax.scan over uniformly padded color plans
+    #: by default — XLA:TPU compile time of the unrolled loop is minutes
+    #: even at 3 colors, vs seconds for the scan (runtime is comparable).
+    #: Unrolling (scan_colors=False) only pays off for very unbalanced
+    #: color sizes, where uniform padding wastes compute.
+    SCAN_THRESHOLD = 1
+
+    def __init__(self, cg: CompiledGraph, scan_colors: bool | None = None):
         self.cg = cg
         self.kmax = cg.kmax
         self.n_vars = cg.n_vars
@@ -234,6 +300,12 @@ class GibbsEngine:
         self.plans = [_plan_device_arrays(p, cg.n_vars) for p in cg.plans]
         self.plan_kmax = [p.kmax for p in cg.plans]
         self.present = [present_types_of(p.it_ftype) for p in cg.plans]
+        self.scan_colors = (len(cg.plans) >= self.SCAN_THRESHOLD
+                            if scan_colors is None else scan_colors)
+        if self.scan_colors:
+            self.stacked = stack_plans(cg.plans, cg.n_vars)
+            self.present_all = tuple(sorted(
+                {t for pr in self.present for t in pr}))
         self.var_card = jnp.asarray(cg.var_card)
         self.var_isev = jnp.asarray(cg.var_isev)
         self.var_init = jnp.asarray(cg.var_init)
@@ -258,6 +330,17 @@ class GibbsEngine:
 
     def _sweep_infer(self, plans, sample_evidence, var_value, weight_value,
                      key):
+        if self.scan_colors:
+            def step(vv, xs):
+                pd, ci = xs
+                vv = _color_step_infer(
+                    pd, self.kmax, self.present_all, sample_evidence,
+                    vv, weight_value, jax.random.fold_in(key, ci))
+                return vv, None
+            C = len(self.plan_kmax)
+            var_value, _ = jax.lax.scan(
+                step, var_value, (plans, jnp.arange(C)))
+            return var_value
         for i, pd in enumerate(plans):
             var_value = _color_step_infer(
                 pd, self.plan_kmax[i], self.present[i], sample_evidence,
@@ -304,11 +387,24 @@ class GibbsEngine:
             vv, ve, w, k = carry
             ek = jax.random.fold_in(k, i + (1 << 20))
             step = step0 * jnp.power(decay, i.astype(jnp.float32))
-            for ci, pd in enumerate(plans):
-                vv, ve, w = _color_step_learn(
-                    pd, self.plan_kmax[ci], self.present[ci], lp,
-                    self.n_weights, weight_fixed, var_init,
-                    vv, ve, w, step, jax.random.fold_in(ek, ci))
+            if self.scan_colors:
+                def cstep(carry, xs):
+                    vv, ve, w = carry
+                    pd, ci = xs
+                    out = _color_step_learn(
+                        pd, self.kmax, self.present_all, lp,
+                        self.n_weights, weight_fixed, var_init,
+                        vv, ve, w, step, jax.random.fold_in(ek, ci))
+                    return out, None
+                C = len(self.plan_kmax)
+                (vv, ve, w), _ = jax.lax.scan(
+                    cstep, (vv, ve, w), (plans, jnp.arange(C)))
+            else:
+                for ci, pd in enumerate(plans):
+                    vv, ve, w = _color_step_learn(
+                        pd, self.plan_kmax[ci], self.present[ci], lp,
+                        self.n_weights, weight_fixed, var_init,
+                        vv, ve, w, step, jax.random.fold_in(ek, ci))
             return vv, ve, w, k
 
         vv, _ = jax.lax.fori_loop(0, burn, burn_body, (state.var_value, key))
@@ -330,7 +426,8 @@ class GibbsEngine:
                   ) -> SamplerState:
         """Burn in, then run `epochs` tallying sweeps of the free chain."""
         fn = self._get_jit("infer", self._run_infer, ("sample_evidence",))
-        return fn(self.plans, self.var_isev, state, key,
+        plans = self.stacked if self.scan_colors else self.plans
+        return fn(plans, self.var_isev, state, key,
                   jnp.int32(burn), jnp.int32(epochs),
                   sample_evidence=sample_evidence)
 
@@ -339,7 +436,8 @@ class GibbsEngine:
               lp: LearnParams = LearnParams()) -> SamplerState:
         """Dual-chain SGD weight learning (burn-in samples evidence)."""
         fn = self._get_jit("learn", self._run_learn, ("lp",))
-        return fn(self.plans, self.weight_fixed, self.var_init, state, key,
+        plans = self.stacked if self.scan_colors else self.plans
+        return fn(plans, self.weight_fixed, self.var_init, state, key,
                   jnp.int32(burn), jnp.int32(epochs),
                   jnp.float32(stepsize), jnp.float32(decay), lp=lp)
 
