@@ -87,6 +87,13 @@ arguments = [
     (("--seed",),
         {"metavar": "SEED", "dest": "seed", "default": 0, "type": int,
          "help": "PRNG seed (counter-based jax.random; fully reproducible)"}),
+    (("--grad_agg",),
+        {"metavar": "GRAD_AGG", "dest": "grad_agg", "default": "mean",
+         "type": str, "choices": ("mean", "sum"),
+         "help": "per-color gradient aggregation: 'mean' (stable "
+                 "mini-batch SGD, default) or 'sum' (reproduces the "
+                 "reference's aggregate per-epoch weight movement, "
+                 "learning.py:111-125)"}),
     (("--max_colors",),
         {"metavar": "MAX_COLORS", "dest": "max_colors", "default": None,
          "type": int,
@@ -155,10 +162,12 @@ class FactorGraph:
     def learn(self, burnin_epochs: int, epochs: int, stepsize: float,
               decay: float, regularization: int, reg_param: float,
               truncation: int, diagnostics: bool = False,
-              verbose: bool = False, learn_non_evidence: bool = False):
+              verbose: bool = False, learn_non_evidence: bool = False,
+              grad_agg: str = "mean"):
         lp = LearnParams(regularization=regularization, reg_param=reg_param,
                          truncation=truncation,
-                         learn_non_evidence=learn_non_evidence)
+                         learn_non_evidence=learn_non_evidence,
+                         grad_agg=grad_agg)
         with Timer() as t:
             self.state = self.engine.learn(
                 self.state, self._next_key(), epochs=epochs,
@@ -328,7 +337,8 @@ class NumbSkull:
                  self.decay, self.regularization, self.reg_param,
                  self.truncation, diagnostics=not self.quiet,
                  verbose=self.verbose,
-                 learn_non_evidence=self.learn_non_evidence)
+                 learn_non_evidence=self.learn_non_evidence,
+                 grad_agg=self.grad_agg)
         if out:
             os.makedirs(self.output_dir, exist_ok=True)
             fg.dump_weights(os.path.join(

@@ -25,6 +25,17 @@ def test_cli_end_to_end(tmp_path):
     assert wts[1] > 0.2
 
 
+def test_cli_grad_agg_sum_matches_reference_movement(tmp_path):
+    """With --grad_agg sum and reference defaults (s=0.01, d=0.95), the
+    learned coin weight lands where the reference's decay-limited
+    sequential SGD does (~0.7-0.8; reference learning.py:111-125)."""
+    out = str(tmp_path)
+    main([REF_DIR, "-l", "100", "-i", "10", "-b", "10",
+          "--grad_agg", "sum", "-o", out, "-q"])
+    wts = np.loadtxt(os.path.join(out, "inference_result.out.weights.text"))
+    assert 0.55 < wts[1] < 1.0
+
+
 def test_load_api():
     ns = load([REF_DIR, "-q"])
     assert len(ns.factorGraphs) == 1
