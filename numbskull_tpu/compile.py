@@ -221,6 +221,96 @@ def color_variables(n_vars: int, edges: np.ndarray,
     return color
 
 
+def fold_attachments(att_f, att_v, att_d):
+    """Fold (factor, var, slot) triples — sorted by (f, v, d) — into
+    (factor, var) items carrying <=2 slot values (categorical vars attach
+    at up to 2 distinct value slots per factor after dedup: its own
+    dense_equal_to plus one more via shared factors; reference vmap keeps
+    one adjacency list per value, dataloading.py:34-46)."""
+    n_t = len(att_f)
+    if not n_t:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z
+    new_grp = np.ones(n_t, bool)
+    new_grp[1:] = (att_f[1:] != att_f[:-1]) | (att_v[1:] != att_v[:-1])
+    grp_id = np.cumsum(new_grp) - 1
+    grp_first = np.flatnonzero(new_grp)
+    rank = np.arange(n_t) - grp_first[grp_id]
+    item_local = rank // 2
+    grp_sizes = np.diff(np.append(grp_first, n_t))
+    items_per_grp = (grp_sizes + 1) // 2
+    item_off = np.concatenate(([0], np.cumsum(items_per_grp)[:-1]))
+    trip_item = item_off[grp_id] + item_local
+    n_items_all = int(items_per_grp.sum())
+
+    item_f = np.zeros(n_items_all, np.int64)
+    item_v = np.zeros(n_items_all, np.int64)
+    item_d1 = np.zeros(n_items_all, np.int64)
+    item_f[trip_item] = att_f
+    item_v[trip_item] = att_v
+    even = rank % 2 == 0
+    item_d1[trip_item[even]] = att_d[even]
+    item_d2 = item_d1.copy()
+    item_d2[trip_item[~even]] = att_d[~even]
+    return item_f, item_v, item_d1, item_d2
+
+
+def pack_item_block(variables, factors, fmap, item_f, item_v,
+                    item_d1, item_d2, row_of_item,
+                    R: int, item_pad: int = 128):
+    """Pack selected (factor, var) items into the static SoA it_* arrays
+    (rows indexed by ``row_of_item``; pad items target dummy row R-1)."""
+    arity_all = factors["arity"].astype(np.int64)
+    ftv_all = factors["ftv_offset"].astype(np.int64)
+    fmap_vid = fmap["vid"].astype(np.int64)
+    fmap_eq = fmap["dense_equal_to"].astype(np.int64)
+    var_card = variables["cardinality"].astype(np.int64)
+    var_dtype = variables["dataType"].astype(np.int64)
+
+    n_it = len(item_f)
+    amax = int(arity_all[item_f].max()) if n_it else 1
+    I = _pad_to(n_it, item_pad)
+
+    it = dict(
+        it_row=np.full(I, R - 1, _INT),
+        it_ftype=np.full(I, -1, _INT),            # NOOP padding
+        it_wid=np.zeros(I, _INT),
+        it_fv=np.zeros(I, np.float32),
+        it_dense=np.zeros(I, bool),
+        it_d1=np.zeros(I, _INT),
+        it_d2=np.zeros(I, _INT),
+        it_valid=np.zeros(I, bool),
+        it_arity=np.ones(I, _INT),
+        it_args_vid=np.zeros((I, amax), _INT),
+        it_args_eq=np.zeros((I, amax), _INT),
+        it_args_valid=np.zeros((I, amax), bool),
+        it_args_card=np.ones((I, amax), _INT),
+        it_subst=np.zeros((I, amax), bool),
+    )
+    if n_it:
+        fs, vs = item_f, item_v
+        it["it_row"][:n_it] = row_of_item
+        it["it_ftype"][:n_it] = factors["factorFunction"][fs]
+        it["it_wid"][:n_it] = factors["weightId"][fs]
+        it["it_fv"][:n_it] = factors["featureValue"][fs]
+        it["it_dense"][:n_it] = var_dtype[vs] == 0
+        it["it_d1"][:n_it] = item_d1
+        it["it_d2"][:n_it] = item_d2
+        it["it_valid"][:n_it] = True
+        ar = arity_all[fs]
+        it["it_arity"][:n_it] = ar
+        pos = np.arange(amax)
+        valid = pos[None, :] < ar[:, None]
+        eidx = np.minimum(ftv_all[fs][:, None] + pos, len(fmap_vid) - 1)
+        avid = np.where(valid, fmap_vid[eidx], 0)
+        it["it_args_vid"][:n_it] = avid
+        it["it_args_eq"][:n_it] = np.where(valid, fmap_eq[eidx], 0)
+        it["it_args_valid"][:n_it] = valid
+        it["it_args_card"][:n_it] = np.where(valid, var_card[avid], 1)
+        it["it_subst"][:n_it] = valid & (avid == vs[:, None])
+    return it, amax
+
+
 def compile_graph(weights, variables, factors, fmap,
                   factors_to_skip=None,
                   max_colors: int | None = None,
@@ -255,37 +345,8 @@ def compile_graph(weights, variables, factors, fmap,
     n_colors = int(color.max()) + 1 if V else 0
 
     # --- fold attachment triples into (factor, var) items with <=2 slots ---
-    # triples are sorted by (f, v, d); group consecutive (f, v)
-    n_t = len(att_f)
-    if n_t:
-        new_grp = np.ones(n_t, bool)
-        new_grp[1:] = (att_f[1:] != att_f[:-1]) | (att_v[1:] != att_v[:-1])
-        grp_id = np.cumsum(new_grp) - 1
-        grp_first = np.flatnonzero(new_grp)
-        rank = np.arange(n_t) - grp_first[grp_id]
-        item_local = rank // 2
-        grp_sizes = np.diff(np.append(grp_first, n_t))
-        items_per_grp = (grp_sizes + 1) // 2
-        item_off = np.concatenate(([0], np.cumsum(items_per_grp)[:-1]))
-        trip_item = item_off[grp_id] + item_local
-        n_items_all = int(items_per_grp.sum())
+    item_f, item_v, item_d1, item_d2 = fold_attachments(att_f, att_v, att_d)
 
-        item_f = np.zeros(n_items_all, np.int64)
-        item_v = np.zeros(n_items_all, np.int64)
-        item_d1 = np.zeros(n_items_all, np.int64)
-        item_f[trip_item] = att_f
-        item_v[trip_item] = att_v
-        even = rank % 2 == 0
-        item_d1[trip_item[even]] = att_d[even]
-        item_d2 = item_d1.copy()
-        item_d2[trip_item[~even]] = att_d[~even]
-    else:
-        item_f = item_v = item_d1 = item_d2 = np.zeros(0, np.int64)
-
-    arity_all = factors["arity"].astype(np.int64)
-    ftv_all = factors["ftv_offset"].astype(np.int64)
-    fmap_vid = fmap["vid"].astype(np.int64)
-    fmap_eq = fmap["dense_equal_to"].astype(np.int64)
     var_card = variables["cardinality"].astype(np.int64)
     var_dtype = variables["dataType"].astype(np.int64)
 
@@ -311,58 +372,15 @@ def compile_graph(weights, variables, factors, fmap,
             np.zeros(0, np.int64)
         # sort items by target row for segment-sum locality
         sel = sel[np.argsort(row_of[item_v[sel]], kind="stable")]
-        n_it = len(sel)
-        amax_c = int(arity_all[item_f[sel]].max()) if n_it else 1
-        I = _pad_to(n_it, item_pad)
-
-        it_row = np.full(I, R - 1, _INT)
-        it_ftype = np.full(I, -1, _INT)            # NOOP padding
-        it_wid = np.zeros(I, _INT)
-        it_fv = np.zeros(I, np.float32)
-        it_dense = np.zeros(I, bool)
-        it_d1 = np.zeros(I, _INT)
-        it_d2 = np.zeros(I, _INT)
-        it_valid = np.zeros(I, bool)
-        it_arity = np.ones(I, _INT)
-        it_args_vid = np.zeros((I, amax_c), _INT)
-        it_args_eq = np.zeros((I, amax_c), _INT)
-        it_args_valid = np.zeros((I, amax_c), bool)
-        it_args_card = np.ones((I, amax_c), _INT)
-        it_subst = np.zeros((I, amax_c), bool)
-
-        if n_it:
-            fs = item_f[sel]
-            vs = item_v[sel]
-            it_row[:n_it] = row_of[vs]
-            it_ftype[:n_it] = factors["factorFunction"][fs]
-            it_wid[:n_it] = factors["weightId"][fs]
-            it_fv[:n_it] = factors["featureValue"][fs]
-            it_dense[:n_it] = var_dtype[vs] == 0
-            it_d1[:n_it] = item_d1[sel]
-            it_d2[:n_it] = item_d2[sel]
-            it_valid[:n_it] = True
-            ar = arity_all[fs]
-            it_arity[:n_it] = ar
-            pos = np.arange(amax_c)
-            valid = pos[None, :] < ar[:, None]
-            eidx = np.minimum(ftv_all[fs][:, None] + pos,
-                              len(fmap_vid) - 1)
-            avid = np.where(valid, fmap_vid[eidx], 0)
-            it_args_vid[:n_it] = avid
-            it_args_eq[:n_it] = np.where(valid, fmap_eq[eidx], 0)
-            it_args_valid[:n_it] = valid
-            it_args_card[:n_it] = np.where(valid, var_card[avid], 1)
-            it_subst[:n_it] = valid & (avid == vs[:, None])
+        it, amax_c = pack_item_block(
+            variables, factors, fmap, item_f[sel], item_v[sel],
+            item_d1[sel], item_d2[sel], row_of[item_v[sel]],
+            R, item_pad=item_pad)
 
         plans.append(ColorPlan(
             color=c, kmax=kmax_c, amax=amax_c,
             cv_vid=cv_vid, cv_card=cv_card, cv_isev=cv_isev,
-            cv_valid=cv_valid,
-            it_row=it_row, it_ftype=it_ftype, it_wid=it_wid, it_fv=it_fv,
-            it_dense=it_dense, it_d1=it_d1, it_d2=it_d2, it_valid=it_valid,
-            it_arity=it_arity, it_args_vid=it_args_vid,
-            it_args_eq=it_args_eq, it_args_valid=it_args_valid,
-            it_args_card=it_args_card, it_subst=it_subst))
+            cv_valid=cv_valid, **it))
 
     # vtf layout for dump mapping (reference numbskull.py:310-317 formula)
     slots = np.where(var_dtype == 0, 1, var_card)

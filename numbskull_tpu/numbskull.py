@@ -283,6 +283,17 @@ class NumbSkull:
         self.factorGraphs.append(
             FactorGraph(cg, len(self.factorGraphs), seed=self.seed))
 
+    def loadFactorGraphRaw(self, cg, var_copies=1, weight_copies=1):
+        """Load a pre-compiled graph (CompiledGraph), skipping compilation.
+
+        Analog of the reference loadFactorGraphRaw (numbskull.py:183-190),
+        which accepts a prebuilt vmap/factor_index; here the prebuilt
+        artifact is the CompiledGraph (color plans included), e.g. from
+        ``compile.compile_graph`` or a partitioner's per-part output.
+        """
+        self.factorGraphs.append(
+            FactorGraph(cg, len(self.factorGraphs), seed=self.seed))
+
     def loadFGFromFile(self, directory=None, metafile=None, weightfile=None,
                        variablefile=None, factorfile=None, domainfile=None,
                        var_copies=1, weight_copies=1):

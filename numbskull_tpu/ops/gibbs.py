@@ -148,12 +148,18 @@ def _plan_device_arrays(plan, n_vars: int):
     )
 
 
-def color_potentials(pd, kmax: int, present, var_value, weight_value):
+def color_potentials(pd, kmax: int, present, var_value, weight_value,
+                     ext_pot=None):
     """Potentials (R, kmax) for one color's variables, all values at once.
 
     Equivalent to looping reference potential() (numbskull/inference.py:55-71)
     over every variable of the color and every candidate value; featureValue
     is deliberately absent (the reference omits it during inference too).
+
+    ``ext_pot``: optional (V, K) external unary potentials added per
+    variable — the receiver side of boundary potential messages in
+    partitioned execution (the generalization of the reference's UFO
+    values, salt/src/messages.py:1069-1079 apply_ufo_values).
     """
     vals = var_value[pd["it_args_vid"]]                       # (I, A)
     ks = jnp.arange(kmax, dtype=jnp.int32)                    # (K,)
@@ -173,13 +179,17 @@ def color_potentials(pd, kmax: int, present, var_value, weight_value):
     contrib = jnp.where(contrib_ok & pd["it_valid"][:, None],
                         w[:, None] * e, 0.0)
     R = pd["cv_card"].shape[0]
-    return jax.ops.segment_sum(contrib, pd["it_row"], num_segments=R)
+    pot = jax.ops.segment_sum(contrib, pd["it_row"], num_segments=R)
+    if ext_pot is not None:
+        pot = pot + ext_pot[pd["cv_vid"]][:, :kmax]
+    return pot
 
 
 def _color_step_infer(pd, kmax, present, sample_evidence,
-                      var_value, weight_value, key):
+                      var_value, weight_value, key, ext_pot=None):
     """Resample one color block of the free chain."""
-    pot = color_potentials(pd, kmax, present, var_value, weight_value)
+    pot = color_potentials(pd, kmax, present, var_value, weight_value,
+                           ext_pot)
     new = draw(pot, pd["cv_card"], key)
     isev = pd["cv_isev"]
     upd = pd["cv_valid"] & ((isev == _EV_Q) |
@@ -201,20 +211,23 @@ def _eval_items_at(pd, present, chain, value_it):
 def _color_step_learn(pd, kmax, present, lp: LearnParams, n_weights,
                       weight_fixed, var_init,
                       var_value, var_value_evid, weight_value,
-                      step, key):
+                      step, key, ext_pot=None, ext_pot_evid=None):
     """One color block of the dual-chain SGD sweep."""
     key_e, key_p, key_t = jax.random.split(key, 3)
     isev = pd["cv_isev"]
     valid = pd["cv_valid"]
 
     # clamped chain: evidence vars pinned at initialValue, others sampled
-    pot_e = color_potentials(pd, kmax, present, var_value_evid, weight_value)
+    pot_e = color_potentials(pd, kmax, present, var_value_evid, weight_value,
+                             ext_pot if ext_pot_evid is None
+                             else ext_pot_evid)
     e_samp = draw(pot_e, pd["cv_card"], key_e)
     init_here = var_init[pd["cv_vid"]]
     e_val = jnp.where(isev == _EV_E, init_here, e_samp)
 
     # free chain: always sampled
-    pot_p = color_potentials(pd, kmax, present, var_value, weight_value)
+    pot_p = color_potentials(pd, kmax, present, var_value, weight_value,
+                             ext_pot)
     p_val = draw(pot_p, pd["cv_card"], key_p)
 
     upd = valid & (isev != 4)
@@ -329,13 +342,13 @@ class GibbsEngine:
     # and bloat the executable for large graphs.
 
     def _sweep_infer(self, plans, sample_evidence, var_value, weight_value,
-                     key):
+                     key, ext_pot=None):
         if self.scan_colors:
             def step(vv, xs):
                 pd, ci = xs
                 vv = _color_step_infer(
                     pd, self.kmax, self.present_all, sample_evidence,
-                    vv, weight_value, jax.random.fold_in(key, ci))
+                    vv, weight_value, jax.random.fold_in(key, ci), ext_pot)
                 return vv, None
             C = len(self.plan_kmax)
             var_value, _ = jax.lax.scan(
@@ -344,7 +357,8 @@ class GibbsEngine:
         for i, pd in enumerate(plans):
             var_value = _color_step_infer(
                 pd, self.plan_kmax[i], self.present[i], sample_evidence,
-                var_value, weight_value, jax.random.fold_in(key, i))
+                var_value, weight_value, jax.random.fold_in(key, i),
+                ext_pot)
         return var_value
 
     def _tally(self, var_isev, sample_evidence, count, var_value):
@@ -354,19 +368,20 @@ class GibbsEngine:
         return count + onehot.astype(jnp.int32)
 
     def _run_infer(self, plans, var_isev, state: SamplerState, key, burn,
-                   epochs, sample_evidence: bool):
+                   epochs, sample_evidence: bool, ext_pot=None):
         def burn_body(i, carry):
             vv, k = carry
             vv = self._sweep_infer(plans, sample_evidence, vv,
                                    state.weight_value,
-                                   jax.random.fold_in(k, i))
+                                   jax.random.fold_in(k, i), ext_pot)
             return vv, k
 
         def epoch_body(i, carry):
             vv, cnt, k = carry
             vv = self._sweep_infer(plans, sample_evidence, vv,
                                    state.weight_value,
-                                   jax.random.fold_in(k, i + (1 << 20)))
+                                   jax.random.fold_in(k, i + (1 << 20)),
+                                   ext_pot)
             cnt = self._tally(var_isev, sample_evidence, cnt, vv)
             return vv, cnt, k
 
@@ -376,11 +391,12 @@ class GibbsEngine:
         return dataclasses.replace(state, var_value=vv, count=cnt)
 
     def _run_learn(self, plans, weight_fixed, var_init, state: SamplerState,
-                   key, burn, epochs, step0, decay, lp: LearnParams):
+                   key, burn, epochs, step0, decay, lp: LearnParams,
+                   ext_pot=None, ext_pot_evid=None):
         def burn_body(i, carry):
             vv, k = carry
             vv = self._sweep_infer(plans, True, vv, state.weight_value,
-                                   jax.random.fold_in(k, i))
+                                   jax.random.fold_in(k, i), ext_pot)
             return vv, k
 
         def epoch_body(i, carry):
@@ -394,7 +410,8 @@ class GibbsEngine:
                     out = _color_step_learn(
                         pd, self.kmax, self.present_all, lp,
                         self.n_weights, weight_fixed, var_init,
-                        vv, ve, w, step, jax.random.fold_in(ek, ci))
+                        vv, ve, w, step, jax.random.fold_in(ek, ci),
+                        ext_pot, ext_pot_evid)
                     return out, None
                 C = len(self.plan_kmax)
                 (vv, ve, w), _ = jax.lax.scan(
@@ -404,7 +421,8 @@ class GibbsEngine:
                     vv, ve, w = _color_step_learn(
                         pd, self.plan_kmax[ci], self.present[ci], lp,
                         self.n_weights, weight_fixed, var_init,
-                        vv, ve, w, step, jax.random.fold_in(ek, ci))
+                        vv, ve, w, step, jax.random.fold_in(ek, ci),
+                        ext_pot, ext_pot_evid)
             return vv, ve, w, k
 
         vv, _ = jax.lax.fori_loop(0, burn, burn_body, (state.var_value, key))
@@ -422,24 +440,29 @@ class GibbsEngine:
         return self._jit_cache[name]
 
     def inference(self, state: SamplerState, key, epochs: int,
-                  burn: int = 0, sample_evidence: bool = True
-                  ) -> SamplerState:
-        """Burn in, then run `epochs` tallying sweeps of the free chain."""
+                  burn: int = 0, sample_evidence: bool = True,
+                  ext_pot=None) -> SamplerState:
+        """Burn in, then run `epochs` tallying sweeps of the free chain.
+
+        ``ext_pot``: optional (V, K) external unary potentials (boundary
+        messages in partitioned execution)."""
         fn = self._get_jit("infer", self._run_infer, ("sample_evidence",))
         plans = self.stacked if self.scan_colors else self.plans
         return fn(plans, self.var_isev, state, key,
                   jnp.int32(burn), jnp.int32(epochs),
-                  sample_evidence=sample_evidence)
+                  sample_evidence=sample_evidence, ext_pot=ext_pot)
 
     def learn(self, state: SamplerState, key, epochs: int, stepsize: float,
               decay: float = 1.0, burn: int = 0,
-              lp: LearnParams = LearnParams()) -> SamplerState:
+              lp: LearnParams = LearnParams(), ext_pot=None,
+              ext_pot_evid=None) -> SamplerState:
         """Dual-chain SGD weight learning (burn-in samples evidence)."""
         fn = self._get_jit("learn", self._run_learn, ("lp",))
         plans = self.stacked if self.scan_colors else self.plans
         return fn(plans, self.weight_fixed, self.var_init, state, key,
                   jnp.int32(burn), jnp.int32(epochs),
-                  jnp.float32(stepsize), jnp.float32(decay), lp=lp)
+                  jnp.float32(stepsize), jnp.float32(decay), lp=lp,
+                  ext_pot=ext_pot, ext_pot_evid=ext_pot_evid)
 
     def marginals(self, state: SamplerState, epochs: int) -> np.ndarray:
         """(V, K) marginal estimates = count / epochs."""
