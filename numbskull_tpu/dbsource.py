@@ -1,0 +1,287 @@
+"""Relational graph source — the reference's Postgres ingest, portable.
+
+The reference distributes graphs through PostgreSQL: every worker SELECTs
+its own partition from ``*_sharding`` views written by DeepDive/ddlog
+(reference: salt/src/messages.py:32-291 get_views/get_factors/
+get_variables/get_weights, orchestrated by get_fg_data :371-473; master
+filter salt/src/numbskull_master.py:329-334; minion filter
+salt/src/numbskull_minion.py:167-175).
+
+This module speaks plain DB-API 2.0 instead of psycopg2-only SQL, so the
+same loader runs against PostgreSQL in production and sqlite3 in tests
+(the reference had no test coverage for this layer at all). Schema
+convention (identical to the reference's):
+
+- ``<app>_weights_*_sharding``  : (wid, isfixed, initval)
+- ``<app>_variables_*_sharding``: (vid, variable_role, init_value,
+  variable_type, cardinality, partition_key)
+- ``<app>_factors_<FUNC>_sharding``: (v0..v{arity-1}, weight_id,
+  feature_value, partition_key, fid) — the factor function is inferred
+  from the view name against the FACTORS table, like the reference
+  (messages.py:157-165).
+
+``partition_key`` grammar (reference semantics): first char = ownership
+class (A master-only, B both/master-owned, C minion-only, D both/
+minion-owned, E/F/G/H scheme-specific), optional 'u' = UFO-eligible,
+optional trailing digits = partition id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from numbskull_tpu import types as T
+
+MASTER_KEYS = ("A", "B", "D", "F", "G", "H")
+MINION_SHARED_KEYS = ("A", "B", "H")     # A only with 'u' (cardinality info)
+MINION_OWNED_KEYS = ("C", "D", "E", "F", "G")
+
+
+def connect(dburl: str):
+    """Open a DB-API connection from a URL.
+
+    ``sqlite:///path`` / ``sqlite://:memory:`` → sqlite3 (always
+    available); anything else → psycopg2 (production Postgres path,
+    reference salt/src/numbskull_master.py:274-293).
+    """
+    if dburl.startswith("sqlite://"):
+        import sqlite3
+        path = dburl[len("sqlite://"):]
+        return sqlite3.connect(path if path else ":memory:")
+    try:
+        import psycopg2
+    except ImportError as e:  # pragma: no cover - no postgres in CI image
+        raise RuntimeError(
+            "psycopg2 is required for non-sqlite database URLs") from e
+    return psycopg2.connect(dburl)  # pragma: no cover
+
+
+def get_views(cur):
+    """Discover ``*_sharding`` relations, grouped into factor/variable/
+    weight views (reference messages.py:32-64)."""
+    names = []
+    try:
+        cur.execute(
+            "SELECT table_name FROM information_schema.views "
+            "WHERE table_name LIKE '%_sharding'")
+        names = [r[0] for r in cur.fetchall()]
+    except Exception:
+        cur.execute(
+            "SELECT name FROM sqlite_master "
+            "WHERE type IN ('view','table') AND name LIKE '%_sharding'")
+        names = [r[0] for r in cur.fetchall()]
+    factor_views, variable_views, weight_views = [], [], []
+    for v in names:
+        is_f = "_factors_" in v
+        is_v = "_variables_" in v
+        is_w = "_weights_" in v
+        assert is_f + is_v + is_w == 1, v
+        (factor_views if is_f else variable_views if is_v
+         else weight_views).append(v)
+    return factor_views, variable_views, weight_views
+
+
+def _columns(cur, table: str):
+    cur.execute("SELECT * FROM %s WHERE 1=0" % table)
+    return [d[0] for d in cur.description]
+
+
+def _split_pt(keys):
+    """partition_key strings → (class char array, ufo bool array)."""
+    pt = np.array([(k or " ")[0] for k in keys], dtype="U1")
+    ufo = np.array([len(k or "") > 1 and k[1] == "u" for k in keys], bool)
+    return pt, ufo
+
+
+def partition_filter(role: str, partition_id: int | None = None) -> str:
+    """Portable SQL ownership filter (reference master filter
+    numbskull_master.py:329-334, minion filter numbskull_minion.py:167-175,
+    re-expressed with substr() so it runs on sqlite AND postgres)."""
+    first = "substr(partition_key, 1, 1)"
+    if role == "master":
+        keys = ", ".join("'%s'" % k for k in MASTER_KEYS)
+        return "%s IN (%s)" % (first, keys)
+    assert role == "minion" and partition_id is not None
+    pid = str(int(partition_id))
+    shared = ["(partition_key = 'Au')",
+              "(partition_key IN ('B', 'Bu'))",
+              "(%s = 'H')" % first]
+    owned = ["(%s = '%s' AND partition_key LIKE '%%%s')" % (first, k, pid)
+             for k in MINION_OWNED_KEYS]
+    return " OR ".join(shared + owned)
+
+
+def get_weights(cur, views, sql_filter: str = "1=1") -> np.ndarray:
+    """(W,) Weight array indexed by wid (reference messages.py:264-291)."""
+    rows = []
+    for v in views:
+        cur.execute("SELECT wid, isfixed, initval FROM %s WHERE %s"
+                    % (v, sql_filter))
+        rows.extend(cur.fetchall())
+    n = (max(int(r[0]) for r in rows) + 1) if rows else 0
+    weight = T.new_weights(n)
+    for wid, isfixed, initval in rows:
+        weight[int(wid)]["isFixed"] = bool(isfixed)
+        weight[int(wid)]["initialValue"] = float(initval)
+    return weight
+
+
+def get_variables(cur, views, sql_filter: str = "1=1"):
+    """(vid, Variable, var_pt, var_ufo) sorted by global vid
+    (reference messages.py:212-252)."""
+    rows = []
+    for v in views:
+        cur.execute(
+            "SELECT vid, variable_role, init_value, variable_type, "
+            "cardinality, partition_key FROM %s WHERE %s"
+            % (v, sql_filter))
+        rows.extend(cur.fetchall())
+    n = len(rows)
+    vid = np.zeros(n, np.int64)
+    variable = T.new_variables(n)
+    keys = []
+    for i, (vv, role, init, dtype, card, pk) in enumerate(rows):
+        vid[i] = int(vv)
+        variable[i]["isEvidence"] = int(role)
+        variable[i]["initialValue"] = int(init)
+        variable[i]["dataType"] = int(dtype)
+        variable[i]["cardinality"] = int(card)
+        keys.append(pk)
+    var_pt, var_ufo = _split_pt(keys)
+    perm = vid.argsort()
+    return vid[perm], variable[perm], var_pt[perm], var_ufo[perm]
+
+
+def get_factors(cur, views, sql_filter: str = "1=1"):
+    """(fid, Factor, factor_pt, factor_ufo, fmap) with fmap carrying
+    GLOBAL vids (reference messages.py:67-194). The factor function comes
+    from the view name matched against FACTORS (messages.py:157-165)."""
+    fids, recs, pts, ufos, vids_all = [], [], [], [], []
+    for v in views:
+        # longest name match wins (e.g. AND_CAT over AND); the reference
+        # asserts uniqueness instead (messages.py:157-165) which its
+        # ddlog-generated names guarantee
+        best = ""
+        for key in T.FACTORS:
+            if ("_" + key + "_").lower() in v.lower() and \
+                    len(key) > len(best):
+                best = key
+        ff = T.FACTORS[best] if best else T.FUNC_ISTRUE
+        cols = _columns(cur, v)
+        assert cols[-4:] == ["weight_id", "feature_value",
+                             "partition_key", "fid"], cols
+        arity = len(cols) - 4
+        cur.execute("SELECT %s FROM %s WHERE %s ORDER BY fid"
+                    % (", ".join(cols), v, sql_filter))
+        for row in cur.fetchall():
+            fids.append(int(row[-1]))
+            pts.append(row[-2])
+            recs.append((ff, int(row[-4]), float(row[-3]), arity))
+            vids_all.append([int(x) for x in row[:arity]])
+
+    n = len(recs)
+    factor = T.new_factors(n)
+    fid = np.array(fids, np.int64) if n else np.zeros(0, np.int64)
+    edges = sum(r[3] for r in recs)
+    fmap = T.new_fmap(edges)
+    off = 0
+    for i, (ff, wid, fv, arity) in enumerate(recs):
+        factor[i]["factorFunction"] = ff
+        factor[i]["weightId"] = wid
+        factor[i]["featureValue"] = fv
+        factor[i]["arity"] = arity
+        factor[i]["ftv_offset"] = off
+        for j, gv in enumerate(vids_all[i]):
+            fmap[off + j]["vid"] = gv
+            fmap[off + j]["dense_equal_to"] = 0
+        off += arity
+    factor_pt, factor_ufo = _split_pt(pts)
+    return fid, factor, factor_pt, factor_ufo, fmap
+
+
+def get_fg_data(cur, sql_filter: str = "1=1", is_master: bool = True):
+    """Load a (partition of a) factor graph from the database.
+
+    Returns ``(weight, variable, factor, fmap, domain_mask, edges, meta)``
+    ready for ``NumbSkull.loadFactorGraph`` — fmap vids remapped to local
+    indices (reference messages.py:358-361 remap_fmap), variables not
+    owned by this role marked isEvidence=4 (reference
+    numbskull_master.py:343 / numbskull_minion.py:185). ``meta`` carries
+    the global id maps and partition metadata for boundary exchange.
+    """
+    factor_views, variable_views, weight_views = get_views(cur)
+    weight = get_weights(cur, weight_views)          # weights replicate
+    vid, variable, var_pt, var_ufo = get_variables(cur, variable_views,
+                                                   sql_filter)
+    fid, factor, factor_pt, factor_ufo, fmap = get_factors(
+        cur, factor_views, sql_filter)
+
+    # global -> local vid remap via the sorted vid array
+    local = np.searchsorted(vid, fmap["vid"].astype(np.int64))
+    assert (local < len(vid)).all() and \
+        (vid[local] == fmap["vid"].astype(np.int64)).all(), \
+        "factor references a variable outside this partition's filter"
+    fmap = fmap.copy()
+    fmap["vid"] = local
+
+    not_owned = "D" if is_master else "B"
+    variable = variable.copy()
+    variable["isEvidence"] = np.where(
+        var_pt == not_owned, np.int8(4), variable["isEvidence"])
+
+    domain_mask = np.zeros(len(variable), bool)
+    meta = dict(vid=vid, fid=fid, var_pt=var_pt, var_ufo=var_ufo,
+                factor_pt=factor_pt, factor_ufo=factor_ufo)
+    return weight, variable, factor, fmap, domain_mask, len(fmap), meta
+
+
+# --- test/experiment helper: publish arrays as sharding tables -------------
+
+def write_graph_to_db(cur, app: str, weights, variables, factors, fmap,
+                      var_keys=None, factor_keys=None):
+    """Publish structured arrays as reference-convention sharding tables
+    (one factor table per (function, arity)); the inverse of get_fg_data,
+    used by tests and experiment drivers (the reference relied on
+    DeepDive/ddlog to create these views)."""
+    ffname = {v: k for k, v in T.FACTORS.items()}
+    q = "%s" if "psycopg2" in type(cur).__module__ else "?"
+    cur.execute("CREATE TABLE %s_weights_sharding "
+                "(wid INTEGER, isfixed INTEGER, initval REAL)" % app)
+    for i, w in enumerate(weights):
+        cur.execute("INSERT INTO %s_weights_sharding VALUES (%s)"
+                    % (app, ", ".join([q] * 3)),
+                    (i, int(w["isFixed"]), float(w["initialValue"])))
+
+    if var_keys is None:
+        var_keys = ["B"] * len(variables)
+    cur.execute("CREATE TABLE %s_variables_sharding "
+                "(vid INTEGER, variable_role INTEGER, init_value INTEGER, "
+                "variable_type INTEGER, cardinality INTEGER, "
+                "partition_key TEXT)" % app)
+    for i, v in enumerate(variables):
+        cur.execute(
+            "INSERT INTO %s_variables_sharding VALUES (%s)"
+            % (app, ", ".join([q] * 6)),
+            (i, int(v["isEvidence"]), int(v["initialValue"]),
+             int(v["dataType"]), int(v["cardinality"]), var_keys[i]))
+
+    if factor_keys is None:
+        factor_keys = ["B"] * len(factors)
+    groups = {}
+    for i, f in enumerate(factors):
+        groups.setdefault((int(f["factorFunction"]), int(f["arity"])),
+                          []).append(i)
+    for (ff, arity), fids in groups.items():
+        tbl = "%s_factors_%s_a%d_sharding" % (app, ffname[ff].lower(), arity)
+        vcols = ", ".join("v%d INTEGER" % j for j in range(arity))
+        cur.execute("CREATE TABLE %s (%s, weight_id INTEGER, "
+                    "feature_value REAL, partition_key TEXT, fid INTEGER)"
+                    % (tbl, vcols))
+        ph = ", ".join([q] * (arity + 4))
+        for i in fids:
+            off = int(factors[i]["ftv_offset"])
+            vids = [int(fmap[off + j]["vid"]) for j in range(arity)]
+            cur.execute(
+                "INSERT INTO %s VALUES (%s)" % (tbl, ph),
+                (*vids, int(factors[i]["weightId"]),
+                 float(factors[i]["featureValue"]), factor_keys[i], i))

@@ -326,6 +326,30 @@ class NumbSkull:
         self.factorGraphs.append(
             FactorGraph(cg, len(self.factorGraphs), seed=self.seed))
 
+    def loadFGFromDB(self, dburl=None, sql_filter: str = "1=1",
+                     is_master: bool = True):
+        """Load a (partition of a) factor graph from a database.
+
+        Reference analog: master/minion Postgres ingest
+        (salt/src/numbskull_master.py:327-346,
+        salt/src/numbskull_minion.py:142-188). Accepts any DB-API URL
+        handled by ``dbsource.connect`` (postgresql:// or sqlite://)."""
+        from numbskull_tpu import dbsource
+        conn = dbsource.connect(dburl or self.dburl)
+        try:
+            cur = conn.cursor()
+            (weight, variable, factor, fmap, domain_mask, edges,
+             meta) = dbsource.get_fg_data(cur, sql_filter, is_master)
+        finally:
+            conn.close()
+        if not self.quiet:
+            print("DB graph: %d weights, %d variables, %d factors, "
+                  "%d edges" % (len(weight), len(variable), len(factor),
+                                edges))
+        self.loadFactorGraph(weight, variable, factor, fmap, domain_mask,
+                             edges)
+        return meta
+
     def getFactorGraph(self, fgID: int = 0) -> FactorGraph:
         return self.factorGraphs[fgID]
 
@@ -370,7 +394,10 @@ def load(argv=None) -> NumbSkull:
         parser.add_argument(*arg, **opts)
     args = parser.parse_args(argv)
     ns = NumbSkull(**vars(args))
-    ns.loadFGFromFile()
+    if ns.dburl:
+        ns.loadFGFromDB()
+    else:
+        ns.loadFGFromFile()
     return ns
 
 
