@@ -19,6 +19,7 @@ import numpy as np
 from numbskull_tpu import dataloading
 from numbskull_tpu import types as T
 from numbskull_tpu.compile import compile_graph
+from numbskull_tpu.observability import metrics
 from numbskull_tpu.ops import GibbsEngine, LearnParams
 from numbskull_tpu.timer import Timer
 
@@ -94,6 +95,11 @@ arguments = [
                  "mini-batch SGD, default) or 'sum' (reproduces the "
                  "reference's aggregate per-epoch weight movement, "
                  "learning.py:111-125)"}),
+    (("--metrics_out",),
+        {"metavar": "METRICS_JSON", "dest": "metrics_out", "default": "",
+         "type": str,
+         "help": "write a JSON metrics snapshot (epochs, wall times, "
+                 "update counts) after the run"}),
     (("--max_colors",),
         {"metavar": "MAX_COLORS", "dest": "max_colors", "default": None,
          "type": int,
@@ -152,6 +158,10 @@ class FactorGraph:
                 self.state, self._next_key(), epochs=epochs,
                 burn=burnin_epochs, sample_evidence=sample_evidence)
             jax.block_until_ready(self.state.count)
+        metrics.observe("inference.run_s", t.interval)
+        metrics.add("inference.epochs", epochs + burnin_epochs)
+        metrics.add("inference.variable_updates",
+                    float(self.cg.n_vars) * (epochs + burnin_epochs))
         self.inference_total_time += t.interval
         self.inference_epochs_done += epochs
         if diagnostics:
@@ -173,6 +183,8 @@ class FactorGraph:
                 self.state, self._next_key(), epochs=epochs,
                 stepsize=stepsize, decay=decay, burn=burnin_epochs, lp=lp)
             jax.block_until_ready(self.state.weight_value)
+        metrics.observe("learning.run_s", t.interval)
+        metrics.add("learning.epochs", epochs)
         self.learning_total_time += t.interval
         if diagnostics:
             print("FACTOR %d: learning %d epochs took %.3f sec" %
@@ -405,4 +417,6 @@ def main(argv=None):
     ns = load(argv)
     ns.learning()
     ns.inference()
+    if ns.metrics_out:
+        metrics.dump(ns.metrics_out)
     return ns
