@@ -1,0 +1,186 @@
+"""Itemgrid Pallas kernel: compile-pass exactness + eval parity (CPU).
+
+The kernel itself needs TPU hardware (hardware PRNG + Mosaic); these
+tests validate everything AROUND it on CPU by replaying the kernel's
+exact data path — packed blocks, windowed offsets, subst bitmasks,
+_eval_bool — in numpy/jnp and comparing potentials against the golden
+oracle. The on-TPU statistical parity run lives in bench.py's sanity
+check and test_itemgrid_tpu (skipped off-TPU).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from numbskull_tpu import golden
+from numbskull_tpu import types as T
+from numbskull_tpu.compile import compile_graph
+from numbskull_tpu.models import ising_grid, ising_color_hint
+from numbskull_tpu.ops.itemgrid_pallas import (
+    RB, _eval_bool, fill_weights, plan_item_grid,
+)
+
+BOOL_FUNCS = [T.FUNC_IMPLY_NATURAL, T.FUNC_OR, T.FUNC_EQUAL, T.FUNC_AND,
+              T.FUNC_ISTRUE, T.FUNC_LINEAR, T.FUNC_RATIO, T.FUNC_LOGICAL,
+              T.FUNC_IMPLY_MLN]
+
+
+def _random_bool_graph(seed, n_vars=24, n_factors=40, amax=4):
+    rng = np.random.default_rng(seed)
+    v = T.new_variables(n_vars)
+    v["dataType"] = 0
+    v["cardinality"] = 2
+    v["initialValue"] = rng.integers(0, 2, n_vars)
+    v["isEvidence"] = rng.integers(0, 2, n_vars)
+    w = T.new_weights(5)
+    w["isFixed"] = True
+    w["initialValue"] = rng.normal(size=5) * 0.5
+    arities = rng.integers(1, amax + 1, n_factors)
+    f = T.new_factors(n_factors)
+    f["factorFunction"] = rng.choice(BOOL_FUNCS, n_factors)
+    f["weightId"] = rng.integers(0, 5, n_factors)
+    f["featureValue"] = 1.0
+    f["arity"] = arities
+    f["ftv_offset"] = np.concatenate(([0], np.cumsum(arities)[:-1]))
+    E = int(arities.sum())
+    fm = T.new_fmap(E)
+    fm["vid"] = rng.integers(0, n_vars, E)
+    return w, v, f, fm
+
+
+def _replay_potentials(plan, weight_value, x_orig):
+    """Replay the kernel's data path in numpy+jnp: unpack blocks, gather
+    through windows, evaluate with _eval_bool. Returns {vid: (pot0, pot1)}."""
+    x_new = np.zeros(plan.vp, np.int64)
+    x_new[plan.perm] = x_orig
+    inv = np.full(plan.vp, -1, np.int64)
+    inv[plan.perm] = np.arange(plan.n_vars)
+    out = {}
+    for c in plan.colors:
+        D, A = c.D, c.A
+        DA = D * A
+        for rb in range(c.num_rb):
+            pk = c.packed[rb]
+            base = int(c.wrow[rb]) * 128
+            win = x_new[base:base + c.Wc]
+            pots = [np.zeros(RB), np.zeros(RB)]
+            for d in range(D):
+                fta = pk[DA + d].astype(np.int64)
+                ftype = jnp.asarray((fta & 0xFF) - 1,
+                                    jnp.int32).reshape(1, RB)
+                arity = jnp.asarray(fta >> 8, jnp.int32).reshape(1, RB)
+                wgt = pk[DA + D + d].view(np.float32)
+                sbits = pk[DA + 2 * D + d]
+                offs = [pk[d * A + a] for a in range(A)]
+                for k in (0, 1):
+                    vals = []
+                    for a in range(A):
+                        g = win[offs[a]]
+                        sub = (sbits & (1 << a)) != 0
+                        vals.append(jnp.asarray(
+                            np.where(sub, k, g), jnp.int32).reshape(1, RB))
+                    e = np.asarray(_eval_bool(c.present, ftype, arity,
+                                              vals, A)).reshape(RB)
+                    pots[k] = pots[k] + wgt * e
+            for lane in range(RB):
+                vid = inv[c.start + rb * RB + lane]
+                if vid >= 0:
+                    out[int(vid)] = (pots[0][lane], pots[1][lane])
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_itemgrid_potentials_match_golden(seed):
+    w, v, f, fm = _random_bool_graph(seed)
+    cg = compile_graph(w, v, f, fm)
+    plan, reason = plan_item_grid(cg)
+    assert plan is not None, reason
+    fill_weights(plan, w["initialValue"])
+    rng = np.random.default_rng(seed + 1)
+    x = rng.integers(0, 2, cg.n_vars)
+    got = _replay_potentials(plan, w["initialValue"], x)
+    for vid in range(cg.n_vars):
+        for k in (0, 1):
+            want = golden.potential(v, f, fm, w["initialValue"], vid, k, x)
+            assert got[vid][k] == pytest.approx(want, abs=1e-4), (vid, k)
+
+
+def test_itemgrid_ising_potentials_match_golden():
+    n = 12
+    w, v, f, fm, dm, e = ising_grid(n, n, weight=0.37)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm,
+                       color_hint=ising_color_hint(n, n))
+    plan, reason = plan_item_grid(cg)
+    assert plan is not None, reason
+    fill_weights(plan, w["initialValue"])
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 2, cg.n_vars)
+    got = _replay_potentials(plan, w["initialValue"], x)
+    for vid in range(cg.n_vars):
+        for k in (0, 1):
+            want = golden.potential(v, f, fm, w["initialValue"], vid, k, x)
+            assert got[vid][k] == pytest.approx(want, abs=1e-4), (vid, k)
+
+
+def test_eval_bool_matches_golden_all_types():
+    """_eval_bool vs golden.eval_factor over every boolean type and every
+    arg assignment up to arity 3."""
+    for ftype in BOOL_FUNCS:
+        for arity in (1, 2, 3):
+            A = 4
+            n_cases = 2 ** arity
+            for case in range(n_cases):
+                vals_np = [(case >> a) & 1 for a in range(arity)]
+                # golden scalar setup
+                v = T.new_variables(arity)
+                v["dataType"] = 0
+                v["cardinality"] = 2
+                f = T.new_factors(1)
+                f["factorFunction"] = ftype
+                f["arity"] = arity
+                f["ftv_offset"] = 0
+                fm = T.new_fmap(arity)
+                fm["vid"] = np.arange(arity)
+                want = golden.eval_factor(0, -1, 0, v, f, fm,
+                                          np.array(vals_np))
+                vals = [jnp.full((1, 8), vals_np[a] if a < arity else 0,
+                                 jnp.int32) for a in range(A)]
+                got = np.asarray(_eval_bool(
+                    (ftype,), jnp.full((1, 8), ftype, jnp.int32),
+                    jnp.full((1, 8), arity, jnp.int32), vals, A))[0, 0]
+                assert got == pytest.approx(want), (ftype, arity, case)
+
+
+def test_unsupported_graphs_report_reason():
+    # categorical
+    w, v, f, fm = _random_bool_graph(1)
+    v2 = v.copy()
+    v2["dataType"][0] = 1
+    v2["cardinality"][0] = 3
+    cg = compile_graph(w, v2, f, fm)
+    plan, reason = plan_item_grid(cg)
+    assert plan is None and "dataType" in reason or "cardinality" in reason
+
+
+@pytest.mark.skipif("tpu" not in str(jax.devices()[0]).lower()
+                    and "axon" not in jax.default_backend().lower(),
+                    reason="itemgrid kernel needs TPU hardware PRNG")
+def test_itemgrid_tpu_marginals_match_xla_engine():
+    from numbskull_tpu.ops import GibbsEngine
+    from numbskull_tpu.ops.itemgrid_pallas import PallasItemGridEngine
+
+    n = 32
+    w, v, f, fm, dm, e = ising_grid(n, n, weight=0.3)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm,
+                       color_hint=ising_color_hint(n, n))
+    eng = PallasItemGridEngine(cg)
+    x, cnt = eng.run(seed=0, burn=50, epochs=800)
+    marg = eng.marginals(cnt, 800)
+    ge = GibbsEngine(cg)
+    st = ge.init_state()
+    st = ge.inference(st, jax.random.PRNGKey(0), epochs=800, burn=50)
+    gm = ge.marginals(st, 800)[:, 1]
+    assert abs(marg.mean() - gm.mean()) < 0.02
+    assert np.abs(np.sort(marg) - np.sort(gm)).mean() < 0.02
