@@ -98,12 +98,39 @@ def _bench_itemgrid(n: int, epochs: int):
     return n * n * epochs / dt, mean
 
 
+def _bench_learning(copies: int, epochs: int):
+    """Weight-learn epochs/s on the coin model (dual-chain SGD, XLA
+    engine; reference analog: learnthread, learning.py:12-31)."""
+    from numbskull_tpu.compile import compile_graph
+    from numbskull_tpu.models import coin_model
+    from numbskull_tpu.ops import GibbsEngine, LearnParams
+
+    w, v, f, fm, dm, e = coin_model(copies, 0.8, -0.5, 0.4, evidence=True,
+                                    weight_init=(0.0, 0.0, 0.0),
+                                    fixed=False, seed=3)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm)
+    eng = GibbsEngine(cg)
+    lp = LearnParams(regularization=2, reg_param=1e-4)
+    st = eng.init_state()
+    st = eng.learn(st, jax.random.PRNGKey(0), 2, 0.05, lp=lp)
+    np.asarray(st.weight_value)
+    t0 = time.perf_counter()
+    st = eng.learn(st, jax.random.PRNGKey(1), epochs, 0.05, decay=0.999,
+                   lp=lp)
+    wv = np.asarray(st.weight_value)
+    dt = time.perf_counter() - t0
+    # learned weights should move toward (0.8, -0.5, 0.4)
+    ok = wv[0] > 0.2 and wv[1] < -0.1 and wv[2] > 0.1
+    return epochs / dt, 2 * copies * epochs / dt, bool(ok)
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
 
     ups, epoch_s, mean = _bench_pallas_grid(n, epochs)
     item_ups, item_mean = _bench_itemgrid(1024, 500)
+    learn_sps, learn_vups, learn_ok = _bench_learning(20000, 100)
     xla_ups = _bench_xla_grid(2048, 200)
     gen_ups = _bench_general(256, 50)
 
@@ -121,6 +148,9 @@ def main():
         "itemgrid_vs_baseline": round(item_ups / NUMBA_CPU_BASELINE, 2),
         "xla_stencil_ups_2048": round(xla_ups, 1),
         "general_engine_ups_256": round(gen_ups, 1),
+        "learn_steps_per_s_40k_vars": round(learn_sps, 2),
+        "learn_var_updates_per_s": round(learn_vups, 1),
+        "learn_recovers_weights": learn_ok,
         "sampler_healthy": healthy,
     }
     print(json.dumps(result))
