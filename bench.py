@@ -99,25 +99,24 @@ def _bench_itemgrid(n: int, epochs: int):
 
 
 def _bench_learning(copies: int, epochs: int):
-    """Weight-learn epochs/s on the coin model (dual-chain SGD, XLA
-    engine; reference analog: learnthread, learning.py:12-31)."""
+    """Weight-learn epochs/s on the coin model: in-kernel dual-chain SGD
+    (Pallas itemgrid learn; reference analog: learnthread,
+    learning.py:12-31)."""
     from numbskull_tpu.compile import compile_graph
     from numbskull_tpu.models import coin_model
-    from numbskull_tpu.ops import GibbsEngine, LearnParams
+    from numbskull_tpu.ops.gibbs import LearnParams
+    from numbskull_tpu.ops.itemgrid_pallas import PallasItemGridEngine
 
     w, v, f, fm, dm, e = coin_model(copies, 0.8, -0.5, 0.4, evidence=True,
                                     weight_init=(0.0, 0.0, 0.0),
                                     fixed=False, seed=3)
     cg = compile_graph(w, v, f, fm, domain_mask=dm)
-    eng = GibbsEngine(cg)
+    eng = PallasItemGridEngine(cg)
     lp = LearnParams(regularization=2, reg_param=1e-4)
-    st = eng.init_state()
-    st = eng.learn(st, jax.random.PRNGKey(0), 2, 0.05, lp=lp)
-    np.asarray(st.weight_value)
+    eng.learn(seed=0, burn=0, epochs=2, stepsize=0.05, lp=lp)
     t0 = time.perf_counter()
-    st = eng.learn(st, jax.random.PRNGKey(1), epochs, 0.05, decay=0.999,
-                   lp=lp)
-    wv = np.asarray(st.weight_value)
+    wv = eng.learn(seed=1, burn=0, epochs=epochs, stepsize=0.05,
+                   decay=0.999, lp=lp)
     dt = time.perf_counter() - t0
     # learned weights should move toward (0.8, -0.5, 0.4)
     ok = wv[0] > 0.2 and wv[1] < -0.1 and wv[2] > 0.1
@@ -130,7 +129,7 @@ def main():
 
     ups, epoch_s, mean = _bench_pallas_grid(n, epochs)
     item_ups, item_mean = _bench_itemgrid(1024, 500)
-    learn_sps, learn_vups, learn_ok = _bench_learning(20000, 100)
+    learn_sps, learn_vups, learn_ok = _bench_learning(20000, 500)
     xla_ups = _bench_xla_grid(2048, 200)
     gen_ups = _bench_general(256, 50)
 

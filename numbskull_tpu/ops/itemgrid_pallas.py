@@ -77,6 +77,7 @@ class ItemGridPlan:
     n_vars: int
     init_new: np.ndarray    # (vp,) int32 initial values (renumbered)
     tally_new: np.ndarray   # (vp,) int32 tally mask (renumbered)
+    n_weights: int = 0
 
 
 def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True):
@@ -192,22 +193,45 @@ def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True):
         g_off = np.where(g_fetch, g_off - base[blk][:, None, None], 0)
         assert (g_off >= 0).all() and (g_off < Wc).all()
 
-        # pack rows: [0:DA)=offs, [DA:DA+D)=ftype|arity<<8,
-        # [DA+D:DA+2D)=weight bits (filled per weight set),
-        # [DA+2D:DA+3D)=subst bitmask over args, [DA+3D)=upd
+        # pack rows (layout helpers in _Layout):
+        #   [0:DA)          arg offsets within the window
+        #   [DA:DA+D)       ftype+1 | arity<<8
+        #   [DA+D:DA+2D)    baked w[wid] bits (inference; per weight set)
+        #   [DA+2D:DA+3D)   subst bitmask over args
+        #   [DA+3D:DA+4D)   weight ids (learning)
+        #   [DA+4D:DA+5D)   featureValue bits (learning)
+        #   [DA+5D]         upd   — free-chain update mask
+        #   [DA+5D+1]       upd_e — clamped-chain update mask (isev==0)
+        #   [DA+5D+2]       lrn_e — evidence rows (gradient mask)
         DA = D * A
-        ROWS = _ceil(DA + 3 * D + 1, 8)   # sublane-aligned for DMA slices
+        ROWS = _ceil(DA + 5 * D + 3, 8)   # sublane-aligned for DMA slices
         packed = np.zeros((num_rb, ROWS, RB), np.int32)
+
+        def put_rd(dst_row, grid):    # (R, D) -> packed rows
+            packed[:, dst_row:dst_row + D] = \
+                grid.reshape(num_rb, RB, D).transpose(0, 2, 1)
+
         off_rb = g_off.reshape(num_rb, RB, D, A).transpose(0, 2, 3, 1)
         packed[:, :DA] = off_rb.reshape(num_rb, DA, RB)
-        fta = ((g_ftype + 1) | (g_arity << 8)).reshape(num_rb, RB, D)
-        packed[:, DA:DA + D] = fta.transpose(0, 2, 1)
+        put_rd(DA, (g_ftype + 1) | (g_arity << 8))
         sbits = (g_subst.astype(np.int64) <<
                  np.arange(A, dtype=np.int64)[None, None, :]).sum(-1)
-        packed[:, DA + 2 * D:DA + 3 * D] = \
-            sbits.reshape(num_rb, RB, D).transpose(0, 2, 1)
-        packed[:, DA + 3 * D] = \
+        put_rd(DA + 2 * D, sbits)
+        put_rd(DA + 3 * D, g_wid)
+        g_fv = np.zeros((R, D), np.float32)
+        if len(rows):
+            g_fv[rows, slot] = p.it_fv[it_valid].astype(np.float32)
+        put_rd(DA + 4 * D, g_fv.view(np.int32))
+        isev_c = np.zeros(R, np.int64)
+        valid_c = np.zeros(R, bool)
+        isev_c[:n_rows] = isev[p.cv_vid[p.cv_valid].astype(np.int64)]
+        valid_c[:n_rows] = True
+        packed[:, DA + 5 * D] = \
             upd_new[start:start + R].reshape(num_rb, RB)
+        packed[:, DA + 5 * D + 1] = \
+            (valid_c & (isev_c == 0)).reshape(num_rb, RB)
+        packed[:, DA + 5 * D + 2] = \
+            (valid_c & (isev_c == 1)).reshape(num_rb, RB)
 
         colors.append(_ColorPack(
             packed=packed, wrow=(base // 128).astype(np.int32),
@@ -218,7 +242,7 @@ def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True):
 
     return ItemGridPlan(colors=colors, perm=perm, vp=vp,
                         n_vars=cg.n_vars, init_new=init_new,
-                        tally_new=tally_new), None
+                        tally_new=tally_new, n_weights=cg.n_weights), None
 
 
 def fill_weights(plan: ItemGridPlan, weight_value: np.ndarray):
@@ -289,6 +313,27 @@ def _eval_bool(present, ftype, arity, vals, A):
     return out
 
 
+def _gather(win, off, sub_iota, lane_iota):
+    """Two-step one-hot gather: win[(off>>7, off&127)] for each item.
+
+    win: (Wr, 128) f32; off: (1, RB) int32; sub_iota: (Wr, RB);
+    lane_iota: (128, RB). Returns (1, RB) f32. Row select is an MXU
+    matmul; lane select is a VPU sublane reduction.
+    """
+    roh = (sub_iota == (off >> 7)).astype(jnp.float32)
+    rows_sel = jax.lax.dot_general(
+        win, roh, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)             # (128, RB)
+    loh = lane_iota == (off & 127)
+    return jnp.sum(jnp.where(loh, rows_sel, 0.0), axis=0, keepdims=True)
+
+
+def _uniform(shape):
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return (bits >> 8).astype(jnp.int32).astype(jnp.float32) * \
+        jnp.float32(1.0 / (1 << 24))
+
+
 def _make_kernel(plan: ItemGridPlan):
     vp = plan.vp
     colors = plan.colors
@@ -326,7 +371,7 @@ def _make_kernel(plan: ItemGridPlan):
                 wrow = wrow_refs[ci][rb]
                 win = x_out[pl.ds(wrow, Wc // 128), :].astype(
                     jnp.float32)                       # (Wc/128, 128)
-                upd = pk[DA + 3 * D:DA + 3 * D + 1, :]       # (1, RB)
+                upd = pk[DA + 5 * D:DA + 5 * D + 1, :]       # (1, RB)
 
                 pot = [jnp.zeros((1, RB), jnp.float32) for _ in range(2)]
                 sub_iota = jax.lax.broadcasted_iota(
@@ -344,16 +389,7 @@ def _make_kernel(plan: ItemGridPlan):
                     substs = []
                     for a in range(A):
                         off = pk[d * A + a:d * A + a + 1, :]  # (1, RB)
-                        # two-step one-hot gather from the window
-                        roh = (sub_iota == (off >> 7)).astype(jnp.float32)
-                        rows_sel = jax.lax.dot_general(
-                            win, roh,
-                            dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )                               # (128, RB)
-                        loh = lane_iota == (off & 127)
-                        g = jnp.sum(jnp.where(loh, rows_sel, 0.0),
-                                    axis=0, keepdims=True)  # (1, RB)
+                        g = _gather(win, off, sub_iota, lane_iota)
                         gathered.append(g.astype(jnp.int32))
                         substs.append((sbits & (1 << a)) != 0)
                     for k in range(2):
@@ -363,10 +399,7 @@ def _make_kernel(plan: ItemGridPlan):
                         pot[k] = pot[k] + w * e
 
                 p1 = jax.nn.sigmoid(pot[1] - pot[0])
-                bits = pltpu.bitcast(
-                    pltpu.prng_random_bits((1, RB)), jnp.uint32)
-                u = (bits >> 8).astype(jnp.int32).astype(jnp.float32) * \
-                    jnp.float32(1.0 / (1 << 24))
+                u = _uniform((1, RB))
                 new = (u < p1).astype(jnp.int32)        # (1, RB)
 
                 row0 = c.start // 128 + rb * rbl
@@ -387,6 +420,233 @@ def _make_kernel(plan: ItemGridPlan):
             return 0
 
         jax.lax.fori_loop(0, total, epoch_body, 0)
+
+    return kernel
+
+
+def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
+    """Dual-chain SGD fully in-kernel (reference learning.py:46-125 with
+    the batched per-color semantics of ops/gibbs._color_step_learn):
+    clamped + free chains advance together; per color step the gradient
+    (eval at free proposal − eval at clamped sample) × featureValue is
+    accumulated by weight id via a one-hot MXU reduction and the weight
+    vector (VMEM-resident) is updated with L1/L2 regularization."""
+    vp = plan.vp
+    colors = plan.colors
+
+    def kernel(seed_ref, burn_ref, epochs_ref, step0_ref, decay_ref,
+               *refs):
+        n_c = len(colors)
+        wrow_refs = refs[:n_c]
+        x_in = refs[n_c]
+        w_in = refs[n_c + 1]
+        wfix = refs[n_c + 2]
+        hbm_refs = refs[n_c + 3:n_c + 3 + n_c]
+        x_out, xe_out, w_out = refs[n_c + 3 + n_c:n_c + 3 + n_c + 3]
+        scr = refs[n_c + 3 + n_c + 3:]
+        pack_scr = scr[:n_c]
+        gw_scr, nw_scr = scr[n_c], scr[n_c + 1]
+        sem = scr[n_c + 2]
+
+        pltpu.prng_seed(seed_ref[0])
+        x_out[:] = x_in[:]
+        xe_out[:] = x_in[:]
+        w_out[:] = w_in[:]
+
+        w_iota_rb = jax.lax.broadcasted_iota(jnp.int32, (wrows, RB), 0)
+        lane_iota_rb = jax.lax.broadcasted_iota(jnp.int32, (128, RB), 0)
+
+        def sweep_chain(chain_ref):
+            """One inference-style sweep of the free chain (burn-in;
+            reference burn samples evidence, _run_learn burn_body)."""
+            for ci in range(len(colors)):
+                c = colors[ci]
+                D, A, Wc = c.D, c.A, c.Wc
+                DA = D * A
+                rbl = RB // 128
+                sub_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (Wc // 128, RB), 0)
+
+                def rb_body(rb, _):
+                    cp = pltpu.make_async_copy(
+                        hbm_refs[ci].at[rb], pack_scr[ci], sem)
+                    cp.start()
+                    cp.wait()
+                    pk = pack_scr[ci]
+                    win = chain_ref[pl.ds(wrow_refs[ci][rb], Wc // 128),
+                                    :].astype(jnp.float32)
+                    upd = pk[DA + 5 * D:DA + 5 * D + 1, :]
+                    pot = [jnp.zeros((1, RB), jnp.float32)
+                           for _ in range(2)]
+                    for d in range(D):
+                        fta = pk[DA + d:DA + d + 1, :]
+                        ftype = (fta & 0xFF) - 1
+                        arity = fta >> 8
+                        wid = pk[DA + 3 * D + d:DA + 3 * D + d + 1, :]
+                        w = _gather(w_out[:], wid, w_iota_rb, lane_iota_rb)
+                        sbits = pk[DA + 2 * D + d:DA + 2 * D + d + 1, :]
+                        gat, sub = [], []
+                        for a in range(A):
+                            off = pk[d * A + a:d * A + a + 1, :]
+                            gat.append(_gather(win, off, sub_iota,
+                                               lane_iota_rb)
+                                       .astype(jnp.int32))
+                            sub.append((sbits & (1 << a)) != 0)
+                        for k in range(2):
+                            vals = [jnp.where(sub[a], jnp.int32(k),
+                                              gat[a]) for a in range(A)]
+                            e = _eval_bool(c.present, ftype, arity,
+                                           vals, A)
+                            pot[k] = pot[k] + w * e
+                    p1 = jax.nn.sigmoid(pot[1] - pot[0])
+                    new = (_uniform((1, RB)) < p1).astype(jnp.int32)
+                    row0 = c.start // 128 + rb * rbl
+                    old = chain_ref[pl.ds(row0, rbl), :]
+                    chain_ref[pl.ds(row0, rbl), :] = jnp.where(
+                        upd.reshape(rbl, 128) == 1,
+                        new.reshape(rbl, 128), old)
+                    return 0
+
+                jax.lax.fori_loop(0, c.num_rb, rb_body, 0)
+
+        def learn_color(ci, step):
+            c = colors[ci]
+            D, A, Wc = c.D, c.A, c.Wc
+            DA = D * A
+            rbl = RB // 128
+            sub_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (Wc // 128, RB), 0)
+            gw_scr[:] = jnp.zeros((wrows, 128), jnp.float32)
+            nw_scr[:] = jnp.zeros((wrows, 128), jnp.float32)
+
+            def rb_body(rb, _):
+                cp = pltpu.make_async_copy(
+                    hbm_refs[ci].at[rb], pack_scr[ci], sem)
+                cp.start()
+                cp.wait()
+                pk = pack_scr[ci]
+                wrow = wrow_refs[ci][rb]
+                win_p = x_out[pl.ds(wrow, Wc // 128), :].astype(
+                    jnp.float32)
+                win_e = xe_out[pl.ds(wrow, Wc // 128), :].astype(
+                    jnp.float32)
+                upd = pk[DA + 5 * D:DA + 5 * D + 1, :]
+                upd_e = pk[DA + 5 * D + 1:DA + 5 * D + 2, :]
+                lrn_ev = pk[DA + 5 * D + 2:DA + 5 * D + 3, :]
+                lrn = upd if lp.learn_non_evidence else lrn_ev
+
+                # gather args on both chains; potentials per candidate
+                pot_p = [jnp.zeros((1, RB), jnp.float32) for _ in range(2)]
+                pot_e = [jnp.zeros((1, RB), jnp.float32) for _ in range(2)]
+                per_d = []
+                for d in range(D):
+                    fta = pk[DA + d:DA + d + 1, :]
+                    ftype = (fta & 0xFF) - 1
+                    arity = fta >> 8
+                    wid = pk[DA + 3 * D + d:DA + 3 * D + d + 1, :]
+                    fv = pltpu.bitcast(
+                        pk[DA + 4 * D + d:DA + 4 * D + d + 1, :],
+                        jnp.float32)
+                    w = _gather(w_out[:], wid, w_iota_rb, lane_iota_rb)
+                    sbits = pk[DA + 2 * D + d:DA + 2 * D + d + 1, :]
+                    gat_p, gat_e, sub = [], [], []
+                    for a in range(A):
+                        off = pk[d * A + a:d * A + a + 1, :]
+                        gat_p.append(_gather(win_p, off, sub_iota,
+                                             lane_iota_rb)
+                                     .astype(jnp.int32))
+                        gat_e.append(_gather(win_e, off, sub_iota,
+                                             lane_iota_rb)
+                                     .astype(jnp.int32))
+                        sub.append((sbits & (1 << a)) != 0)
+                    for k in range(2):
+                        vp_ = [jnp.where(sub[a], jnp.int32(k), gat_p[a])
+                               for a in range(A)]
+                        ve_ = [jnp.where(sub[a], jnp.int32(k), gat_e[a])
+                               for a in range(A)]
+                        pot_p[k] = pot_p[k] + w * _eval_bool(
+                            c.present, ftype, arity, vp_, A)
+                        pot_e[k] = pot_e[k] + w * _eval_bool(
+                            c.present, ftype, arity, ve_, A)
+                    per_d.append((ftype, arity, wid, fv, sbits,
+                                  gat_p, gat_e, sub))
+
+                # draw both chains; clamped chain keeps evidence pinned
+                e_samp = (_uniform((1, RB)) <
+                          jax.nn.sigmoid(pot_e[1] - pot_e[0])).astype(
+                              jnp.int32)
+                p_samp = (_uniform((1, RB)) <
+                          jax.nn.sigmoid(pot_p[1] - pot_p[0])).astype(
+                              jnp.int32)
+                row0 = c.start // 128 + rb * rbl
+                x_rows = x_out[pl.ds(row0, rbl), :].reshape(1, RB)
+                xe_rows = xe_out[pl.ds(row0, rbl), :].reshape(1, RB)
+                p_val = jnp.where(upd == 1, p_samp, x_rows)
+                e_val = jnp.where(upd_e == 1, e_samp, xe_rows)
+                x_out[pl.ds(row0, rbl), :] = p_val.reshape(rbl, 128)
+                xe_out[pl.ds(row0, rbl), :] = e_val.reshape(rbl, 128)
+
+                # gradient = eval(free @ proposal) - eval(clamped @
+                # evidence sample), times featureValue
+                for (ftype, arity, wid, fv, sbits, gat_p, gat_e,
+                     sub) in per_d:
+                    vp_ = [jnp.where(sub[a], p_val, gat_p[a])
+                           for a in range(A)]
+                    ve_ = [jnp.where(sub[a], e_val, gat_e[a])
+                           for a in range(A)]
+                    ev_p = _eval_bool(c.present, ftype, arity, vp_, A)
+                    ev_e = _eval_bool(c.present, ftype, arity, ve_, A)
+                    inc = (lrn == 1) & (ftype != -1)
+                    grad = jnp.where(inc, (ev_p - ev_e) * fv, 0.0)
+                    roh = (w_iota_rb == (wid >> 7)).astype(jnp.float32)
+                    loh = lane_iota_rb == (wid & 127)
+                    gw_scr[:] = gw_scr[:] + jax.lax.dot_general(
+                        roh, jnp.where(loh, grad, 0.0),
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    nw_scr[:] = nw_scr[:] + jax.lax.dot_general(
+                        roh, jnp.where(loh, inc.astype(jnp.float32), 0.0),
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                return 0
+
+            jax.lax.fori_loop(0, c.num_rb, rb_body, 0)
+
+            # apply the update (reference learning.py:111-125 semantics,
+            # batched as in ops/gibbs._color_step_learn)
+            gw, nw = gw_scr[:], nw_scr[:]
+            if lp.grad_agg == "mean":
+                gw = gw / jnp.maximum(nw, 1.0)
+            w = w_out[:]
+            touched = (nw > 0) & (wfix[:] == 0)
+            if lp.regularization == 2:
+                shrink = 1.0 / (1.0 + lp.reg_param * step)
+                w_new = w * shrink - step * gw
+            elif lp.regularization == 1:
+                w_new = w - step * gw
+                l1d = lp.reg_param * step * lp.truncation
+                w_tr = jnp.where(w_new > 0, jnp.maximum(0.0, w_new - l1d),
+                                 jnp.minimum(0.0, w_new + l1d))
+                u = _uniform((wrows, 128))
+                w_new = jnp.where(u < 1.0 / lp.truncation, w_tr, w_new)
+            else:
+                w_new = w - step * gw
+            w_out[:] = jnp.where(touched, w_new, w)
+
+        def burn_body(i, _):
+            sweep_chain(x_out)
+            return 0
+
+        jax.lax.fori_loop(0, burn_ref[0], burn_body, 0)
+
+        def epoch_body(i, _):
+            step = step0_ref[0] * jnp.exp(
+                i.astype(jnp.float32) * jnp.log(decay_ref[0]))
+            for ci in range(len(colors)):
+                learn_color(ci, step)
+            return 0
+
+        jax.lax.fori_loop(0, epochs_ref[0], epoch_body, 0)
 
     return kernel
 
@@ -448,6 +708,86 @@ class PallasItemGridEngine:
               x0, tally, *packs)
 
         return call
+
+    def _build_learn_call(self, lp):
+        plan = self.plan
+        n_c = len(plan.colors)
+        vp = plan.vp
+        wrows = max(_ceil(-(-plan.n_weights // 128), 8), 8)
+        if plan.n_weights > wrows * 128:
+            raise ValueError("itemgrid learn: too many weights")
+        kernel = _make_learn_kernel(plan, lp, wrows)
+
+        in_specs = (
+            [pl.BlockSpec(memory_space=pltpu.SMEM)] * 5 +      # scalars
+            [pl.BlockSpec(memory_space=pltpu.SMEM)] * n_c +    # wrow
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3 +      # x0,w0,wfix
+            [pl.BlockSpec(memory_space=pltpu.ANY)] * n_c       # packed
+        )
+        out_specs = tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                          for _ in range(3))
+        scratch = [pltpu.VMEM(c.packed.shape[1:], jnp.int32)
+                   for c in plan.colors]
+        scratch.append(pltpu.VMEM((wrows, 128), jnp.float32))   # gw
+        scratch.append(pltpu.VMEM((wrows, 128), jnp.float32))   # nw
+        scratch.append(pltpu.SemaphoreType.DMA(()))
+
+        def call(seed, burn, epochs, step0, decay, x0, w0, wfix, *packs):
+            return pl.pallas_call(
+                kernel,
+                out_shape=(
+                    jax.ShapeDtypeStruct((vp // 128, 128), jnp.int32),
+                    jax.ShapeDtypeStruct((vp // 128, 128), jnp.int32),
+                    jax.ShapeDtypeStruct((wrows, 128), jnp.float32)),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+                compiler_params=pltpu.CompilerParams(
+                    has_side_effects=True,
+                    vmem_limit_bytes=110 * 1024 * 1024),
+                interpret=(pltpu.InterpretParams()
+                           if self.interpret else False),
+            )(seed, burn, epochs, step0, decay,
+              *[jnp.asarray(c.wrow) for c in plan.colors],
+              x0, w0, wfix, *packs)
+
+        return jax.jit(call), wrows
+
+    def learn(self, seed: int, burn: int, epochs: int, stepsize: float,
+              decay: float = 1.0, lp=None, weight_value=None):
+        """In-kernel dual-chain SGD; returns learned weights (W,) f32.
+
+        Matches ops/gibbs.GibbsEngine.learn semantics for boolean
+        graphs; the plan must have been built with sample_evidence=True
+        (the constructor default) so the free chain updates every owned
+        variable, as the reference's learning sweep does."""
+        from numbskull_tpu.ops.gibbs import LearnParams
+        lp = lp or LearnParams()
+        plan = self.plan
+        wv = np.asarray(self.cg.weight_init if weight_value is None
+                        else weight_value, np.float32)
+        # ensure packs exist (baked weight rows are ignored by this path)
+        if self._weights_for is None:
+            fill_weights(plan, wv)
+            self._packs = [jnp.asarray(c.packed) for c in plan.colors]
+            self._weights_for = wv.tobytes()
+        key = (lp,)
+        if getattr(self, "_learn_for", None) != key:
+            self._learn_call, self._wrows = self._build_learn_call(lp)
+            self._learn_for = key
+        w0 = np.zeros((self._wrows, 128), np.float32)
+        w0.reshape(-1)[:len(wv)] = wv
+        wfix = np.zeros((self._wrows, 128), np.int32)
+        wfix.reshape(-1)[:len(wv)] = np.asarray(self.cg.weight_fixed,
+                                                np.int32)
+        x2d = jnp.asarray(plan.init_new.reshape(plan.vp // 128, 128))
+        x_out, xe_out, w_out = self._learn_call(
+            jnp.asarray([seed], jnp.int32), jnp.asarray([burn], jnp.int32),
+            jnp.asarray([epochs], jnp.int32),
+            jnp.asarray([stepsize], jnp.float32),
+            jnp.asarray([decay], jnp.float32),
+            x2d, jnp.asarray(w0), jnp.asarray(wfix), *self._packs)
+        return np.asarray(w_out).reshape(-1)[:plan.n_weights]
 
     def run(self, seed: int, burn: int, epochs: int,
             weight_value=None, x0=None):

@@ -167,6 +167,28 @@ def test_unsupported_graphs_report_reason():
 @pytest.mark.skipif("tpu" not in str(jax.devices()[0]).lower()
                     and "axon" not in jax.default_backend().lower(),
                     reason="itemgrid kernel needs TPU hardware PRNG")
+def test_itemgrid_tpu_learning_recovers_coin_weights():
+    from numbskull_tpu.models import coin_model
+    from numbskull_tpu.ops.gibbs import LearnParams
+    from numbskull_tpu.ops.itemgrid_pallas import PallasItemGridEngine
+
+    a, b, c = 0.8, -0.5, 0.4
+    w, v, f, fm, dm, e = coin_model(4000, a, b, c, evidence=True,
+                                    weight_init=(0.0, 0.0, 0.0),
+                                    fixed=False, seed=3)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm)
+    eng = PallasItemGridEngine(cg)
+    lp = LearnParams(regularization=2, reg_param=1e-4)
+    got = eng.learn(seed=0, burn=10, epochs=150, stepsize=0.1,
+                    decay=0.99, lp=lp)
+    assert got[0] == pytest.approx(a, abs=0.15)
+    assert got[1] == pytest.approx(b, abs=0.15)
+    assert got[2] == pytest.approx(c, abs=0.15)
+
+
+@pytest.mark.skipif("tpu" not in str(jax.devices()[0]).lower()
+                    and "axon" not in jax.default_backend().lower(),
+                    reason="itemgrid kernel needs TPU hardware PRNG")
 def test_itemgrid_tpu_marginals_match_xla_engine():
     from numbskull_tpu.ops import GibbsEngine
     from numbskull_tpu.ops.itemgrid_pallas import PallasItemGridEngine
