@@ -14,6 +14,7 @@ import os
 import sys
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from numbskull_tpu import dataloading
@@ -95,6 +96,12 @@ arguments = [
                  "mini-batch SGD, default) or 'sum' (reproduces the "
                  "reference's aggregate per-epoch weight movement, "
                  "learning.py:111-125)"}),
+    (("--engine",),
+        {"metavar": "ENGINE", "dest": "engine", "default": "auto",
+         "type": str, "choices": ("auto", "xla", "itemgrid"),
+         "help": "compute engine: 'auto' picks the fused Pallas itemgrid "
+                 "kernel on TPU for supported (boolean) graphs and falls "
+                 "back to the XLA engine otherwise"}),
     (("--metrics_out",),
         {"metavar": "METRICS_JSON", "dest": "metrics_out", "default": "",
          "type": str,
@@ -132,7 +139,7 @@ class FactorGraph:
     device and marginal tallies kept per (variable, value).
     """
 
-    def __init__(self, cg, fid: int, seed: int = 0):
+    def __init__(self, cg, fid: int, seed: int = 0, engine: str = "auto"):
         self.cg = cg
         self.fid = fid
         self.engine = GibbsEngine(cg)
@@ -141,10 +148,39 @@ class FactorGraph:
         self.inference_epochs_done = 0
         self.inference_total_time = 0.0
         self.learning_total_time = 0.0
+        self.engine_mode = engine
+        self._itemgrid = {}          # sample_evidence flag -> engine|None
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    def _next_seed(self) -> int:
+        return int(jax.random.randint(self._next_key(), (), 0,
+                                      np.int32(2 ** 31 - 1)))
+
+    def _maybe_itemgrid(self, sample_evidence: bool):
+        """The fused Pallas engine when eligible, else None (XLA path).
+
+        Eligible = TPU backend (the kernel needs the hardware PRNG) and a
+        graph inside the itemgrid envelope (boolean vars, boolean factor
+        functions, bounded degree/window; see ops/itemgrid_pallas)."""
+        if self.engine_mode == "xla":
+            return None
+        if sample_evidence in self._itemgrid:
+            return self._itemgrid[sample_evidence]
+        eng = None
+        on_tpu = jax.default_backend() not in ("cpu",)
+        if on_tpu or self.engine_mode == "itemgrid":
+            try:
+                from numbskull_tpu.ops.itemgrid_pallas import \
+                    PallasItemGridEngine
+                eng = PallasItemGridEngine(
+                    self.cg, sample_evidence=sample_evidence)
+            except ValueError:
+                eng = None
+        self._itemgrid[sample_evidence] = eng
+        return eng
 
     def burnIn(self, epochs: int, sample_evidence: bool):
         self.state = self.engine.inference(
@@ -154,9 +190,27 @@ class FactorGraph:
     def inference(self, burnin_epochs: int, epochs: int,
                   sample_evidence: bool = False, diagnostics: bool = False):
         with Timer() as t:
-            self.state = self.engine.inference(
-                self.state, self._next_key(), epochs=epochs,
-                burn=burnin_epochs, sample_evidence=sample_evidence)
+            ig = self._maybe_itemgrid(sample_evidence)
+            if ig is not None:
+                vals, c1 = ig.run(
+                    self._next_seed(), burnin_epochs, epochs,
+                    weight_value=np.asarray(self.state.weight_value),
+                    x0=np.asarray(self.state.var_value))
+                tal = np.zeros(self.cg.n_vars, np.int64)
+                tal[:] = ig.plan.tally_new[ig.plan.perm]
+                cnt = np.asarray(self.state.count).copy()
+                cnt[:, 1] += c1
+                cnt[:, 0] += (epochs - c1) * tal
+                import dataclasses as _dc
+                self.state = _dc.replace(
+                    self.state,
+                    var_value=jnp.asarray(vals.astype(np.int32)),
+                    var_value_evid=self.state.var_value_evid,
+                    count=jnp.asarray(cnt))
+            else:
+                self.state = self.engine.inference(
+                    self.state, self._next_key(), epochs=epochs,
+                    burn=burnin_epochs, sample_evidence=sample_evidence)
             jax.block_until_ready(self.state.count)
         metrics.observe("inference.run_s", t.interval)
         metrics.add("inference.epochs", epochs + burnin_epochs)
@@ -179,9 +233,20 @@ class FactorGraph:
                          learn_non_evidence=learn_non_evidence,
                          grad_agg=grad_agg)
         with Timer() as t:
-            self.state = self.engine.learn(
-                self.state, self._next_key(), epochs=epochs,
-                stepsize=stepsize, decay=decay, burn=burnin_epochs, lp=lp)
+            ig = self._maybe_itemgrid(True)
+            if ig is not None:
+                wv = ig.learn(
+                    self._next_seed(), burnin_epochs, epochs,
+                    stepsize=stepsize, decay=decay, lp=lp,
+                    weight_value=np.asarray(self.state.weight_value))
+                import dataclasses as _dc
+                self.state = _dc.replace(
+                    self.state, weight_value=jnp.asarray(wv))
+            else:
+                self.state = self.engine.learn(
+                    self.state, self._next_key(), epochs=epochs,
+                    stepsize=stepsize, decay=decay, burn=burnin_epochs,
+                    lp=lp)
             jax.block_until_ready(self.state.weight_value)
         metrics.observe("learning.run_s", t.interval)
         metrics.add("learning.epochs", epochs)
@@ -293,7 +358,8 @@ class NumbSkull:
                            domain_mask=domain_mask,
                            seed=self.seed)
         self.factorGraphs.append(
-            FactorGraph(cg, len(self.factorGraphs), seed=self.seed))
+            FactorGraph(cg, len(self.factorGraphs), seed=self.seed,
+                        engine=self.engine))
 
     def loadFactorGraphRaw(self, cg, var_copies=1, weight_copies=1):
         """Load a pre-compiled graph (CompiledGraph), skipping compilation.
@@ -304,7 +370,8 @@ class NumbSkull:
         ``compile.compile_graph`` or a partitioner's per-part output.
         """
         self.factorGraphs.append(
-            FactorGraph(cg, len(self.factorGraphs), seed=self.seed))
+            FactorGraph(cg, len(self.factorGraphs), seed=self.seed,
+                        engine=self.engine))
 
     def loadFGFromFile(self, directory=None, metafile=None, weightfile=None,
                        variablefile=None, factorfile=None, domainfile=None,
@@ -336,7 +403,8 @@ class NumbSkull:
         if not self.quiet:
             print("chromatic schedule: %d colors" % cg.n_colors)
         self.factorGraphs.append(
-            FactorGraph(cg, len(self.factorGraphs), seed=self.seed))
+            FactorGraph(cg, len(self.factorGraphs), seed=self.seed,
+                        engine=self.engine))
 
     def loadFGFromDB(self, dburl=None, sql_filter: str = "1=1",
                      is_master: bool = True):
