@@ -80,12 +80,78 @@ class ItemGridPlan:
     n_weights: int = 0
 
 
+def _rcm_rank(n_vars: int, edges_u: np.ndarray,
+              edges_v: np.ndarray) -> np.ndarray:
+    """Reverse Cuthill–McKee rank over an undirected adjacency: a
+    bandwidth-reducing order so itemgrid windows stay bounded on graphs
+    whose natural variable ids are shuffled."""
+    deg = np.zeros(n_vars, np.int64)
+    np.add.at(deg, edges_u, 1)
+    np.add.at(deg, edges_v, 1)
+    offs = np.concatenate(([0], np.cumsum(deg)))
+    adj = np.zeros(offs[-1], np.int64)
+    cur = offs[:-1].copy()
+    for u, v in zip(edges_u, edges_v):
+        adj[cur[u]] = v
+        cur[u] += 1
+        adj[cur[v]] = u
+        cur[v] += 1
+    visited = np.zeros(n_vars, bool)
+    order = np.empty(n_vars, np.int64)
+    pos = 0
+    by_deg = np.argsort(deg, kind="stable")
+    for seed in by_deg:
+        if visited[seed]:
+            continue
+        visited[seed] = True
+        order[pos] = seed
+        head = pos
+        pos += 1
+        while head < pos:
+            u = order[head]
+            head += 1
+            nbrs = adj[offs[u]:offs[u + 1]]
+            nbrs = nbrs[~visited[nbrs]]
+            if len(nbrs):
+                nbrs = np.unique(nbrs)
+                nbrs = nbrs[np.argsort(deg[nbrs], kind="stable")]
+                visited[nbrs] = True
+                order[pos:pos + len(nbrs)] = nbrs
+                pos += len(nbrs)
+    rank = np.empty(n_vars, np.int64)
+    rank[order[::-1]] = np.arange(n_vars)
+    return rank
+
+
 def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True):
     """Compile a CompiledGraph into the kernel's layout.
 
     Returns (ItemGridPlan, None) or (None, reason) when the graph is
     outside the kernel envelope (caller falls back to the XLA engine).
+    Tries the natural variable order first; if a window overflows, tries
+    again with a reverse-Cuthill–McKee bandwidth-reducing order.
     """
+    plan, reason = _plan_item_grid_ranked(cg, sample_evidence, None)
+    if plan is not None or "window span" not in (reason or ""):
+        return plan, reason
+    # second chance: RCM reorder
+    eu, ev = [], []
+    for p in cg.plans:
+        iv = p.it_valid
+        own = p.cv_vid[p.it_row[iv]].astype(np.int64)
+        av = p.it_args_vid[iv].astype(np.int64)
+        mask = p.it_args_valid[iv] & ~p.it_subst[iv]
+        eu.append(np.repeat(own, mask.sum(1)))
+        ev.append(av[mask])
+    eu = np.concatenate(eu) if eu else np.zeros(0, np.int64)
+    ev = np.concatenate(ev) if ev else np.zeros(0, np.int64)
+    rank = _rcm_rank(cg.n_vars, eu, ev)
+    plan2, reason2 = _plan_item_grid_ranked(cg, sample_evidence, rank)
+    return (plan2, None) if plan2 is not None else (None, reason)
+
+
+def _plan_item_grid_ranked(cg: CompiledGraph, sample_evidence: bool,
+                           rank):
     if not (np.asarray(cg.var_card) == 2).all():
         return None, "non-boolean cardinality"
     if not (np.asarray(cg.var_dtype) == 0).all():
@@ -97,7 +163,8 @@ def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True):
     upd_ok = (isev == 0) | (sample_evidence & (isev == 1))
     tally_ok = upd_ok.copy()
 
-    # renumber: color-major, each color padded to RB
+    # renumber: color-major (optionally rank-ordered within each color),
+    # each color padded to RB
     starts, vp = [], 0
     for p in cg.plans:
         starts.append(vp)
@@ -105,9 +172,15 @@ def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True):
     if vp > V_MAX:
         return None, "graph too large for VMEM (%d padded vars)" % vp
     perm = np.full(cg.n_vars, -1, np.int64)
+    row_orders = []
     for p, s in zip(cg.plans, starts):
         vids = p.cv_vid[p.cv_valid].astype(np.int64)
-        perm[vids] = s + np.arange(len(vids))
+        if rank is not None:
+            ro = np.argsort(rank[vids], kind="stable")
+        else:
+            ro = np.arange(len(vids))
+        row_orders.append(ro)
+        perm[vids[ro]] = s + np.arange(len(vids))
     assert (perm >= 0).all()
 
     init_new = np.zeros(vp, np.int32)
@@ -118,10 +191,12 @@ def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True):
     upd_new[perm] = upd_ok
 
     colors = []
-    for p, start in zip(cg.plans, starts):
+    for p, start, ro in zip(cg.plans, starts, row_orders):
         n_rows = int(p.cv_valid.sum())
         R = _ceil(max(n_rows, 1), RB)
         num_rb = R // RB
+        inv_ro = np.empty(n_rows, np.int64)
+        inv_ro[ro] = np.arange(n_rows)
 
         it_valid = p.it_valid
         rows = p.it_row[it_valid].astype(np.int64)
@@ -159,14 +234,15 @@ def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True):
         if len(rows):
             slot = np.arange(len(rows)) - np.concatenate(
                 ([0], np.cumsum(counts)[:-1]))[rows]
-            g_ftype[rows, slot] = ftype
-            g_arity[rows, slot] = arity
-            g_wid[rows, slot] = wid
+            nrows_i = inv_ro[rows]           # rows in the ranked order
+            g_ftype[nrows_i, slot] = ftype
+            g_arity[nrows_i, slot] = arity
+            g_wid[nrows_i, slot] = wid
             subst = p.it_subst[it_valid][:, :A]
             fetch = avalid[:, :A] & ~subst
-            g_off[rows, slot, :] = np.where(fetch, perm[avid[:, :A]], 0)
-            g_subst[rows, slot, :] = subst
-            g_fetch[rows, slot, :] = fetch
+            g_off[nrows_i, slot, :] = np.where(fetch, perm[avid[:, :A]], 0)
+            g_subst[nrows_i, slot, :] = subst
+            g_fetch[nrows_i, slot, :] = fetch
 
         # per-block windows over genuinely fetched ids (subst slots are
         # replaced by the candidate; padding is arity-masked)
@@ -224,7 +300,7 @@ def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True):
         put_rd(DA + 4 * D, g_fv.view(np.int32))
         isev_c = np.zeros(R, np.int64)
         valid_c = np.zeros(R, bool)
-        isev_c[:n_rows] = isev[p.cv_vid[p.cv_valid].astype(np.int64)]
+        isev_c[:n_rows] = isev[p.cv_vid[p.cv_valid].astype(np.int64)[ro]]
         valid_c[:n_rows] = True
         packed[:, DA + 5 * D] = \
             upd_new[start:start + R].reshape(num_rb, RB)

@@ -153,6 +153,29 @@ def test_eval_bool_matches_golden_all_types():
                 assert got == pytest.approx(want), (ftype, arity, case)
 
 
+def test_rcm_reorder_rescues_shuffled_ising():
+    """A relabeled (shuffled-vid) lattice has no natural locality; the
+    RCM fallback must recover bounded windows with exact potentials."""
+    n = 24
+    w, v, f, fm, dm, e = ising_grid(n, n, weight=0.3)
+    rng = np.random.default_rng(0)
+    pi = rng.permutation(n * n)
+    fm2 = fm.copy()
+    fm2["vid"] = pi[fm["vid"]]
+    cg = compile_graph(w, v, f, fm2, domain_mask=dm)
+    plan, reason = plan_item_grid(cg)
+    assert plan is not None, reason
+    assert all(c.Wc <= 8192 for c in plan.colors)
+    fill_weights(plan, w["initialValue"])
+    x = rng.integers(0, 2, cg.n_vars)
+    got = _replay_potentials(plan, w["initialValue"], x)
+    for vid in range(0, cg.n_vars, 7):
+        for k in (0, 1):
+            want = golden.potential(v, f, fm2, w["initialValue"], vid, k,
+                                    x)
+            assert got[vid][k] == pytest.approx(want, abs=1e-4)
+
+
 def test_unsupported_graphs_report_reason():
     # categorical
     w, v, f, fm = _random_bool_graph(1)
