@@ -94,7 +94,7 @@ def _bench_itemgrid(n: int, epochs: int):
     t0 = time.perf_counter()
     x, cnt = eng.run(seed=1, burn=0, epochs=epochs)
     dt = time.perf_counter() - t0
-    mean = float(cnt.mean()) / epochs
+    mean = float(cnt[:, 1].mean()) / epochs
     return n * n * epochs / dt, mean
 
 

@@ -192,15 +192,13 @@ class FactorGraph:
         with Timer() as t:
             ig = self._maybe_itemgrid(sample_evidence)
             if ig is not None:
-                vals, c1 = ig.run(
+                vals, counts = ig.run(
                     self._next_seed(), burnin_epochs, epochs,
                     weight_value=np.asarray(self.state.weight_value),
                     x0=np.asarray(self.state.var_value))
-                tal = np.zeros(self.cg.n_vars, np.int64)
-                tal[:] = ig.plan.tally_new[ig.plan.perm]
                 cnt = np.asarray(self.state.count).copy()
-                cnt[:, 1] += c1
-                cnt[:, 0] += (epochs - c1) * tal
+                K = min(cnt.shape[1], counts.shape[1])
+                cnt[:, :K] += counts[:, :K]
                 import dataclasses as _dc
                 self.state = _dc.replace(
                     self.state,

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: fused chromatic Gibbs for ARBITRARY boolean graphs.
+"""Pallas TPU kernel: fused chromatic Gibbs for ARBITRARY factor graphs.
 
 The XLA work-item engine (ops/gibbs.py) expresses the sweep with gather /
 segment_sum primitives; on TPU those lower to serialized scalar loops
@@ -6,31 +6,32 @@ segment_sum primitives; on TPU those lower to serialized scalar loops
 kernel is the TPU-native design for the irregular case (SURVEY.md §7.3
 "irregular gather/scatter on TPU"):
 
-- variables renumbered COLOR-MAJOR so each color step's writes are one
+- variables renumbered COLOR-MAJOR (bandwidth-reduced by reverse
+  Cuthill–McKee when needed) so each color step's writes are one
   contiguous VMEM store (no scatter at all);
 - items in a ROW-DENSE (row, slot) layout so potential accumulation is a
   sum over a static axis (no segment_sum);
 - the only irregular access — reading factor-argument values — becomes a
-  windowed two-step one-hot gather: a (W/128-wide) row-select matmul on
-  the MXU followed by a lane-select reduction on the VPU. Windows exist
-  because the compiler renumbers variables for locality, so a block of
-  rows only references a bounded span of the value array;
-- state (values + tallies) stays VMEM-resident across ALL epochs; item
-  tables stream from HBM as ONE packed DMA per row block; sampling uses
-  the hardware PRNG (pltpu.prng_random_bits).
+  windowed two-step one-hot gather: a row-select matmul on the MXU
+  followed by a lane-select reduction on the VPU;
+- state (both chains, weights, per-value tallies) stays VMEM-resident
+  across ALL epochs; item tables stream from HBM as ONE packed DMA per
+  row block; sampling uses the hardware PRNG.
 
-Scope (v1): boolean variables (cardinality 2, dataType 0), boolean factor
-functions (IMPLY_NATURAL/OR/EQUAL/AND/ISTRUE/LINEAR/RATIO/LOGICAL/
-IMPLY_MLN), inference only (learning runs on the XLA engine). Graphs
-outside the envelope report a reason and fall back. Semantics match
-GibbsEngine: same potentials (reference numbskull/inference.py:55-71),
-same chromatic schedule, stationary marginals agree.
+Coverage: boolean AND categorical variables (cardinality <= K_MAX_SUP),
+24 of the 25 reference factor functions (all boolean, all categorical,
+all data-programming generative factors; FUNC_UFO — a distributed
+support factor — stays on the XLA engine), inference AND dual-chain SGD
+learning. Graphs outside the envelope report a reason and the caller
+falls back to ops/gibbs.GibbsEngine. Semantics match GibbsEngine: same
+potentials (reference numbskull/inference.py:55-71), same vmap slot
+logic for categorical adjacency (reference dataloading.py:16-81), same
+chromatic schedule; stationary marginals agree.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -41,14 +42,14 @@ from jax.experimental.pallas import tpu as pltpu
 from numbskull_tpu import types as T
 from numbskull_tpu.compile import CompiledGraph
 
-BOOL_FUNCS = (T.FUNC_NOOP, T.FUNC_IMPLY_NATURAL, T.FUNC_OR, T.FUNC_EQUAL,
-              T.FUNC_AND, T.FUNC_ISTRUE, T.FUNC_LINEAR, T.FUNC_RATIO,
-              T.FUNC_LOGICAL, T.FUNC_IMPLY_MLN)
+SUPPORTED_FUNCS = tuple(
+    code for name, code in T.FACTORS.items() if name != "UFO")
 
 RB = 2048            # rows per block (multiple of 128)
 W_MAX = 16384        # max window span (multiple of 128)
 D_MAX = 32           # max items per row
 A_MAX = 8            # max factor arity
+K_MAX_SUP = 8        # max variable cardinality
 V_MAX = 4 << 20      # max padded variables (VMEM budget)
 COLOR_MAX = 8
 
@@ -57,9 +58,31 @@ def _ceil(a, m):
     return -(-a // m) * m
 
 
+class _Layout:
+    """Packed-block row layout (all int32; floats bitcast)."""
+
+    def __init__(self, D: int, A: int):
+        self.D, self.A = D, A
+        DA = D * A
+        self.off = 0              # DA rows: arg offsets within window
+        self.eq = DA              # DA rows: dense_equal_to per arg
+        self.acard = 2 * DA       # DA rows: cardinality per arg
+        self.fta = 3 * DA         # D rows: (ftype+1) | arity<<8
+        self.wbake = 3 * DA + D   # D rows: baked w[wid] bits (inference)
+        self.sbits = 3 * DA + 2 * D   # D rows: subst bitmask over args
+        self.wid = 3 * DA + 3 * D     # D rows: weight ids
+        self.fv = 3 * DA + 4 * D      # D rows: featureValue bits
+        self.dd = 3 * DA + 5 * D      # D rows: slot d1 | d2<<8
+        self.upd = 3 * DA + 6 * D     # free-chain update mask
+        self.upd_e = self.upd + 1     # clamped-chain update mask
+        self.lrn = self.upd + 2       # evidence rows (gradient mask)
+        self.rowmeta = self.upd + 3   # row card | dataType<<8
+        self.rows = _ceil(self.upd + 4, 8)
+
+
 @dataclasses.dataclass
 class _ColorPack:
-    packed: np.ndarray      # (num_rb, ROWS, RB) int32 — see _pack_rows
+    packed: np.ndarray      # (num_rb, layout.rows, RB) int32
     wrow: np.ndarray        # (num_rb,) int32 window start / 128
     num_rb: int
     D: int
@@ -75,6 +98,7 @@ class ItemGridPlan:
     perm: np.ndarray        # (V,) original vid -> renumbered slot
     vp: int                 # padded renumbered size (multiple of 128)
     n_vars: int
+    kmax: int               # max cardinality (static K loop bound)
     init_new: np.ndarray    # (vp,) int32 initial values (renumbered)
     tally_new: np.ndarray   # (vp,) int32 tally mask (renumbered)
     n_weights: int = 0
@@ -117,7 +141,6 @@ def _rcm_rank(n_vars: int, edges_u: np.ndarray,
                 nbrs = nbrs[np.argsort(deg[nbrs], kind="stable")]
                 visited[nbrs] = True
                 order[pos:pos + len(nbrs)] = nbrs
-                pos += len(nbrs)
     rank = np.empty(n_vars, np.int64)
     rank[order[::-1]] = np.arange(n_vars)
     return rank
@@ -131,10 +154,9 @@ def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True):
     Tries the natural variable order first; if a window overflows, tries
     again with a reverse-Cuthill–McKee bandwidth-reducing order.
     """
-    plan, reason = _plan_item_grid_ranked(cg, sample_evidence, None)
+    plan, reason = _plan_ranked(cg, sample_evidence, None)
     if plan is not None or "window span" not in (reason or ""):
         return plan, reason
-    # second chance: RCM reorder
     eu, ev = [], []
     for p in cg.plans:
         iv = p.it_valid
@@ -146,25 +168,23 @@ def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True):
     eu = np.concatenate(eu) if eu else np.zeros(0, np.int64)
     ev = np.concatenate(ev) if ev else np.zeros(0, np.int64)
     rank = _rcm_rank(cg.n_vars, eu, ev)
-    plan2, reason2 = _plan_item_grid_ranked(cg, sample_evidence, rank)
+    plan2, _ = _plan_ranked(cg, sample_evidence, rank)
     return (plan2, None) if plan2 is not None else (None, reason)
 
 
-def _plan_item_grid_ranked(cg: CompiledGraph, sample_evidence: bool,
-                           rank):
-    if not (np.asarray(cg.var_card) == 2).all():
-        return None, "non-boolean cardinality"
-    if not (np.asarray(cg.var_dtype) == 0).all():
-        return None, "categorical dataType"
+def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank):
+    kmax = int(np.asarray(cg.var_card).max()) if cg.n_vars else 1
+    if kmax > K_MAX_SUP:
+        return None, "cardinality %d > %d" % (kmax, K_MAX_SUP)
     if cg.n_colors > COLOR_MAX:
         return None, "too many colors (%d)" % cg.n_colors
 
     isev = np.asarray(cg.var_isev)
+    cards = np.asarray(cg.var_card).astype(np.int64)
+    dtypes = np.asarray(cg.var_dtype).astype(np.int64)
     upd_ok = (isev == 0) | (sample_evidence & (isev == 1))
     tally_ok = upd_ok.copy()
 
-    # renumber: color-major (optionally rank-ordered within each color),
-    # each color padded to RB
     starts, vp = [], 0
     for p in cg.plans:
         starts.append(vp)
@@ -175,10 +195,8 @@ def _plan_item_grid_ranked(cg: CompiledGraph, sample_evidence: bool,
     row_orders = []
     for p, s in zip(cg.plans, starts):
         vids = p.cv_vid[p.cv_valid].astype(np.int64)
-        if rank is not None:
-            ro = np.argsort(rank[vids], kind="stable")
-        else:
-            ro = np.arange(len(vids))
+        ro = (np.argsort(rank[vids], kind="stable") if rank is not None
+              else np.arange(len(vids)))
         row_orders.append(ro)
         perm[vids[ro]] = s + np.arange(len(vids))
     assert (perm >= 0).all()
@@ -197,6 +215,7 @@ def _plan_item_grid_ranked(cg: CompiledGraph, sample_evidence: bool,
         num_rb = R // RB
         inv_ro = np.empty(n_rows, np.int64)
         inv_ro[ro] = np.arange(n_rows)
+        vids_ranked = p.cv_vid[p.cv_valid].astype(np.int64)[ro]
 
         it_valid = p.it_valid
         rows = p.it_row[it_valid].astype(np.int64)
@@ -207,45 +226,51 @@ def _plan_item_grid_ranked(cg: CompiledGraph, sample_evidence: bool,
         avalid = p.it_args_valid[it_valid]
 
         pres = tuple(sorted(set(int(t) for t in np.unique(ftype))))
-        if any(t not in BOOL_FUNCS for t in pres):
+        if any(t not in SUPPORTED_FUNCS and t != T.FUNC_NOOP
+               for t in pres):
             return None, "unsupported factor function in color"
         if len(arity) and int(arity.max()) > A_MAX:
             return None, "arity > %d" % A_MAX
 
-        # per-row slot index (items are sorted by row)
         counts = np.bincount(rows, minlength=n_rows) if len(rows) else \
             np.zeros(n_rows, np.int64)
-        D = int(counts.max()) if len(counts) else 1
-        D = max(D, 1)
+        D = max(int(counts.max()) if len(counts) else 1, 1)
         if D > D_MAX:
             return None, "max row degree %d > %d" % (D, D_MAX)
-        A = int(avid.shape[1]) if len(rows) else 1
-        A = max(min(A, A_MAX), 1)
+        A = max(min(int(avid.shape[1]) if len(rows) else 1, A_MAX), 1)
 
-        # dense (R, D) grids; subst slots and padding carry offset 0 and
-        # an explicit subst/ignore mask (their gathered value is replaced
-        # by the candidate / masked by arity)
+        # dense (R, D[, A]) grids; subst slots and padding carry offset 0
+        # and an explicit subst mask (replaced by the candidate / masked
+        # by arity)
         g_ftype = np.full((R, D), -1, np.int64)              # NOOP pad
         g_arity = np.ones((R, D), np.int64)
         g_wid = np.zeros((R, D), np.int64)
+        g_fv = np.zeros((R, D), np.float32)
+        g_dd = np.zeros((R, D), np.int64)
         g_off = np.zeros((R, D, A), np.int64)
+        g_eq = np.zeros((R, D, A), np.int64)
+        g_acard = np.ones((R, D, A), np.int64)
         g_subst = np.zeros((R, D, A), bool)
         g_fetch = np.zeros((R, D, A), bool)
         if len(rows):
             slot = np.arange(len(rows)) - np.concatenate(
                 ([0], np.cumsum(counts)[:-1]))[rows]
-            nrows_i = inv_ro[rows]           # rows in the ranked order
-            g_ftype[nrows_i, slot] = ftype
-            g_arity[nrows_i, slot] = arity
-            g_wid[nrows_i, slot] = wid
+            nr = inv_ro[rows]
+            g_ftype[nr, slot] = ftype
+            g_arity[nr, slot] = arity
+            g_wid[nr, slot] = wid
+            g_fv[nr, slot] = p.it_fv[it_valid].astype(np.float32)
+            g_dd[nr, slot] = (p.it_d1[it_valid].astype(np.int64) |
+                              (p.it_d2[it_valid].astype(np.int64) << 8))
             subst = p.it_subst[it_valid][:, :A]
             fetch = avalid[:, :A] & ~subst
-            g_off[nrows_i, slot, :] = np.where(fetch, perm[avid[:, :A]], 0)
-            g_subst[nrows_i, slot, :] = subst
-            g_fetch[nrows_i, slot, :] = fetch
+            g_off[nr, slot, :] = np.where(fetch, perm[avid[:, :A]], 0)
+            g_eq[nr, slot, :] = p.it_args_eq[it_valid][:, :A]
+            g_acard[nr, slot, :] = p.it_args_card[it_valid][:, :A]
+            g_subst[nr, slot, :] = subst
+            g_fetch[nr, slot, :] = fetch
 
-        # per-block windows over genuinely fetched ids (subst slots are
-        # replaced by the candidate; padding is arity-masked)
+        # per-block windows over genuinely fetched ids
         blk = np.arange(R) // RB
         big = np.iinfo(np.int64).max
         lo = np.full(num_rb, big)
@@ -261,82 +286,79 @@ def _plan_item_grid_ranked(cg: CompiledGraph, sample_evidence: bool,
         if Wc > W_MAX:
             return None, "window span %d > %d (graph lacks locality)" % \
                 (Wc, W_MAX)
-        base = np.minimum(base, vp - Wc)                     # stay in range
-        base = np.maximum(base, 0)
+        base = np.minimum(np.maximum(base, 0), vp - Wc)
         if ((hi - base) >= Wc).any():
             return None, "window overflow after clamping"
-
         g_off = np.where(g_fetch, g_off - base[blk][:, None, None], 0)
         assert (g_off >= 0).all() and (g_off < Wc).all()
 
-        # pack rows (layout helpers in _Layout):
-        #   [0:DA)          arg offsets within the window
-        #   [DA:DA+D)       ftype+1 | arity<<8
-        #   [DA+D:DA+2D)    baked w[wid] bits (inference; per weight set)
-        #   [DA+2D:DA+3D)   subst bitmask over args
-        #   [DA+3D:DA+4D)   weight ids (learning)
-        #   [DA+4D:DA+5D)   featureValue bits (learning)
-        #   [DA+5D]         upd   — free-chain update mask
-        #   [DA+5D+1]       upd_e — clamped-chain update mask (isev==0)
-        #   [DA+5D+2]       lrn_e — evidence rows (gradient mask)
+        L = _Layout(D, A)
         DA = D * A
-        ROWS = _ceil(DA + 5 * D + 3, 8)   # sublane-aligned for DMA slices
-        packed = np.zeros((num_rb, ROWS, RB), np.int32)
+        packed = np.zeros((num_rb, L.rows, RB), np.int32)
 
-        def put_rd(dst_row, grid):    # (R, D) -> packed rows
-            packed[:, dst_row:dst_row + D] = \
+        def put_da(row0, grid):       # (R, D, A) -> packed rows
+            g = grid.reshape(num_rb, RB, D, A).transpose(0, 2, 3, 1)
+            packed[:, row0:row0 + DA] = g.reshape(num_rb, DA, RB)
+
+        def put_d(row0, grid):        # (R, D) -> packed rows
+            packed[:, row0:row0 + D] = \
                 grid.reshape(num_rb, RB, D).transpose(0, 2, 1)
 
-        off_rb = g_off.reshape(num_rb, RB, D, A).transpose(0, 2, 3, 1)
-        packed[:, :DA] = off_rb.reshape(num_rb, DA, RB)
-        put_rd(DA, (g_ftype + 1) | (g_arity << 8))
-        sbits = (g_subst.astype(np.int64) <<
-                 np.arange(A, dtype=np.int64)[None, None, :]).sum(-1)
-        put_rd(DA + 2 * D, sbits)
-        put_rd(DA + 3 * D, g_wid)
-        g_fv = np.zeros((R, D), np.float32)
-        if len(rows):
-            g_fv[rows, slot] = p.it_fv[it_valid].astype(np.float32)
-        put_rd(DA + 4 * D, g_fv.view(np.int32))
+        def put_1(row0, vec):         # (R,) -> packed row
+            packed[:, row0] = vec.reshape(num_rb, RB)
+
+        put_da(L.off, g_off)
+        put_da(L.eq, g_eq)
+        put_da(L.acard, g_acard)
+        put_d(L.fta, (g_ftype + 1) | (g_arity << 8))
+        sb = (g_subst.astype(np.int64) <<
+              np.arange(A, dtype=np.int64)[None, None, :]).sum(-1)
+        put_d(L.sbits, sb)
+        put_d(L.wid, g_wid)
+        put_d(L.fv, g_fv.view(np.int32).astype(np.int64))
+        put_d(L.dd, g_dd)
         isev_c = np.zeros(R, np.int64)
         valid_c = np.zeros(R, bool)
-        isev_c[:n_rows] = isev[p.cv_vid[p.cv_valid].astype(np.int64)[ro]]
+        meta_c = np.ones(R, np.int64)         # pad rows: card 1, dtype 0
+        isev_c[:n_rows] = isev[vids_ranked]
         valid_c[:n_rows] = True
-        packed[:, DA + 5 * D] = \
-            upd_new[start:start + R].reshape(num_rb, RB)
-        packed[:, DA + 5 * D + 1] = \
-            (valid_c & (isev_c == 0)).reshape(num_rb, RB)
-        packed[:, DA + 5 * D + 2] = \
-            (valid_c & (isev_c == 1)).reshape(num_rb, RB)
+        meta_c[:n_rows] = cards[vids_ranked] | (dtypes[vids_ranked] << 8)
+        put_1(L.upd, upd_new[start:start + R].astype(np.int64))
+        put_1(L.upd_e, (valid_c & (isev_c == 0)).astype(np.int64))
+        put_1(L.lrn, (valid_c & (isev_c == 1)).astype(np.int64))
+        put_1(L.rowmeta, meta_c)
 
-        colors.append(_ColorPack(
-            packed=packed, wrow=(base // 128).astype(np.int32),
-            num_rb=num_rb, D=D, A=A, Wc=Wc, start=start,
-            present=pres, ))
-        # stash for weight fill
-        colors[-1]._g_wid = g_wid.reshape(num_rb, RB, D).transpose(0, 2, 1)
+        cp = _ColorPack(packed=packed,
+                        wrow=(base // 128).astype(np.int32),
+                        num_rb=num_rb, D=D, A=A, Wc=Wc, start=start,
+                        present=pres)
+        cp._g_wid = g_wid.reshape(num_rb, RB, D).transpose(0, 2, 1)
+        colors.append(cp)
 
     return ItemGridPlan(colors=colors, perm=perm, vp=vp,
-                        n_vars=cg.n_vars, init_new=init_new,
+                        n_vars=cg.n_vars, kmax=kmax, init_new=init_new,
                         tally_new=tally_new, n_weights=cg.n_weights), None
 
 
 def fill_weights(plan: ItemGridPlan, weight_value: np.ndarray):
-    """Bake w[wid] into each color's packed block (weights change only
-    between runs; potentials use w * eval, reference inference.py:66-70)."""
+    """Bake w[wid] into each color's packed block (inference path only;
+    potentials use w * eval, reference inference.py:66-70)."""
     wv = np.asarray(weight_value, np.float32)
     for c in plan.colors:
-        DA = c.D * c.A
+        L = _Layout(c.D, c.A)
         wslab = wv[c._g_wid]                       # (num_rb, D, RB) f32
-        c.packed[:, DA + c.D:DA + 2 * c.D] = wslab.view(np.int32)
+        c.packed[:, L.wbake:L.wbake + c.D] = wslab.view(np.int32)
 
 
-def _eval_bool(present, ftype, arity, vals, A):
-    """Vectorized boolean factor evaluation on (1, RB)-shaped slabs.
+# --------------------------------------------------------------------------
+# factor evaluation (full reference set; golden.eval_factor parity)
 
-    Parity with golden.eval_factor's boolean branch (reference
-    numbskull/inference.py:156-260); vals is a list of A (1, RB) int32.
-    """
+def _eval_all(present, ftype, arity, vals, eqs, cards, A):
+    """Vectorized factor evaluation on (1, RB)-shaped slabs.
+
+    Parity with golden.eval_factor (reference numbskull/inference.py:
+    149-413) for every function except FUNC_UFO. vals/eqs/cards are
+    lists of A (1, RB) int32 slabs (hypothetical already substituted)."""
     f32 = jnp.float32
     avalid = [(jnp.int32(a) < arity) for a in range(A)]
     head_pos = arity - 1
@@ -345,20 +367,35 @@ def _eval_bool(present, ftype, arity, vals, A):
         acc = init
         for a in range(A):
             m = avalid[a] if not body_only else (jnp.int32(a) < head_pos)
-            acc = fn(acc, m, vals[a])
+            acc = fn(acc, m, a)
         return acc
 
-    n_zero = red(lambda s, m, v: s + jnp.where(m & (v == 0), 1, 0), 0)
-    n_one = red(lambda s, m, v: s + jnp.where(m & (v == 1), 1, 0), 0)
+    n_zero = red(lambda s, m, a: s + jnp.where(m & (vals[a] == 0), 1, 0),
+                 0)
+    n_one = red(lambda s, m, a: s + jnp.where(m & (vals[a] == 1), 1, 0),
+                0)
     head = 0
+    head_eq = 0
     for a in range(A):
-        head = jnp.where(jnp.int32(a) == head_pos, vals[a], head)
+        at_head = jnp.int32(a) == head_pos
+        head = jnp.where(at_head, vals[a], head)
+        head_eq = jnp.where(at_head, eqs[a], head_eq)
     v0 = vals[0]
-    n_diff0 = red(lambda s, m, v: s + jnp.where(m & (v != v0), 1, 0), 0)
-    n_head_eq = red(lambda s, m, v: s + jnp.where(m & (v == head), 1, 0),
-                    0, body_only=True)
-    n_body_zero = red(lambda s, m, v: s + jnp.where(m & (v == 0), 1, 0),
-                      0, body_only=True)
+    n_diff0 = red(lambda s, m, a: s + jnp.where(m & (vals[a] != v0), 1, 0),
+                  0)
+    n_head_eq = red(
+        lambda s, m, a: s + jnp.where(m & (vals[a] == head), 1, 0),
+        0, body_only=True)
+    n_body_zero = red(
+        lambda s, m, a: s + jnp.where(m & (vals[a] == 0), 1, 0),
+        0, body_only=True)
+    n_neq_eq = red(
+        lambda s, m, a: s + jnp.where(m & (vals[a] != eqs[a]), 1, 0), 0)
+    n_eq_eq = red(
+        lambda s, m, a: s + jnp.where(m & (vals[a] == eqs[a]), 1, 0), 0)
+    n_body_neq_eq = red(
+        lambda s, m, a: s + jnp.where(m & (vals[a] != eqs[a]), 1, 0),
+        0, body_only=True)
 
     one, neg, zero = f32(1), f32(-1), f32(0)
     headf = head.astype(f32)
@@ -383,19 +420,71 @@ def _eval_bool(present, ftype, arity, vals, A):
             val = jnp.where(n_head_eq > 0, one, zero)
         elif t == T.FUNC_IMPLY_MLN:
             val = jnp.where(n_body_zero > 0, one, headf)
-        else:  # pragma: no cover - guarded by plan_item_grid
+        elif t in (T.FUNC_AND_CAT, T.FUNC_EQUAL_CAT_CONST):
+            val = jnp.where(n_neq_eq > 0, zero, one)
+        elif t == T.FUNC_OR_CAT:
+            val = jnp.where(n_eq_eq > 0, one, neg)
+        elif t == T.FUNC_IMPLY_NATURAL_CAT:
+            val = jnp.where(n_body_neq_eq > 0, zero,
+                            jnp.where(head == head_eq, one, neg))
+        elif t == T.FUNC_IMPLY_MLN_CAT:
+            val = jnp.where(n_body_neq_eq > 0, one,
+                            jnp.where(head == head_eq, one, zero))
+        elif t == T.FUNC_DP_GEN_CLASS_PRIOR:
+            val = jnp.where(vals[0] == 1, one, neg)
+        elif t == T.FUNC_DP_GEN_LF_PRIOR:
+            val = jnp.where(vals[0] == 2, neg,
+                            jnp.where(vals[0] == 0, zero, one))
+        elif t == T.FUNC_DP_GEN_LF_PROPENSITY:
+            val = jnp.where(vals[0] == cards[0] - 1, zero, one)
+        elif t == T.FUNC_DP_GEN_LF_ACCURACY:
+            val = jnp.where(vals[1] == cards[1] - 1, zero,
+                            jnp.where(vals[0] == vals[1], one, neg))
+        elif t == T.FUNC_DP_GEN_LF_CLASS_PROPENSITY:
+            val = jnp.where(vals[1] == cards[1] - 1, zero,
+                            jnp.where(vals[0] == 1, one, neg))
+        elif t == T.FUNC_DP_GEN_DEP_FIXING and A >= 3:
+            y, l1, l2 = vals[0], vals[1], vals[2]
+            ab = jnp.where(l1 == cards[1] - 1,
+                           jnp.where(l2 != 1, neg, zero), zero)
+            hit = ((l1 == 0) & (l2 == 1) & (y == 1)) | \
+                  ((l1 == 1) & (l2 == 0) & (y == 0))
+            val = jnp.where(l1 == cards[1] - 1, ab,
+                            jnp.where(hit, one, zero))
+        elif t == T.FUNC_DP_GEN_DEP_REINFORCING and A >= 3:
+            y, l1, l2 = vals[0], vals[1], vals[2]
+            ab = jnp.where(l1 == cards[1] - 1,
+                           jnp.where(l2 != 1, neg, zero), zero)
+            hit = ((l1 == 0) & (l2 == 0) & (y == 0)) | \
+                  ((l1 == 1) & (l2 == 1) & (y == 1))
+            val = jnp.where(l1 == cards[1] - 1, ab,
+                            jnp.where(hit, one, zero))
+        elif t == T.FUNC_DP_GEN_DEP_EXCLUSIVE:
+            ab = cards[0] - 1
+            val = jnp.where((vals[0] == ab) | (vals[1] == ab), zero, neg)
+        elif t == T.FUNC_DP_GEN_DEP_SIMILAR:
+            val = jnp.where(vals[0] == vals[1], one, zero)
+        else:  # pragma: no cover - guarded by _plan_ranked
             val = zero
         out = jnp.where(ftype == jnp.int32(t), val, out)
     return out
 
 
-def _gather(win, off, sub_iota, lane_iota):
-    """Two-step one-hot gather: win[(off>>7, off&127)] for each item.
+def _eval_bool(present, ftype, arity, vals, A):
+    """Back-compat shim (boolean graphs: eq=0, card=2)."""
+    z = [jnp.zeros_like(vals[0]) for _ in range(A)]
+    c = [jnp.full_like(vals[0], 2) for _ in range(A)]
+    return _eval_all(present, ftype, arity, vals, z, c, A)
 
-    win: (Wr, 128) f32; off: (1, RB) int32; sub_iota: (Wr, RB);
-    lane_iota: (128, RB). Returns (1, RB) f32. Row select is an MXU
-    matmul; lane select is a VPU sublane reduction.
-    """
+
+# --------------------------------------------------------------------------
+# kernel helpers
+
+def _gather(win, off, sub_iota, lane_iota):
+    """Two-step one-hot gather: win[(off>>7, off&127)] per item.
+
+    win: (Wr, 128) f32; off: (1, RB) int32. Row select is an MXU matmul;
+    lane select is a VPU sublane reduction. Returns (1, RB) f32."""
     roh = (sub_iota == (off >> 7)).astype(jnp.float32)
     rows_sel = jax.lax.dot_general(
         win, roh, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -410,9 +499,100 @@ def _uniform(shape):
         jnp.float32(1.0 / (1 << 24))
 
 
+def _draw(pots, card, kmax):
+    """Masked inverse-CDF draw over k < card from unnormalized
+    log-potentials (reference inference.py:36-52; ops/sample.py parity).
+    pots: list of kmax (1, RB); card: (1, RB). Returns (1, RB) int32."""
+    m = pots[0]
+    for k in range(1, kmax):
+        m = jnp.where((jnp.int32(k) < card) & (pots[k] > m), pots[k], m)
+    zs = [jnp.where(jnp.int32(k) < card, jnp.exp(pots[k] - m), 0.0)
+          for k in range(kmax)]
+    total = zs[0]
+    for k in range(1, kmax):
+        total = total + zs[k]
+    u = _uniform(zs[0].shape) * total
+    csum = jnp.zeros_like(total)
+    val = jnp.zeros_like(card)
+    for k in range(kmax):
+        csum = csum + zs[k]
+        val = val + (csum < u).astype(jnp.int32)
+    return jnp.minimum(val, card - 1)
+
+
+def _block_terms(pk, L, win_list, sub_iota, lane_iota, w_of=None):
+    """Shared per-block item decode + gathers.
+
+    Returns a list of per-d dicts with ftype/arity/dd/eq/cards/w/fv and
+    per-chain gathered arg values + subst masks. ``win_list`` is a list
+    of chain windows. ``w_of(wid)`` yields per-item weights from the
+    live weight vector (learning); when None, the baked per-run weights
+    are read from the block (inference)."""
+    D, A = L.D, L.A
+    out = []
+    for d in range(D):
+        fta = pk[L.fta + d:L.fta + d + 1, :]
+        term = dict(
+            ftype=(fta & 0xFF) - 1,
+            arity=fta >> 8,
+            sbits=pk[L.sbits + d:L.sbits + d + 1, :],
+            wid=pk[L.wid + d:L.wid + d + 1, :],
+            fv=pltpu.bitcast(pk[L.fv + d:L.fv + d + 1, :], jnp.float32),
+            dd=pk[L.dd + d:L.dd + d + 1, :],
+            eqs=[pk[L.eq + d * A + a:L.eq + d * A + a + 1, :]
+                 for a in range(A)],
+            cards=[pk[L.acard + d * A + a:L.acard + d * A + a + 1, :]
+                   for a in range(A)],
+        )
+        if w_of is not None:
+            term["w"] = w_of(term["wid"])
+        else:
+            term["w"] = pltpu.bitcast(
+                pk[L.wbake + d:L.wbake + d + 1, :], jnp.float32)
+        term["sub"] = [(term["sbits"] & (1 << a)) != 0 for a in range(A)]
+        gats = []
+        for win in win_list:
+            gats.append([
+                _gather(win, pk[L.off + d * A + a:L.off + d * A + a + 1,
+                                :], sub_iota, lane_iota).astype(jnp.int32)
+                for a in range(A)])
+        term["gat"] = gats
+        out.append(term)
+    return out
+
+
+def _potentials(terms, present, A, kmax, rowmeta, chain_idx):
+    """Per-candidate potentials (list of kmax (1, RB)) honoring the vmap
+    slot semantics: dense rows contribute to every k < card, categorical
+    rows only at their d1/d2 slots (reference dataloading.py:34-46;
+    ops/gibbs.color_potentials contrib_ok)."""
+    card = rowmeta & 0xFF
+    dense = (rowmeta >> 8) == 0
+    pots = [jnp.zeros_like(terms[0]["w"]) for _ in range(kmax)]
+    for t in terms:
+        d1 = t["dd"] & 0xFF
+        d2 = t["dd"] >> 8
+        for k in range(kmax):
+            vals = [jnp.where(t["sub"][a], jnp.int32(k),
+                              t["gat"][chain_idx][a]) for a in range(A)]
+            e = _eval_all(present, t["ftype"], t["arity"], vals,
+                          t["eqs"], t["cards"], A)
+            ok_dense = dense & (jnp.int32(k) < card)
+            ok_cat = (~dense) & ((jnp.int32(k) == d1) |
+                                 (jnp.int32(k) == d2))
+            okf = (ok_dense | ok_cat).astype(jnp.float32)
+            pots[k] = pots[k] + okf * t["w"] * e
+    return pots
+
+
+# --------------------------------------------------------------------------
+# kernels
+
 def _make_kernel(plan: ItemGridPlan):
     vp = plan.vp
+    kmax = plan.kmax
     colors = plan.colors
+    vpr = vp // 128
 
     def kernel(seed_ref, burn_ref, epochs_ref, *refs):
         n_c = len(colors)
@@ -427,16 +607,17 @@ def _make_kernel(plan: ItemGridPlan):
 
         pltpu.prng_seed(seed_ref[0])
         x_out[:] = x_in[:]
-        count_out[:] = jnp.zeros((vp // 128, 128), jnp.int32)
-
+        count_out[:] = jnp.zeros((kmax * vpr, 128), jnp.int32)
         burn = burn_ref[0]
         total = burn + epochs_ref[0]
 
         def color_step(ci):
             c = colors[ci]
-            D, A, Wc = c.D, c.A, c.Wc
-            DA = D * A
+            L = _Layout(c.D, c.A)
             rbl = RB // 128
+            sub_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (c.Wc // 128, RB), 0)
+            lane_iota = jax.lax.broadcasted_iota(jnp.int32, (128, RB), 0)
 
             def rb_body(rb, _):
                 cp = pltpu.make_async_copy(
@@ -444,55 +625,31 @@ def _make_kernel(plan: ItemGridPlan):
                 cp.start()
                 cp.wait()
                 pk = pack_scr[ci]
-                wrow = wrow_refs[ci][rb]
-                win = x_out[pl.ds(wrow, Wc // 128), :].astype(
-                    jnp.float32)                       # (Wc/128, 128)
-                upd = pk[DA + 5 * D:DA + 5 * D + 1, :]       # (1, RB)
-
-                pot = [jnp.zeros((1, RB), jnp.float32) for _ in range(2)]
-                sub_iota = jax.lax.broadcasted_iota(
-                    jnp.int32, (Wc // 128, RB), 0)
-                lane_iota = jax.lax.broadcasted_iota(
-                    jnp.int32, (128, RB), 0)
-                for d in range(D):
-                    fta = pk[DA + d:DA + d + 1, :]           # (1, RB)
-                    ftype = (fta & 0xFF) - 1
-                    arity = fta >> 8
-                    w = pltpu.bitcast(
-                        pk[DA + D + d:DA + D + d + 1, :], jnp.float32)
-                    sbits = pk[DA + 2 * D + d:DA + 2 * D + d + 1, :]
-                    gathered = []
-                    substs = []
-                    for a in range(A):
-                        off = pk[d * A + a:d * A + a + 1, :]  # (1, RB)
-                        g = _gather(win, off, sub_iota, lane_iota)
-                        gathered.append(g.astype(jnp.int32))
-                        substs.append((sbits & (1 << a)) != 0)
-                    for k in range(2):
-                        vals = [jnp.where(substs[a], jnp.int32(k),
-                                          gathered[a]) for a in range(A)]
-                        e = _eval_bool(c.present, ftype, arity, vals, A)
-                        pot[k] = pot[k] + w * e
-
-                p1 = jax.nn.sigmoid(pot[1] - pot[0])
-                u = _uniform((1, RB))
-                new = (u < p1).astype(jnp.int32)        # (1, RB)
-
+                win = x_out[pl.ds(wrow_refs[ci][rb], c.Wc // 128),
+                            :].astype(jnp.float32)
+                upd = pk[L.upd:L.upd + 1, :]
+                rowmeta = pk[L.rowmeta:L.rowmeta + 1, :]
+                terms = _block_terms(pk, L, [win], sub_iota, lane_iota)
+                pots = _potentials(terms, c.present, c.A, kmax, rowmeta, 0)
+                new = _draw(pots, rowmeta & 0xFF, kmax)
                 row0 = c.start // 128 + rb * rbl
                 old = x_out[pl.ds(row0, rbl), :]
-                new2 = new.reshape(rbl, 128)
-                upd2 = upd.reshape(rbl, 128)
-                x_out[pl.ds(row0, rbl), :] = \
-                    jnp.where(upd2 == 1, new2, old)
+                x_out[pl.ds(row0, rbl), :] = jnp.where(
+                    upd.reshape(rbl, 128) == 1,
+                    new.reshape(rbl, 128), old)
                 return 0
 
             jax.lax.fori_loop(0, c.num_rb, rb_body, 0)
 
         def epoch_body(i, _):
-            for ci in range(n_c):
+            for ci in range(len(colors)):
                 color_step(ci)
             mult = (i >= burn).astype(jnp.int32)
-            count_out[:] = count_out[:] + x_out[:] * tally_in[:] * mult
+            for k in range(kmax):
+                hit = (x_out[:] == k).astype(jnp.int32)
+                count_out[pl.ds(k * vpr, vpr), :] = \
+                    count_out[pl.ds(k * vpr, vpr), :] + \
+                    hit * tally_in[:] * mult
             return 0
 
         jax.lax.fori_loop(0, total, epoch_body, 0)
@@ -502,12 +659,8 @@ def _make_kernel(plan: ItemGridPlan):
 
 def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
     """Dual-chain SGD fully in-kernel (reference learning.py:46-125 with
-    the batched per-color semantics of ops/gibbs._color_step_learn):
-    clamped + free chains advance together; per color step the gradient
-    (eval at free proposal − eval at clamped sample) × featureValue is
-    accumulated by weight id via a one-hot MXU reduction and the weight
-    vector (VMEM-resident) is updated with L1/L2 regularization."""
-    vp = plan.vp
+    the batched per-color semantics of ops/gibbs._color_step_learn)."""
+    kmax = plan.kmax
     colors = plan.colors
 
     def kernel(seed_ref, burn_ref, epochs_ref, step0_ref, decay_ref,
@@ -529,19 +682,20 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
         xe_out[:] = x_in[:]
         w_out[:] = w_in[:]
 
-        w_iota_rb = jax.lax.broadcasted_iota(jnp.int32, (wrows, RB), 0)
-        lane_iota_rb = jax.lax.broadcasted_iota(jnp.int32, (128, RB), 0)
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (wrows, RB), 0)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (128, RB), 0)
 
-        def sweep_chain(chain_ref):
-            """One inference-style sweep of the free chain (burn-in;
-            reference burn samples evidence, _run_learn burn_body)."""
+        def w_of(wid):
+            return _gather(w_out[:], wid, w_iota, lane_iota)
+
+        def sweep_free():
+            """One inference-style sweep of the free chain (burn-in)."""
             for ci in range(len(colors)):
                 c = colors[ci]
-                D, A, Wc = c.D, c.A, c.Wc
-                DA = D * A
+                L = _Layout(c.D, c.A)
                 rbl = RB // 128
                 sub_iota = jax.lax.broadcasted_iota(
-                    jnp.int32, (Wc // 128, RB), 0)
+                    jnp.int32, (c.Wc // 128, RB), 0)
 
                 def rb_body(rb, _):
                     cp = pltpu.make_async_copy(
@@ -549,36 +703,18 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
                     cp.start()
                     cp.wait()
                     pk = pack_scr[ci]
-                    win = chain_ref[pl.ds(wrow_refs[ci][rb], Wc // 128),
-                                    :].astype(jnp.float32)
-                    upd = pk[DA + 5 * D:DA + 5 * D + 1, :]
-                    pot = [jnp.zeros((1, RB), jnp.float32)
-                           for _ in range(2)]
-                    for d in range(D):
-                        fta = pk[DA + d:DA + d + 1, :]
-                        ftype = (fta & 0xFF) - 1
-                        arity = fta >> 8
-                        wid = pk[DA + 3 * D + d:DA + 3 * D + d + 1, :]
-                        w = _gather(w_out[:], wid, w_iota_rb, lane_iota_rb)
-                        sbits = pk[DA + 2 * D + d:DA + 2 * D + d + 1, :]
-                        gat, sub = [], []
-                        for a in range(A):
-                            off = pk[d * A + a:d * A + a + 1, :]
-                            gat.append(_gather(win, off, sub_iota,
-                                               lane_iota_rb)
-                                       .astype(jnp.int32))
-                            sub.append((sbits & (1 << a)) != 0)
-                        for k in range(2):
-                            vals = [jnp.where(sub[a], jnp.int32(k),
-                                              gat[a]) for a in range(A)]
-                            e = _eval_bool(c.present, ftype, arity,
-                                           vals, A)
-                            pot[k] = pot[k] + w * e
-                    p1 = jax.nn.sigmoid(pot[1] - pot[0])
-                    new = (_uniform((1, RB)) < p1).astype(jnp.int32)
+                    win = x_out[pl.ds(wrow_refs[ci][rb], c.Wc // 128),
+                                :].astype(jnp.float32)
+                    upd = pk[L.upd:L.upd + 1, :]
+                    rowmeta = pk[L.rowmeta:L.rowmeta + 1, :]
+                    terms = _block_terms(pk, L, [win], sub_iota,
+                                         lane_iota, w_of)
+                    pots = _potentials(terms, c.present, c.A, kmax,
+                                       rowmeta, 0)
+                    new = _draw(pots, rowmeta & 0xFF, kmax)
                     row0 = c.start // 128 + rb * rbl
-                    old = chain_ref[pl.ds(row0, rbl), :]
-                    chain_ref[pl.ds(row0, rbl), :] = jnp.where(
+                    old = x_out[pl.ds(row0, rbl), :]
+                    x_out[pl.ds(row0, rbl), :] = jnp.where(
                         upd.reshape(rbl, 128) == 1,
                         new.reshape(rbl, 128), old)
                     return 0
@@ -587,11 +723,10 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
 
         def learn_color(ci, step):
             c = colors[ci]
-            D, A, Wc = c.D, c.A, c.Wc
-            DA = D * A
+            L = _Layout(c.D, c.A)
             rbl = RB // 128
             sub_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (Wc // 128, RB), 0)
+                jnp.int32, (c.Wc // 128, RB), 0)
             gw_scr[:] = jnp.zeros((wrows, 128), jnp.float32)
             nw_scr[:] = jnp.zeros((wrows, 128), jnp.float32)
 
@@ -602,58 +737,26 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
                 cp.wait()
                 pk = pack_scr[ci]
                 wrow = wrow_refs[ci][rb]
-                win_p = x_out[pl.ds(wrow, Wc // 128), :].astype(
+                win_p = x_out[pl.ds(wrow, c.Wc // 128), :].astype(
                     jnp.float32)
-                win_e = xe_out[pl.ds(wrow, Wc // 128), :].astype(
+                win_e = xe_out[pl.ds(wrow, c.Wc // 128), :].astype(
                     jnp.float32)
-                upd = pk[DA + 5 * D:DA + 5 * D + 1, :]
-                upd_e = pk[DA + 5 * D + 1:DA + 5 * D + 2, :]
-                lrn_ev = pk[DA + 5 * D + 2:DA + 5 * D + 3, :]
+                upd = pk[L.upd:L.upd + 1, :]
+                upd_e = pk[L.upd_e:L.upd_e + 1, :]
+                lrn_ev = pk[L.lrn:L.lrn + 1, :]
+                rowmeta = pk[L.rowmeta:L.rowmeta + 1, :]
                 lrn = upd if lp.learn_non_evidence else lrn_ev
 
-                # gather args on both chains; potentials per candidate
-                pot_p = [jnp.zeros((1, RB), jnp.float32) for _ in range(2)]
-                pot_e = [jnp.zeros((1, RB), jnp.float32) for _ in range(2)]
-                per_d = []
-                for d in range(D):
-                    fta = pk[DA + d:DA + d + 1, :]
-                    ftype = (fta & 0xFF) - 1
-                    arity = fta >> 8
-                    wid = pk[DA + 3 * D + d:DA + 3 * D + d + 1, :]
-                    fv = pltpu.bitcast(
-                        pk[DA + 4 * D + d:DA + 4 * D + d + 1, :],
-                        jnp.float32)
-                    w = _gather(w_out[:], wid, w_iota_rb, lane_iota_rb)
-                    sbits = pk[DA + 2 * D + d:DA + 2 * D + d + 1, :]
-                    gat_p, gat_e, sub = [], [], []
-                    for a in range(A):
-                        off = pk[d * A + a:d * A + a + 1, :]
-                        gat_p.append(_gather(win_p, off, sub_iota,
-                                             lane_iota_rb)
-                                     .astype(jnp.int32))
-                        gat_e.append(_gather(win_e, off, sub_iota,
-                                             lane_iota_rb)
-                                     .astype(jnp.int32))
-                        sub.append((sbits & (1 << a)) != 0)
-                    for k in range(2):
-                        vp_ = [jnp.where(sub[a], jnp.int32(k), gat_p[a])
-                               for a in range(A)]
-                        ve_ = [jnp.where(sub[a], jnp.int32(k), gat_e[a])
-                               for a in range(A)]
-                        pot_p[k] = pot_p[k] + w * _eval_bool(
-                            c.present, ftype, arity, vp_, A)
-                        pot_e[k] = pot_e[k] + w * _eval_bool(
-                            c.present, ftype, arity, ve_, A)
-                    per_d.append((ftype, arity, wid, fv, sbits,
-                                  gat_p, gat_e, sub))
+                terms = _block_terms(pk, L, [win_p, win_e], sub_iota,
+                                     lane_iota, w_of)
+                pots_p = _potentials(terms, c.present, c.A, kmax,
+                                     rowmeta, 0)
+                pots_e = _potentials(terms, c.present, c.A, kmax,
+                                     rowmeta, 1)
+                card = rowmeta & 0xFF
+                e_samp = _draw(pots_e, card, kmax)
+                p_samp = _draw(pots_p, card, kmax)
 
-                # draw both chains; clamped chain keeps evidence pinned
-                e_samp = (_uniform((1, RB)) <
-                          jax.nn.sigmoid(pot_e[1] - pot_e[0])).astype(
-                              jnp.int32)
-                p_samp = (_uniform((1, RB)) <
-                          jax.nn.sigmoid(pot_p[1] - pot_p[0])).astype(
-                              jnp.int32)
                 row0 = c.start // 128 + rb * rbl
                 x_rows = x_out[pl.ds(row0, rbl), :].reshape(1, RB)
                 xe_rows = xe_out[pl.ds(row0, rbl), :].reshape(1, RB)
@@ -663,19 +766,27 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
                 xe_out[pl.ds(row0, rbl), :] = e_val.reshape(rbl, 128)
 
                 # gradient = eval(free @ proposal) - eval(clamped @
-                # evidence sample), times featureValue
-                for (ftype, arity, wid, fv, sbits, gat_p, gat_e,
-                     sub) in per_d:
-                    vp_ = [jnp.where(sub[a], p_val, gat_p[a])
-                           for a in range(A)]
-                    ve_ = [jnp.where(sub[a], e_val, gat_e[a])
-                           for a in range(A)]
-                    ev_p = _eval_bool(c.present, ftype, arity, vp_, A)
-                    ev_e = _eval_bool(c.present, ftype, arity, ve_, A)
-                    inc = (lrn == 1) & (ftype != -1)
-                    grad = jnp.where(inc, (ev_p - ev_e) * fv, 0.0)
-                    roh = (w_iota_rb == (wid >> 7)).astype(jnp.float32)
-                    loh = lane_iota_rb == (wid & 127)
+                # evidence sample), x featureValue; categorical items
+                # contribute only when a sampled value hits their slot
+                # (reference ops/gibbs._color_step_learn slot_hit)
+                dense = (rowmeta >> 8) == 0
+                for t in terms:
+                    vp_ = [jnp.where(t["sub"][a], p_val, t["gat"][0][a])
+                           for a in range(c.A)]
+                    ve_ = [jnp.where(t["sub"][a], e_val, t["gat"][1][a])
+                           for a in range(c.A)]
+                    ev_p = _eval_all(c.present, t["ftype"], t["arity"],
+                                     vp_, t["eqs"], t["cards"], c.A)
+                    ev_e = _eval_all(c.present, t["ftype"], t["arity"],
+                                     ve_, t["eqs"], t["cards"], c.A)
+                    d1 = t["dd"] & 0xFF
+                    d2 = t["dd"] >> 8
+                    hit = (d1 == e_val) | (d1 == p_val) | \
+                          (d2 == e_val) | (d2 == p_val)
+                    inc = (lrn == 1) & (t["ftype"] != -1) & (dense | hit)
+                    grad = jnp.where(inc, (ev_p - ev_e) * t["fv"], 0.0)
+                    roh = (w_iota == (t["wid"] >> 7)).astype(jnp.float32)
+                    loh = lane_iota == (t["wid"] & 127)
                     gw_scr[:] = gw_scr[:] + jax.lax.dot_general(
                         roh, jnp.where(loh, grad, 0.0),
                         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -710,7 +821,7 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
             w_out[:] = jnp.where(touched, w_new, w)
 
         def burn_body(i, _):
-            sweep_chain(x_out)
+            sweep_free()
             return 0
 
         jax.lax.fori_loop(0, burn_ref[0], burn_body, 0)
@@ -727,10 +838,12 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
     return kernel
 
 
-class PallasItemGridEngine:
-    """Fused general-graph Gibbs engine (boolean graphs).
+# --------------------------------------------------------------------------
 
-    Usage: eng = PallasItemGridEngine(cg); marg = eng.run(...)
+class PallasItemGridEngine:
+    """Fused general-graph Gibbs engine (inference + learning).
+
+    Usage: eng = PallasItemGridEngine(cg); vals, counts = eng.run(...)
     Raises ValueError with the reason when the graph is unsupported —
     callers fall back to GibbsEngine.
     """
@@ -750,7 +863,7 @@ class PallasItemGridEngine:
         plan = self.plan
         kernel = _make_kernel(plan)
         n_c = len(plan.colors)
-        vp = plan.vp
+        vp, kmax = plan.vp, plan.kmax
 
         in_specs = (
             [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 +      # seed/b/e
@@ -764,13 +877,14 @@ class PallasItemGridEngine:
                    for c in plan.colors]
         scratch.append(pltpu.SemaphoreType.DMA(()))
 
-        @functools.partial(jax.jit, static_argnames=())
+        @jax.jit
         def call(seed, burn, epochs, x0, tally, *packs):
             return pl.pallas_call(
                 kernel,
                 out_shape=(
                     jax.ShapeDtypeStruct((vp // 128, 128), jnp.int32),
-                    jax.ShapeDtypeStruct((vp // 128, 128), jnp.int32)),
+                    jax.ShapeDtypeStruct((kmax * vp // 128, 128),
+                                         jnp.int32)),
                 in_specs=in_specs,
                 out_specs=out_specs,
                 scratch_shapes=scratch,
@@ -829,24 +943,27 @@ class PallasItemGridEngine:
 
         return jax.jit(call), wrows
 
+    def _ensure_packs(self, wv: np.ndarray):
+        wkey = wv.tobytes()
+        if self._weights_for != wkey:
+            fill_weights(self.plan, wv)
+            self._packs = [jnp.asarray(c.packed) for c in self.plan.colors]
+            self._weights_for = wkey
+
     def learn(self, seed: int, burn: int, epochs: int, stepsize: float,
               decay: float = 1.0, lp=None, weight_value=None):
         """In-kernel dual-chain SGD; returns learned weights (W,) f32.
 
-        Matches ops/gibbs.GibbsEngine.learn semantics for boolean
-        graphs; the plan must have been built with sample_evidence=True
-        (the constructor default) so the free chain updates every owned
-        variable, as the reference's learning sweep does."""
+        Matches ops/gibbs.GibbsEngine.learn semantics; the plan must be
+        built with sample_evidence=True (constructor default) so the
+        free chain updates every owned variable, like the reference's
+        learning sweep."""
         from numbskull_tpu.ops.gibbs import LearnParams
         lp = lp or LearnParams()
         plan = self.plan
         wv = np.asarray(self.cg.weight_init if weight_value is None
                         else weight_value, np.float32)
-        # ensure packs exist (baked weight rows are ignored by this path)
-        if self._weights_for is None:
-            fill_weights(plan, wv)
-            self._packs = [jnp.asarray(c.packed) for c in plan.colors]
-            self._weights_for = wv.tobytes()
+        self._ensure_packs(wv)
         key = (lp,)
         if getattr(self, "_learn_for", None) != key:
             self._learn_call, self._wrows = self._build_learn_call(lp)
@@ -867,16 +984,12 @@ class PallasItemGridEngine:
 
     def run(self, seed: int, burn: int, epochs: int,
             weight_value=None, x0=None):
-        """Run burn + epochs sweeps; returns (values, counts) in ORIGINAL
-        variable order ((V,) int32, (V,) int32)."""
+        """Run burn + epochs sweeps; returns (values (V,), counts (V, K))
+        in ORIGINAL variable order."""
         plan = self.plan
         wv = np.asarray(self.cg.weight_init if weight_value is None
                         else weight_value, np.float32)
-        wkey = wv.tobytes()
-        if self._weights_for != wkey:
-            fill_weights(plan, wv)
-            self._packs = [jnp.asarray(c.packed) for c in plan.colors]
-            self._weights_for = wkey
+        self._ensure_packs(wv)
         if self._call is None:
             self._call = self._build_call()
 
@@ -889,8 +1002,9 @@ class PallasItemGridEngine:
             jnp.asarray([seed], jnp.int32), jnp.asarray([burn], jnp.int32),
             jnp.asarray([epochs], jnp.int32), x2d, t2d, *self._packs)
         x_flat = np.asarray(x_out).reshape(-1)[plan.perm]
-        c_flat = np.asarray(cnt).reshape(-1)[plan.perm]
-        return x_flat, c_flat
+        cnt = np.asarray(cnt).reshape(plan.kmax, plan.vp)
+        counts = cnt[:, plan.perm].T.copy()            # (V, K)
+        return x_flat, counts
 
     def marginals(self, counts: np.ndarray, epochs: int) -> np.ndarray:
         return counts.astype(np.float64) / float(max(epochs, 1))

@@ -52,7 +52,11 @@ def _random_bool_graph(seed, n_vars=24, n_factors=40, amax=4):
 
 def _replay_potentials(plan, weight_value, x_orig):
     """Replay the kernel's data path in numpy+jnp: unpack blocks, gather
-    through windows, evaluate with _eval_bool. Returns {vid: (pot0, pot1)}."""
+    through windows, evaluate with _eval_all, apply the vmap slot
+    semantics. Returns {vid: [pot_k for k in range(kmax)]}."""
+    from numbskull_tpu.ops.itemgrid_pallas import _Layout, _eval_all
+
+    K = plan.kmax
     x_new = np.zeros(plan.vp, np.int64)
     x_new[plan.perm] = x_orig
     inv = np.full(plan.vp, -1, np.int64)
@@ -60,34 +64,47 @@ def _replay_potentials(plan, weight_value, x_orig):
     out = {}
     for c in plan.colors:
         D, A = c.D, c.A
-        DA = D * A
+        L = _Layout(D, A)
         for rb in range(c.num_rb):
             pk = c.packed[rb]
             base = int(c.wrow[rb]) * 128
             win = x_new[base:base + c.Wc]
-            pots = [np.zeros(RB), np.zeros(RB)]
+            rowmeta = pk[L.rowmeta].astype(np.int64)
+            card = rowmeta & 0xFF
+            dense = (rowmeta >> 8) == 0
+            pots = [np.zeros(RB) for _ in range(K)]
             for d in range(D):
-                fta = pk[DA + d].astype(np.int64)
+                fta = pk[L.fta + d].astype(np.int64)
                 ftype = jnp.asarray((fta & 0xFF) - 1,
                                     jnp.int32).reshape(1, RB)
                 arity = jnp.asarray(fta >> 8, jnp.int32).reshape(1, RB)
-                wgt = pk[DA + D + d].view(np.float32)
-                sbits = pk[DA + 2 * D + d]
-                offs = [pk[d * A + a] for a in range(A)]
-                for k in (0, 1):
+                wgt = pk[L.wbake + d].view(np.float32)
+                sbits = pk[L.sbits + d]
+                dd = pk[L.dd + d].astype(np.int64)
+                d1, d2 = dd & 0xFF, dd >> 8
+                offs = [pk[L.off + d * A + a] for a in range(A)]
+                eqs = [jnp.asarray(pk[L.eq + d * A + a],
+                                   jnp.int32).reshape(1, RB)
+                       for a in range(A)]
+                crds = [jnp.asarray(pk[L.acard + d * A + a],
+                                    jnp.int32).reshape(1, RB)
+                        for a in range(A)]
+                for k in range(K):
                     vals = []
                     for a in range(A):
                         g = win[offs[a]]
                         sub = (sbits & (1 << a)) != 0
                         vals.append(jnp.asarray(
                             np.where(sub, k, g), jnp.int32).reshape(1, RB))
-                    e = np.asarray(_eval_bool(c.present, ftype, arity,
-                                              vals, A)).reshape(RB)
-                    pots[k] = pots[k] + wgt * e
+                    e = np.asarray(_eval_all(c.present, ftype, arity,
+                                             vals, eqs, crds,
+                                             A)).reshape(RB)
+                    ok = np.where(dense, k < card, (k == d1) | (k == d2))
+                    pots[k] = pots[k] + np.where(ok, wgt * e, 0.0)
             for lane in range(RB):
                 vid = inv[c.start + rb * RB + lane]
                 if vid >= 0:
-                    out[int(vid)] = (pots[0][lane], pots[1][lane])
+                    out[int(vid)] = [pots[k][lane] for k in range(K)]
     return out
 
 
@@ -153,6 +170,63 @@ def test_eval_bool_matches_golden_all_types():
                 assert got == pytest.approx(want), (ftype, arity, case)
 
 
+def _random_mixed_graph(seed, n_vars=20, n_factors=30):
+    """Boolean + cardinality-3 categorical vars, categorical + DP
+    factor functions."""
+    rng = np.random.default_rng(seed)
+    v = T.new_variables(n_vars)
+    is_cat = rng.random(n_vars) < 0.4
+    v["dataType"] = is_cat.astype(np.int16)
+    v["cardinality"] = np.where(is_cat, 3, 2)
+    v["initialValue"] = 0
+    v["isEvidence"] = rng.integers(0, 2, n_vars)
+    w = T.new_weights(4)
+    w["isFixed"] = True
+    w["initialValue"] = rng.normal(size=4) * 0.5
+    funcs = [T.FUNC_OR, T.FUNC_AND, T.FUNC_EQUAL, T.FUNC_ISTRUE,
+             T.FUNC_AND_CAT, T.FUNC_OR_CAT, T.FUNC_EQUAL_CAT_CONST,
+             T.FUNC_IMPLY_NATURAL_CAT, T.FUNC_IMPLY_MLN_CAT,
+             T.FUNC_DP_GEN_CLASS_PRIOR, T.FUNC_DP_GEN_LF_PROPENSITY,
+             T.FUNC_DP_GEN_LF_ACCURACY, T.FUNC_DP_GEN_DEP_SIMILAR,
+             T.FUNC_DP_GEN_DEP_EXCLUSIVE]
+    arities = rng.integers(1, 4, n_factors)
+    f = T.new_factors(n_factors)
+    f["factorFunction"] = rng.choice(funcs, n_factors)
+    f["factorFunction"][arities < 2] = T.FUNC_ISTRUE
+    # DP accuracy/similar/exclusive need >= 2 args
+    two_arg = np.isin(f["factorFunction"],
+                      [T.FUNC_DP_GEN_LF_ACCURACY, T.FUNC_DP_GEN_DEP_SIMILAR,
+                       T.FUNC_DP_GEN_DEP_EXCLUSIVE])
+    arities[two_arg] = 2
+    f["weightId"] = rng.integers(0, 4, n_factors)
+    f["featureValue"] = 1.0
+    f["arity"] = arities
+    f["ftv_offset"] = np.concatenate(([0], np.cumsum(arities)[:-1]))
+    E = int(arities.sum())
+    fm = T.new_fmap(E)
+    fm["vid"] = rng.integers(0, n_vars, E)
+    for j in range(E):
+        fm["dense_equal_to"][j] = rng.integers(
+            0, v["cardinality"][fm["vid"][j]])
+    return w, v, f, fm
+
+
+@pytest.mark.parametrize("seed", [2, 9])
+def test_itemgrid_categorical_potentials_match_golden(seed):
+    w, v, f, fm = _random_mixed_graph(seed)
+    cg = compile_graph(w, v, f, fm)
+    plan, reason = plan_item_grid(cg)
+    assert plan is not None, reason
+    fill_weights(plan, w["initialValue"])
+    rng = np.random.default_rng(seed + 1)
+    x = np.array([rng.integers(0, c) for c in v["cardinality"]])
+    got = _replay_potentials(plan, w["initialValue"], x)
+    for vid in range(cg.n_vars):
+        for k in range(int(v["cardinality"][vid])):
+            want = golden.potential(v, f, fm, w["initialValue"], vid, k, x)
+            assert got[vid][k] == pytest.approx(want, abs=1e-4), (vid, k)
+
+
 def test_rcm_reorder_rescues_shuffled_ising():
     """A relabeled (shuffled-vid) lattice has no natural locality; the
     RCM fallback must recover bounded windows with exact potentials."""
@@ -177,14 +251,36 @@ def test_rcm_reorder_rescues_shuffled_ising():
 
 
 def test_unsupported_graphs_report_reason():
-    # categorical
+    # cardinality beyond the kernel envelope
     w, v, f, fm = _random_bool_graph(1)
     v2 = v.copy()
     v2["dataType"][0] = 1
-    v2["cardinality"][0] = 3
+    v2["cardinality"][0] = 100
     cg = compile_graph(w, v2, f, fm)
     plan, reason = plan_item_grid(cg)
-    assert plan is None and "dataType" in reason or "cardinality" in reason
+    assert plan is None and "cardinality" in reason
+
+
+@pytest.mark.skipif("tpu" not in str(jax.devices()[0]).lower()
+                    and "axon" not in jax.default_backend().lower(),
+                    reason="itemgrid kernel needs TPU hardware PRNG")
+def test_itemgrid_tpu_categorical_lf_marginals_match_xla():
+    from numbskull_tpu.models import lf_model
+    from numbskull_tpu.ops import GibbsEngine
+    from numbskull_tpu.ops.itemgrid_pallas import PallasItemGridEngine
+
+    w, v, f, fm, dm, e = lf_model(0.3, [0.9, 0.5], copies=300, seed=0)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm)
+    eng = PallasItemGridEngine(cg)
+    x, cnt = eng.run(seed=0, burn=50, epochs=1000)
+    marg = eng.marginals(cnt, 1000)
+    ge = GibbsEngine(cg)
+    st = ge.init_state()
+    st = ge.inference(st, jax.random.PRNGKey(0), epochs=1000, burn=50)
+    gm = ge.marginals(st, 1000)
+    K = min(marg.shape[1], gm.shape[1])
+    gap = np.abs(np.sort(marg[:, :K], 0) - np.sort(gm[:, :K], 0)).mean()
+    assert gap < 0.03, gap
 
 
 @pytest.mark.skipif("tpu" not in str(jax.devices()[0]).lower()
@@ -222,7 +318,7 @@ def test_itemgrid_tpu_marginals_match_xla_engine():
                        color_hint=ising_color_hint(n, n))
     eng = PallasItemGridEngine(cg)
     x, cnt = eng.run(seed=0, burn=50, epochs=800)
-    marg = eng.marginals(cnt, 800)
+    marg = eng.marginals(cnt, 800)[:, 1]
     ge = GibbsEngine(cg)
     st = ge.init_state()
     st = ge.inference(st, jax.random.PRNGKey(0), epochs=800, burn=50)
