@@ -123,6 +123,29 @@ def _bench_learning(copies: int, epochs: int):
     return epochs / dt, 2 * copies * epochs / dt, bool(ok)
 
 
+def _bench_chain_replication(n: int = 512, chains: int = 4,
+                             epochs: int = 200):
+    """Replica-chain throughput retention on one chip: C disjoint graph
+    copies in one kernel vs one copy (reference's var_copies axis,
+    factorgraph.py:48-53, made real)."""
+    from numbskull_tpu.compile import compile_graph
+    from numbskull_tpu.models import ising_grid, replicate_graph
+    from numbskull_tpu.ops.itemgrid_pallas import PallasItemGridEngine
+
+    def ups(n_chains):
+        args = replicate_graph(ising_grid(n, n, weight=0.3), n_chains)
+        w, v, f, fm, dm, e = args
+        cg = compile_graph(w, v, f, fm, domain_mask=dm)
+        eng = PallasItemGridEngine(cg)
+        eng.run(seed=0, burn=0, epochs=2)
+        t0 = time.perf_counter()
+        eng.run(seed=1, burn=0, epochs=epochs)
+        return len(v) * epochs / (time.perf_counter() - t0)
+
+    u1, uc = ups(1), ups(chains)
+    return uc / u1
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
@@ -130,6 +153,7 @@ def main():
     ups, epoch_s, mean = _bench_pallas_grid(n, epochs)
     item_ups, item_mean = _bench_itemgrid(1024, 500)
     learn_sps, learn_vups, learn_ok = _bench_learning(20000, 500)
+    chain_ratio = _bench_chain_replication()
     xla_ups = _bench_xla_grid(2048, 200)
     gen_ups = _bench_general(256, 50)
 
@@ -150,6 +174,7 @@ def main():
         "learn_steps_per_s_40k_vars": round(learn_sps, 2),
         "learn_var_updates_per_s": round(learn_vups, 1),
         "learn_recovers_weights": learn_ok,
+        "chain_replication_throughput_ratio_x4": round(chain_ratio, 3),
         "sampler_healthy": healthy,
     }
     print(json.dumps(result))

@@ -311,6 +311,97 @@ def pack_item_block(variables, factors, fmap, item_f, item_v,
     return it, amax
 
 
+def bipartite_coloring(n_vars: int, edges: np.ndarray,
+                       max_vars: int = 2 << 20):
+    """BFS parity 2-coloring, or None if the conflict graph is odd-cyclic.
+
+    Most pairwise models (lattices, chains, bipartite feature graphs)
+    are 2-chromatic; MIS peeling typically wastes 2-3 extra colors on
+    them, which costs sweep steps and breaks the itemgrid kernel's
+    window locality. One host-side BFS fixes both.
+    """
+    if n_vars > max_vars or not len(edges):
+        return None
+    deg = np.zeros(n_vars, np.int64)
+    u, w = edges[:, 0], edges[:, 1]
+    np.add.at(deg, u, 1)
+    np.add.at(deg, w, 1)
+    offs = np.concatenate(([0], np.cumsum(deg)))
+    adj = np.zeros(offs[-1], np.int64)
+    cur = offs[:-1].copy()
+    for a, b in zip(u, w):
+        adj[cur[a]] = b
+        cur[a] += 1
+        adj[cur[b]] = a
+        cur[b] += 1
+    color = np.full(n_vars, -1, np.int64)
+    order = np.empty(n_vars, np.int64)
+    for seed in range(n_vars):
+        if color[seed] >= 0:
+            continue
+        color[seed] = 0
+        order[0] = seed
+        head, pos = 0, 1
+        while head < pos:
+            x = order[head]
+            head += 1
+            nxt = adj[offs[x]:offs[x + 1]]
+            new = nxt[color[nxt] < 0]
+            if len(new):
+                new = np.unique(new)
+                color[new] = 1 - color[x]
+                order[pos:pos + len(new)] = new
+                pos += len(new)
+            if (color[nxt] == color[x]).any():
+                return None
+    return color
+
+
+def reduce_colors(color: np.ndarray, edges: np.ndarray,
+                  rounds: int = 4, seed: int = 0) -> np.ndarray:
+    """Greedy color-count reduction (vectorized recoloring).
+
+    MIS peeling can use far more colors than needed (5 on a bipartite
+    grid); each round moves an independent set of variables to the
+    lowest color absent from their neighborhoods. Never increases the
+    color count; converges to near-greedy quality. Fewer colors = fewer
+    sweep steps and better window locality for the itemgrid kernel.
+    """
+    n = len(color)
+    if not len(edges) or n == 0 or color.max() >= 63:
+        return color
+    color = color.copy()
+    u, w = edges[:, 0], edges[:, 1]
+    rng = np.random.default_rng(seed)
+    prio = rng.permutation(n).astype(np.int64)
+    for _ in range(rounds):
+        mask = np.zeros(n, np.int64)
+        np.bitwise_or.at(mask, u, np.int64(1) << color[w])
+        np.bitwise_or.at(mask, w, np.int64(1) << color[u])
+        # lowest clear bit of mask
+        lcb = np.zeros(n, np.int64)
+        rem = mask.copy()
+        probe = (rem & 1) == 1
+        while probe.any():
+            lcb[probe] += 1
+            rem >>= 1
+            probe = probe & ((rem & 1) == 1)
+        movers = lcb < color
+        if not movers.any():
+            break
+        # adjacent movers could collide; only local priority maxima move
+        live = movers[u] & movers[w]
+        nmax = np.full(n, -1, np.int64)
+        if live.any():
+            np.maximum.at(nmax, u[live], prio[w[live]])
+            np.maximum.at(nmax, w[live], prio[u[live]])
+        go = movers & (prio > nmax)
+        color[go] = lcb[go]
+    # densify color ids
+    _, dense = np.unique(color, return_inverse=True)
+    return dense
+
+
 def compile_graph(weights, variables, factors, fmap,
                   factors_to_skip=None,
                   max_colors: int | None = None,
@@ -340,8 +431,11 @@ def compile_graph(weights, variables, factors, fmap,
                 len(edges) == 0 or
                 (hint[edges[:, 0]] != hint[edges[:, 1]]).all()):
             color = hint
+    if color is None and (max_colors is None or max_colors >= 2):
+        color = bipartite_coloring(V, edges)
     if color is None:
         color = color_variables(V, edges, max_colors=max_colors, seed=seed)
+        color = reduce_colors(color, edges, seed=seed)
     n_colors = int(color.max()) + 1 if V else 0
 
     # --- fold attachment triples into (factor, var) items with <=2 slots ---

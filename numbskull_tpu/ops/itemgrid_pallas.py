@@ -83,7 +83,7 @@ class _Layout:
 @dataclasses.dataclass
 class _ColorPack:
     packed: np.ndarray      # (num_rb, layout.rows, RB) int32
-    wrow: np.ndarray        # (num_rb,) int32 window start / 128
+    wrow: np.ndarray        # (num_rb, D*A) int32 window starts / 128
     num_rb: int
     D: int
     A: int
@@ -141,6 +141,7 @@ def _rcm_rank(n_vars: int, edges_u: np.ndarray,
                 nbrs = nbrs[np.argsort(deg[nbrs], kind="stable")]
                 visited[nbrs] = True
                 order[pos:pos + len(nbrs)] = nbrs
+                pos += len(nbrs)
     rank = np.empty(n_vars, np.int64)
     rank[order[::-1]] = np.arange(n_vars)
     return rank
@@ -253,32 +254,51 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank):
         g_subst = np.zeros((R, D, A), bool)
         g_fetch = np.zeros((R, D, A), bool)
         if len(rows):
-            slot = np.arange(len(rows)) - np.concatenate(
-                ([0], np.cumsum(counts)[:-1]))[rows]
+            # order items within each row by their smallest fetched-arg
+            # position, so slot d is COHERENT across a block's rows and
+            # each (block, slot, arg) window covers one contiguous region
+            subst_all = p.it_subst[it_valid][:, :A]
+            fetch_all = avalid[:, :A] & ~subst_all
+            pos_all = np.where(fetch_all, perm[avid[:, :A]], np.iinfo(
+                np.int64).max)
+            item_key = pos_all.min(axis=1)
+            order = np.lexsort((item_key, inv_ro[rows]))
+            rows = rows[order]
+            ftype = ftype[order]
+            arity = arity[order]
+            wid = wid[order]
+            avid = avid[order]
+            avalid = avalid[order]
+            it_idx = np.flatnonzero(it_valid)[order]
             nr = inv_ro[rows]
+            slot = np.arange(len(rows)) - np.concatenate(
+                ([0], np.cumsum(np.bincount(nr, minlength=n_rows))[:-1])
+            )[nr]
             g_ftype[nr, slot] = ftype
             g_arity[nr, slot] = arity
             g_wid[nr, slot] = wid
-            g_fv[nr, slot] = p.it_fv[it_valid].astype(np.float32)
-            g_dd[nr, slot] = (p.it_d1[it_valid].astype(np.int64) |
-                              (p.it_d2[it_valid].astype(np.int64) << 8))
-            subst = p.it_subst[it_valid][:, :A]
+            g_fv[nr, slot] = p.it_fv[it_idx].astype(np.float32)
+            g_dd[nr, slot] = (p.it_d1[it_idx].astype(np.int64) |
+                              (p.it_d2[it_idx].astype(np.int64) << 8))
+            subst = subst_all[order]
             fetch = avalid[:, :A] & ~subst
             g_off[nr, slot, :] = np.where(fetch, perm[avid[:, :A]], 0)
-            g_eq[nr, slot, :] = p.it_args_eq[it_valid][:, :A]
-            g_acard[nr, slot, :] = p.it_args_card[it_valid][:, :A]
+            g_eq[nr, slot, :] = p.it_args_eq[it_idx][:, :A]
+            g_acard[nr, slot, :] = p.it_args_card[it_idx][:, :A]
             g_subst[nr, slot, :] = subst
             g_fetch[nr, slot, :] = fetch
 
-        # per-block windows over genuinely fetched ids
+        # per-(block, item-slot, arg-slot) windows over genuinely fetched
+        # ids: a block's neighbors may scatter across several color
+        # regions, but each (d, a) slot's neighbors are coherent (items
+        # are grouped per row in a stable factor order), so every slot
+        # gets its own window base
         blk = np.arange(R) // RB
         big = np.iinfo(np.int64).max
-        lo = np.full(num_rb, big)
-        hi = np.zeros(num_rb, np.int64)
-        np.minimum.at(lo, blk,
-                      np.where(g_fetch, g_off, big).min(axis=(1, 2)))
-        np.maximum.at(hi, blk,
-                      np.where(g_fetch, g_off, 0).max(axis=(1, 2)))
+        lo = np.full((num_rb, D, A), big)
+        hi = np.zeros((num_rb, D, A), np.int64)
+        np.minimum.at(lo, blk, np.where(g_fetch, g_off, big))
+        np.maximum.at(hi, blk, np.where(g_fetch, g_off, 0))
         lo = np.where(lo == big, 0, lo)
         base = (lo // 128) * 128
         span = np.maximum(hi + 1 - base, 1)
@@ -289,7 +309,7 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank):
         base = np.minimum(np.maximum(base, 0), vp - Wc)
         if ((hi - base) >= Wc).any():
             return None, "window overflow after clamping"
-        g_off = np.where(g_fetch, g_off - base[blk][:, None, None], 0)
+        g_off = np.where(g_fetch, g_off - base[blk], 0)
         assert (g_off >= 0).all() and (g_off < Wc).all()
 
         L = _Layout(D, A)
@@ -329,7 +349,8 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank):
         put_1(L.rowmeta, meta_c)
 
         cp = _ColorPack(packed=packed,
-                        wrow=(base // 128).astype(np.int32),
+                        wrow=(base // 128).astype(np.int32).reshape(
+                            num_rb, DA),
                         num_rb=num_rb, D=D, A=A, Wc=Wc, start=start,
                         present=pres)
         cp._g_wid = g_wid.reshape(num_rb, RB, D).transpose(0, 2, 1)
@@ -520,14 +541,15 @@ def _draw(pots, card, kmax):
     return jnp.minimum(val, card - 1)
 
 
-def _block_terms(pk, L, win_list, sub_iota, lane_iota, w_of=None):
+def _block_terms(pk, L, win_fns, sub_iota, lane_iota, w_of=None):
     """Shared per-block item decode + gathers.
 
     Returns a list of per-d dicts with ftype/arity/dd/eq/cards/w/fv and
-    per-chain gathered arg values + subst masks. ``win_list`` is a list
-    of chain windows. ``w_of(wid)`` yields per-item weights from the
-    live weight vector (learning); when None, the baked per-run weights
-    are read from the block (inference)."""
+    per-chain gathered arg values + subst masks. ``win_fns`` is a list
+    (one per chain) of callables da -> (Wr, 128) f32 window — every
+    (item-slot, arg-slot) pair has its own window base. ``w_of(wid)``
+    yields per-item weights from the live weight vector (learning); when
+    None, the baked per-run weights are read from the block (inference)."""
     D, A = L.D, L.A
     out = []
     for d in range(D):
@@ -551,10 +573,11 @@ def _block_terms(pk, L, win_list, sub_iota, lane_iota, w_of=None):
                 pk[L.wbake + d:L.wbake + d + 1, :], jnp.float32)
         term["sub"] = [(term["sbits"] & (1 << a)) != 0 for a in range(A)]
         gats = []
-        for win in win_list:
+        for win_fn in win_fns:
             gats.append([
-                _gather(win, pk[L.off + d * A + a:L.off + d * A + a + 1,
-                                :], sub_iota, lane_iota).astype(jnp.int32)
+                _gather(win_fn(d * A + a),
+                        pk[L.off + d * A + a:L.off + d * A + a + 1, :],
+                        sub_iota, lane_iota).astype(jnp.int32)
                 for a in range(A)])
         term["gat"] = gats
         out.append(term)
@@ -625,11 +648,14 @@ def _make_kernel(plan: ItemGridPlan):
                 cp.start()
                 cp.wait()
                 pk = pack_scr[ci]
-                win = x_out[pl.ds(wrow_refs[ci][rb], c.Wc // 128),
-                            :].astype(jnp.float32)
+
+                def win_x(da):
+                    return x_out[pl.ds(wrow_refs[ci][rb, da],
+                                       c.Wc // 128), :].astype(jnp.float32)
+
                 upd = pk[L.upd:L.upd + 1, :]
                 rowmeta = pk[L.rowmeta:L.rowmeta + 1, :]
-                terms = _block_terms(pk, L, [win], sub_iota, lane_iota)
+                terms = _block_terms(pk, L, [win_x], sub_iota, lane_iota)
                 pots = _potentials(terms, c.present, c.A, kmax, rowmeta, 0)
                 new = _draw(pots, rowmeta & 0xFF, kmax)
                 row0 = c.start // 128 + rb * rbl
@@ -703,11 +729,15 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
                     cp.start()
                     cp.wait()
                     pk = pack_scr[ci]
-                    win = x_out[pl.ds(wrow_refs[ci][rb], c.Wc // 128),
-                                :].astype(jnp.float32)
+
+                    def win_x(da):
+                        return x_out[pl.ds(wrow_refs[ci][rb, da],
+                                           c.Wc // 128), :].astype(
+                                               jnp.float32)
+
                     upd = pk[L.upd:L.upd + 1, :]
                     rowmeta = pk[L.rowmeta:L.rowmeta + 1, :]
-                    terms = _block_terms(pk, L, [win], sub_iota,
+                    terms = _block_terms(pk, L, [win_x], sub_iota,
                                          lane_iota, w_of)
                     pots = _potentials(terms, c.present, c.A, kmax,
                                        rowmeta, 0)
@@ -736,11 +766,16 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
                 cp.start()
                 cp.wait()
                 pk = pack_scr[ci]
-                wrow = wrow_refs[ci][rb]
-                win_p = x_out[pl.ds(wrow, c.Wc // 128), :].astype(
-                    jnp.float32)
-                win_e = xe_out[pl.ds(wrow, c.Wc // 128), :].astype(
-                    jnp.float32)
+
+                def win_p(da):
+                    return x_out[pl.ds(wrow_refs[ci][rb, da],
+                                       c.Wc // 128), :].astype(jnp.float32)
+
+                def win_e(da):
+                    return xe_out[pl.ds(wrow_refs[ci][rb, da],
+                                        c.Wc // 128), :].astype(
+                                            jnp.float32)
+
                 upd = pk[L.upd:L.upd + 1, :]
                 upd_e = pk[L.upd_e:L.upd_e + 1, :]
                 lrn_ev = pk[L.lrn:L.lrn + 1, :]

@@ -67,8 +67,6 @@ def _replay_potentials(plan, weight_value, x_orig):
         L = _Layout(D, A)
         for rb in range(c.num_rb):
             pk = c.packed[rb]
-            base = int(c.wrow[rb]) * 128
-            win = x_new[base:base + c.Wc]
             rowmeta = pk[L.rowmeta].astype(np.int64)
             card = rowmeta & 0xFF
             dense = (rowmeta >> 8) == 0
@@ -92,6 +90,8 @@ def _replay_potentials(plan, weight_value, x_orig):
                 for k in range(K):
                     vals = []
                     for a in range(A):
+                        base = int(c.wrow[rb, d * A + a]) * 128
+                        win = x_new[base:base + c.Wc]
                         g = win[offs[a]]
                         sub = (sbits & (1 << a)) != 0
                         vals.append(jnp.asarray(
