@@ -128,9 +128,16 @@ class BSPEngine:
 
     def __init__(self, weights, variables, factors, fmap,
                  part: np.ndarray, mode: str = "values",
-                 domain_mask=None, max_colors=None, seed: int = 0):
+                 domain_mask=None, max_colors=None, seed: int = 0,
+                 devices=None):
+        """``devices``: optional list — part p's graph data and sampler
+        run on devices[p % len(devices)]; exchanges and weight-delta
+        summation hop through devices[0] (the coordinator), modeling the
+        reference's master role. Default: all parts on the default
+        device (the reference's machines=0 baseline)."""
         assert mode in ("values", "messages")
         self.mode = mode
+        self.devices = list(devices) if devices else None
         part = np.asarray(part, np.int64)
         self.part = part
         self.n_parts = int(part.max()) + 1 if len(part) else 1
@@ -166,17 +173,27 @@ class BSPEngine:
                                factors_to_skip=skip,
                                max_colors=max_colors,
                                domain_mask=domain_mask, seed=seed)
-            self.engines.append(GibbsEngine(cg))
+            eng = GibbsEngine(cg)
+            if self.devices:
+                self._move_engine(eng, self._dev(p))
+            self.engines.append(eng)
             if mode == "messages":
                 owned_fids = np.flatnonzero(owner == p).astype(np.int64)
-                self.msg_plans.append(_build_message_plan(
+                mp = _build_message_plan(
                     variables, factors, fmap, owned_fids,
-                    target_mask=~owned_vars, n_vars=self.n_vars))
+                    target_mask=~owned_vars, n_vars=self.n_vars)
+                if mp is not None and self.devices:
+                    mp.pd = {k: jax.device_put(a, self._dev(p))
+                             for k, a in mp.pd.items()}
+                self.msg_plans.append(mp)
             else:
                 self.msg_plans.append(None)
 
         self.kmax = self.engines[0].kmax
-        self._owned_dev = [jnp.asarray(m) for m in self.owned_masks]
+        # ownership masks live at the coordinator (combine site)
+        self._owned_dev = [
+            jax.device_put(jnp.asarray(m), self._dev(0)) if self.devices
+            else jnp.asarray(m) for m in self.owned_masks]
 
         # boundary variables: appear in a factor that straddles parts
         fac_min = np.full(F, self.n_parts, np.int64)
@@ -188,19 +205,44 @@ class BSPEngine:
         bvar[fvid[straddles[edge_fid]]] = True
         self.boundary_vars = bvar
 
+    def _dev(self, p: int):
+        return self.devices[p % len(self.devices)]
+
+    def _put(self, x, p: int):
+        return jax.device_put(x, self._dev(p)) if self.devices else x
+
+    @staticmethod
+    def _move_engine(eng: GibbsEngine, device) -> None:
+        """Pin an engine's compiled plan arrays to one device so its
+        jitted sweeps execute there."""
+        def mv(x):
+            return jax.device_put(x, device) if isinstance(x, jax.Array) \
+                else x
+        if eng.scan_colors:
+            eng.stacked = {k: mv(v) for k, v in eng.stacked.items()}
+        eng.plans = [{k: mv(v) for k, v in pd.items()}
+                     for pd in eng.plans]
+        eng.var_card = mv(eng.var_card)
+        eng.var_isev = mv(eng.var_isev)
+        eng.var_init = mv(eng.var_init)
+        eng.weight_fixed = mv(eng.weight_fixed)
+
     # --- state -------------------------------------------------------------
 
     def init_states(self) -> list[SamplerState]:
-        return [eng.init_state() for eng in self.engines]
+        return [jax.tree_util.tree_map(lambda x: self._put(x, p),
+                                       eng.init_state())
+                for p, eng in enumerate(self.engines)]
 
     # --- sync primitives (the DCN exchange, reference §3.4) -----------------
 
     def _global_values(self, states, attr: str):
-        """Combine per-part chains: every variable's value from its owner."""
-        out = getattr(states[0], attr)
+        """Combine per-part chains: every variable's value from its owner
+        (multi-device: each part's slice hops to the coordinator)."""
+        out = self._put(getattr(states[0], attr), 0)
         for p in range(1, self.n_parts):
-            out = jnp.where(self._owned_dev[p], getattr(states[p], attr),
-                            out)
+            out = jnp.where(self._owned_dev[p],
+                            self._put(getattr(states[p], attr), 0), out)
         # part 0's non-owned slice is overwritten by owners above; vars
         # owned by part 0 come from states[0] because no later part owns
         # them -> exact ownership semantics
@@ -208,25 +250,30 @@ class BSPEngine:
 
     def exchange(self, states) -> list[SamplerState]:
         """Refresh every part's ghost values from the owners (the
-        reference's per-epoch boundary variable shipping)."""
+        reference's per-epoch boundary variable shipping; multi-device:
+        gather at the coordinator, scatter to each part's device)."""
         gv = self._global_values(states, "var_value")
         ge = self._global_values(states, "var_value_evid")
-        return [dataclasses.replace(s, var_value=gv, var_value_evid=ge)
-                for s in states]
+        return [dataclasses.replace(s, var_value=self._put(gv, p),
+                                    var_value_evid=self._put(ge, p))
+                for p, s in enumerate(states)]
 
     def messages(self, states, chain: str = "var_value"):
         """(V, K) summed incoming boundary potential messages (UFO/PF
-        generalization); None in values mode."""
+        generalization), reduced at the coordinator; None in values
+        mode."""
         if self.mode != "messages":
             return None
-        ext = jnp.zeros((self.n_vars, self.kmax), jnp.float32)
+        ext = self._put(jnp.zeros((self.n_vars, self.kmax), jnp.float32),
+                        0)
         for p, mp in enumerate(self.msg_plans):
             if mp is None:
                 continue
             m = color_potentials(mp.pd, self.kmax, mp.present,
                                  getattr(states[p], chain),
                                  states[p].weight_value)
-            ext = ext.at[mp.scatter_vid].add(m, mode="drop")
+            ext = ext.at[self._put(mp.scatter_vid, 0)].add(
+                self._put(m, 0), mode="drop")
         return ext
 
     # --- epoch loops ---------------------------------------------------------
@@ -247,7 +294,8 @@ class BSPEngine:
                         st, jax.random.fold_in(kk, p),
                         epochs=0 if phase == "burn" else k,
                         burn=k if phase == "burn" else 0,
-                        sample_evidence=sample_evidence, ext_pot=ext)
+                        sample_evidence=sample_evidence,
+                        ext_pot=None if ext is None else self._put(ext, p))
                     for p, (eng, st) in enumerate(zip(self.engines, states))
                 ]
                 states = self.exchange(states)
@@ -266,9 +314,10 @@ class BSPEngine:
                                     jax.random.fold_in(key, 1 << 30),
                                     epochs=0, burn=burn,
                                     sample_evidence=True)
-        w_global = states[0].weight_value
-        states = [dataclasses.replace(s, weight_value=w_global)
-                  for s in states]
+        w_global = self._put(states[0].weight_value, 0)
+        states = [dataclasses.replace(s, weight_value=self._put(w_global,
+                                                                p))
+                  for p, s in enumerate(states)]
         for e in range(epochs):
             ext = self.messages(states)
             ext_e = self.messages(states, "var_value_evid")
@@ -277,14 +326,19 @@ class BSPEngine:
             new_states = []
             dw_sum = jnp.zeros_like(w_global)
             for p, (eng, st) in enumerate(zip(self.engines, states)):
-                st2 = eng.learn(st, jax.random.fold_in(kk, p), epochs=1,
-                                stepsize=step, decay=1.0, burn=0, lp=lp,
-                                ext_pot=ext, ext_pot_evid=ext_e)
-                dw_sum = dw_sum + (st2.weight_value - w_global)
+                st2 = eng.learn(
+                    st, jax.random.fold_in(kk, p), epochs=1,
+                    stepsize=step, decay=1.0, burn=0, lp=lp,
+                    ext_pot=None if ext is None else self._put(ext, p),
+                    ext_pot_evid=(None if ext_e is None
+                                  else self._put(ext_e, p)))
+                dw_sum = dw_sum + (self._put(st2.weight_value, 0) -
+                                   w_global)
                 new_states.append(st2)
             w_global = w_global + dw_sum
-            states = [dataclasses.replace(s, weight_value=w_global)
-                      for s in new_states]
+            states = [dataclasses.replace(
+                s, weight_value=self._put(w_global, p))
+                for p, s in enumerate(new_states)]
             states = self.exchange(states)
         return states
 
@@ -292,10 +346,10 @@ class BSPEngine:
 
     def marginals(self, states, epochs: int) -> np.ndarray:
         """(V, K) marginals: each variable's tally from its owner part."""
-        cnt = states[0].count
+        cnt = self._put(states[0].count, 0)
         for p in range(1, self.n_parts):
-            cnt = jnp.where(self._owned_dev[p][:, None], states[p].count,
-                            cnt)
+            cnt = jnp.where(self._owned_dev[p][:, None],
+                            self._put(states[p].count, 0), cnt)
         return np.asarray(cnt) / float(max(epochs, 1))
 
     def weights(self, states) -> np.ndarray:

@@ -123,6 +123,51 @@ def test_bsp_learning_recovers_coin_weights(mode):
     assert got[2] == pytest.approx(c, abs=0.2)
 
 
+@pytest.mark.parametrize("mode", ["values", "messages"])
+def test_bsp_multi_device_placement(mode):
+    """Parts pinned to distinct devices: states live where assigned,
+    exchanges hop through the coordinator, marginals still match the
+    exact joint."""
+    devices = jax.devices()[:3]
+    if len(devices) < 3:
+        pytest.skip("needs >= 3 devices")
+    w, v, f, fm = _random_graph(seed=11, n_vars=9, n_factors=14)
+    exact = golden.exact_marginals(v, f, fm, w["initialValue"])
+    part = np.arange(len(v)) % 3
+    eng = BSPEngine(w, v, f, fm, part, mode=mode, devices=devices)
+    states = eng.init_states()
+    for p, s in enumerate(states):
+        assert list(s.var_value.devices())[0] == devices[p]
+    epochs = 2000
+    states = eng.inference(states, jax.random.PRNGKey(1), epochs=epochs,
+                           burn=100, sync_every=10)
+    for p, s in enumerate(states):          # placement survives the loop
+        assert list(s.var_value.devices())[0] == devices[p]
+    marg = eng.marginals(states, epochs)
+    err = np.abs(marg[:, :2] - exact[:, :2]).max()
+    assert err < 0.07, err
+
+
+def test_bsp_multi_device_learning():
+    devices = jax.devices()[:2]
+    if len(devices) < 2:
+        pytest.skip("needs >= 2 devices")
+    a, b, c = 0.8, -0.5, 0.4
+    w, v, f, fm, dm, e = coin_model(1000, a, b, c, evidence=True,
+                                    weight_init=(0.0, 0.0, 0.0),
+                                    fixed=False, seed=3)
+    part = np.arange(len(v)) % 2
+    eng = BSPEngine(w, v, f, fm, part, mode="values", domain_mask=dm,
+                    devices=devices)
+    states = eng.init_states()
+    lp = LearnParams(regularization=2, reg_param=1e-4)
+    states = eng.learn(states, jax.random.PRNGKey(0), epochs=100,
+                       stepsize=0.1, decay=0.99, burn=5, lp=lp)
+    got = eng.weights(states)
+    assert got[0] == pytest.approx(a, abs=0.25)
+    assert got[2] == pytest.approx(c, abs=0.25)
+
+
 def test_traffic_accounting():
     w, v, f, fm = _random_graph(seed=2)
     part = np.arange(len(v)) % 2
