@@ -45,7 +45,9 @@ from numbskull_tpu.compile import CompiledGraph
 SUPPORTED_FUNCS = tuple(
     code for name, code in T.FACTORS.items() if name != "UFO")
 
-RB = 2048            # rows per block (multiple of 128)
+RB = 1024            # rows per block (multiple of 128; smaller blocks
+#                      shrink gather windows and the MXU work that scales
+#                      with them, at the cost of more DMA issues)
 W_MAX = 16384        # max window span (multiple of 128)
 D_MAX = 32           # max items per row
 A_MAX = 8            # max factor arity
