@@ -137,6 +137,59 @@ def edge_cut(edges: np.ndarray, part: np.ndarray) -> int:
     return int((part[e[:, 0]] != part[e[:, 1]]).sum())
 
 
+def partition_cost(n_vars: int, edges: np.ndarray, part: np.ndarray,
+                   n_parts: int, bandwidth_weight: float = 4.0,
+                   imbalance_weight: float = 1.0) -> float:
+    """Cost model for a candidate partitioning: per-sync traffic (cut
+    edges) plus load imbalance (max/mean part size − 1). Analog of the
+    reference's cost-model-driven scheme selection
+    (salt/src/numbskull_master.py:371-393 sql_to_cost over
+    simple.costmodel.txt), with compute/traffic terms instead of SQL
+    cardinalities."""
+    sizes = np.bincount(part, minlength=n_parts).astype(np.float64)
+    mean = max(sizes.mean(), 1.0)
+    imbalance = sizes.max() / mean - 1.0
+    cut = edge_cut(edges, part) / max(len(edges), 1)
+    return bandwidth_weight * cut + imbalance_weight * imbalance
+
+
+def choose_partition(n_vars: int, edges: np.ndarray, n_parts: int,
+                     seeds=(0, 1, 2)) -> tuple[np.ndarray, dict]:
+    """Pick the best partitioning among candidate schemes by cost.
+
+    Candidates: connected-components packing (exact zero-cut when the
+    graph shatters into >= n_parts components) and balanced BFS region
+    growing from several seeds — the reference's scheme menu
+    (cc-partition / semantic / metis, numbskull_master.py:301-325)
+    re-expressed without Postgres. Returns (part, report)."""
+    candidates = {}
+    cc = connected_components(n_vars, edges)
+    n_cc = int(cc.max()) + 1 if n_vars else 1
+    if n_cc >= n_parts:
+        # pack components into parts round-robin by size (greedy LPT)
+        sizes = np.bincount(cc)
+        order = np.argsort(sizes)[::-1]
+        load = np.zeros(n_parts, np.int64)
+        cc_part = np.zeros(n_cc, np.int64)
+        for comp in order:
+            tgt = int(np.argmin(load))
+            cc_part[comp] = tgt
+            load[tgt] += sizes[comp]
+        candidates["cc"] = cc_part[cc]
+    for s in seeds:
+        candidates["bfs%d" % s] = balanced_partition(
+            n_vars, edges, n_parts, seed=s)
+    report = {}
+    best_name, best_part, best_cost = None, None, np.inf
+    for name, part in candidates.items():
+        cost = partition_cost(n_vars, edges, part, n_parts)
+        report[name] = cost
+        if cost < best_cost:
+            best_name, best_part, best_cost = name, part, cost
+    report["chosen"] = best_name
+    return best_part, report
+
+
 @dataclasses.dataclass
 class PartPlan:
     """Per-part execution artifacts (reference-semantics ownership)."""

@@ -5,8 +5,32 @@ import numpy as np
 from numbskull_tpu.compile import compile_graph, conflict_edges
 from numbskull_tpu.models import ising_grid
 from numbskull_tpu.parallel.partition import (
-    balanced_partition, connected_components, edge_cut, make_part_plans,
+    balanced_partition, choose_partition, connected_components, edge_cut,
+    make_part_plans, partition_cost,
 )
+
+
+def test_choose_partition_prefers_zero_cut_components():
+    """Disconnected graphs (e.g. the coin model's independent pairs)
+    should pick the component packing (zero cut), like the reference's
+    cc-partition scheme (numbskull_master.py:301-325)."""
+    from numbskull_tpu.models import coin_model
+    w, v, f, fm, dm, e = coin_model(50, evidence=True)
+    edges = conflict_edges(v, f, fm)
+    part, report = choose_partition(len(v), edges, 4)
+    assert report["chosen"] == "cc"
+    assert edge_cut(edges, part) == 0
+    sizes = np.bincount(part, minlength=4)
+    assert sizes.max() <= 2 * sizes.min() + 2
+
+
+def test_choose_partition_connected_graph():
+    w, v, f, fm, dm, e = ising_grid(16, 16)
+    edges = conflict_edges(v, f, fm)
+    part, report = choose_partition(256, edges, 4)
+    assert int(part.max()) + 1 == 4
+    best = min(x for k, x in report.items() if k != "chosen")
+    assert partition_cost(256, edges, part, 4) == best
 
 
 def test_connected_components():
