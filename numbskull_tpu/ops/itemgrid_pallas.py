@@ -52,7 +52,8 @@ W_MAX = 16384        # max window span (multiple of 128)
 D_MAX = 32           # max items per row
 A_MAX = 8            # max factor arity
 K_MAX_SUP = 8        # max variable cardinality
-V_MAX = 4 << 20      # max padded variables (VMEM budget)
+V_MAX = 6 << 20      # max padded variables (VMEM budget; 2048x2048
+#                      lattices verified on hardware)
 COLOR_MAX = 8
 
 
@@ -79,7 +80,11 @@ class _Layout:
         self.upd_e = self.upd + 1     # clamped-chain update mask
         self.lrn = self.upd + 2       # evidence rows (gradient mask)
         self.rowmeta = self.upd + 3   # row card | dataType<<8
-        self.rows = _ceil(self.upd + 4, 8)
+        self.wrow = self.upd + 4      # window bases/128 in lanes [0:DA)
+        #                               (kept in the block: SMEM inputs
+        #                               pad each element to a word and
+        #                               blow the 1MB SMEM budget at scale)
+        self.rows = _ceil(self.upd + 5, 8)
 
 
 @dataclasses.dataclass
@@ -349,6 +354,8 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank):
         put_1(L.upd_e, (valid_c & (isev_c == 0)).astype(np.int64))
         put_1(L.lrn, (valid_c & (isev_c == 1)).astype(np.int64))
         put_1(L.rowmeta, meta_c)
+        packed[:, L.wrow, :DA] = \
+            (base // 128).reshape(num_rb, DA).astype(np.int32)
 
         cp = _ColorPack(packed=packed,
                         wrow=(base // 128).astype(np.int32).reshape(
@@ -621,12 +628,11 @@ def _make_kernel(plan: ItemGridPlan):
 
     def kernel(seed_ref, burn_ref, epochs_ref, *refs):
         n_c = len(colors)
-        wrow_refs = refs[:n_c]
-        x_in = refs[n_c]
-        tally_in = refs[n_c + 1]
-        hbm_refs = refs[n_c + 2:n_c + 2 + n_c]
-        x_out, count_out = refs[n_c + 2 + n_c:n_c + 2 + n_c + 2]
-        scr = refs[n_c + 2 + n_c + 2:]
+        x_in = refs[0]
+        tally_in = refs[1]
+        hbm_refs = refs[2:2 + n_c]
+        x_out, count_out = refs[2 + n_c:2 + n_c + 2]
+        scr = refs[2 + n_c + 2:]
         pack_scr = scr[:n_c]
         sem = scr[n_c]
 
@@ -652,8 +658,8 @@ def _make_kernel(plan: ItemGridPlan):
                 pk = pack_scr[ci]
 
                 def win_x(da):
-                    return x_out[pl.ds(wrow_refs[ci][rb, da],
-                                       c.Wc // 128), :].astype(jnp.float32)
+                    return x_out[pl.ds(pk[L.wrow, da], c.Wc // 128),
+                                 :].astype(jnp.float32)
 
                 upd = pk[L.upd:L.upd + 1, :]
                 rowmeta = pk[L.rowmeta:L.rowmeta + 1, :]
@@ -694,13 +700,12 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
     def kernel(seed_ref, burn_ref, epochs_ref, step0_ref, decay_ref,
                *refs):
         n_c = len(colors)
-        wrow_refs = refs[:n_c]
-        x_in = refs[n_c]
-        w_in = refs[n_c + 1]
-        wfix = refs[n_c + 2]
-        hbm_refs = refs[n_c + 3:n_c + 3 + n_c]
-        x_out, xe_out, w_out = refs[n_c + 3 + n_c:n_c + 3 + n_c + 3]
-        scr = refs[n_c + 3 + n_c + 3:]
+        x_in = refs[0]
+        w_in = refs[1]
+        wfix = refs[2]
+        hbm_refs = refs[3:3 + n_c]
+        x_out, xe_out, w_out = refs[3 + n_c:3 + n_c + 3]
+        scr = refs[3 + n_c + 3:]
         pack_scr = scr[:n_c]
         gw_scr, nw_scr = scr[n_c], scr[n_c + 1]
         sem = scr[n_c + 2]
@@ -733,9 +738,8 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
                     pk = pack_scr[ci]
 
                     def win_x(da):
-                        return x_out[pl.ds(wrow_refs[ci][rb, da],
-                                           c.Wc // 128), :].astype(
-                                               jnp.float32)
+                        return x_out[pl.ds(pk[L.wrow, da], c.Wc // 128),
+                                     :].astype(jnp.float32)
 
                     upd = pk[L.upd:L.upd + 1, :]
                     rowmeta = pk[L.rowmeta:L.rowmeta + 1, :]
@@ -770,13 +774,12 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
                 pk = pack_scr[ci]
 
                 def win_p(da):
-                    return x_out[pl.ds(wrow_refs[ci][rb, da],
-                                       c.Wc // 128), :].astype(jnp.float32)
+                    return x_out[pl.ds(pk[L.wrow, da], c.Wc // 128),
+                                 :].astype(jnp.float32)
 
                 def win_e(da):
-                    return xe_out[pl.ds(wrow_refs[ci][rb, da],
-                                        c.Wc // 128), :].astype(
-                                            jnp.float32)
+                    return xe_out[pl.ds(pk[L.wrow, da], c.Wc // 128),
+                                  :].astype(jnp.float32)
 
                 upd = pk[L.upd:L.upd + 1, :]
                 upd_e = pk[L.upd_e:L.upd_e + 1, :]
@@ -904,7 +907,6 @@ class PallasItemGridEngine:
 
         in_specs = (
             [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 +      # seed/b/e
-            [pl.BlockSpec(memory_space=pltpu.SMEM)] * n_c +    # wrow
             [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 +      # x, tally
             [pl.BlockSpec(memory_space=pltpu.ANY)] * n_c       # packed
         )
@@ -930,9 +932,7 @@ class PallasItemGridEngine:
                     vmem_limit_bytes=110 * 1024 * 1024),
                 interpret=(pltpu.InterpretParams()
                            if self.interpret else False),
-            )(seed, burn, epochs,
-              *[jnp.asarray(c.wrow) for c in plan.colors],
-              x0, tally, *packs)
+            )(seed, burn, epochs, x0, tally, *packs)
 
         return call
 
@@ -947,7 +947,6 @@ class PallasItemGridEngine:
 
         in_specs = (
             [pl.BlockSpec(memory_space=pltpu.SMEM)] * 5 +      # scalars
-            [pl.BlockSpec(memory_space=pltpu.SMEM)] * n_c +    # wrow
             [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3 +      # x0,w0,wfix
             [pl.BlockSpec(memory_space=pltpu.ANY)] * n_c       # packed
         )
@@ -974,9 +973,7 @@ class PallasItemGridEngine:
                     vmem_limit_bytes=110 * 1024 * 1024),
                 interpret=(pltpu.InterpretParams()
                            if self.interpret else False),
-            )(seed, burn, epochs, step0, decay,
-              *[jnp.asarray(c.wrow) for c in plan.colors],
-              x0, w0, wfix, *packs)
+            )(seed, burn, epochs, step0, decay, x0, w0, wfix, *packs)
 
         return jax.jit(call), wrows
 
