@@ -12,6 +12,12 @@ instead of hogwild CPU threads and SaltStack clusters.
 __version__ = "0.1.0"
 
 from numbskull_tpu import dataloading  # noqa: F401
+from numbskull_tpu import dbsource  # noqa: F401
+from numbskull_tpu import observability  # noqa: F401
+from numbskull_tpu import resilience  # noqa: F401
+from numbskull_tpu.checkpoint import (  # noqa: F401
+    load_checkpoint, save_checkpoint,
+)
 from numbskull_tpu import types  # noqa: F401
 from numbskull_tpu.compile import compile_graph, CompiledGraph  # noqa: F401
 from numbskull_tpu.numbskull import NumbSkull, load, main  # noqa: F401
