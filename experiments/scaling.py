@@ -13,8 +13,17 @@ Usage: python experiments/scaling.py [out.tsv] [grid_n]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+# NSX_CPU_DEVICES=N forces an N-device virtual CPU platform even where a
+# TPU plugin overrides JAX_PLATFORMS (must run before jax initializes)
+if os.environ.get("NSX_CPU_DEVICES"):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices",
+                      int(os.environ["NSX_CPU_DEVICES"]))
 
 import jax
 import numpy as np

@@ -264,6 +264,30 @@ def test_unsupported_graphs_report_reason():
 @pytest.mark.skipif("tpu" not in str(jax.devices()[0]).lower()
                     and "axon" not in jax.default_backend().lower(),
                     reason="itemgrid kernel needs TPU hardware PRNG")
+def test_itemgrid_tpu_coin_exact_marginals():
+    """Kernel marginals vs the closed-form coin joint (the reference's
+    own ground-truth scheme, ising/ising.cpp:202-318)."""
+    from numbskull_tpu.models import coin_exact_marginal, coin_model
+    from numbskull_tpu.ops.itemgrid_pallas import PallasItemGridEngine
+
+    a, b, c = 0.3, -0.2, 0.4
+    w, v, f, fm, dm, e = coin_model(200, a, b, c, evidence=False,
+                                    weight_init=(a, b, c), fixed=True)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm)
+    eng = PallasItemGridEngine(cg)
+    epochs = 3000
+    x, cnt = eng.run(seed=0, burn=100, epochs=epochs)
+    marg = eng.marginals(cnt, epochs)
+    ex = coin_exact_marginal(a, b, c)
+    p_x1 = marg[0::2, 1].mean()            # pooled over 200 copies
+    p_x2 = marg[1::2, 1].mean()
+    assert p_x1 == pytest.approx(ex[2] + ex[3], abs=0.01)
+    assert p_x2 == pytest.approx(ex[1] + ex[3], abs=0.01)
+
+
+@pytest.mark.skipif("tpu" not in str(jax.devices()[0]).lower()
+                    and "axon" not in jax.default_backend().lower(),
+                    reason="itemgrid kernel needs TPU hardware PRNG")
 def test_itemgrid_tpu_categorical_lf_marginals_match_xla():
     from numbskull_tpu.models import lf_model
     from numbskull_tpu.ops import GibbsEngine
