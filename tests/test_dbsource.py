@@ -127,6 +127,40 @@ def test_partition_filters_split_master_minion():
     assert owned_master | owned_minion == set(range(len(v)))
 
 
+def test_db_to_bsp_distributed_pipeline():
+    """The reference's full distributed pipeline, end to end: publish a
+    graph to a database, derive a partition, run the bulk-synchronous
+    partitioned engine, and recover exact marginals — what the reference
+    could only do with a live salt+Postgres cluster."""
+    import jax
+
+    from numbskull_tpu.compile import conflict_edges
+    from numbskull_tpu.parallel.bsp import BSPEngine
+    from numbskull_tpu.parallel.partition import choose_partition
+
+    args = coin_model(30, 0.3, -0.2, 0.4, evidence=False,
+                      weight_init=(0.3, -0.2, 0.4), fixed=True)
+    conn, _ = _publish(args)
+    cur = conn.cursor()
+    weight, variable, factor, fmap, dmask, edges, meta = \
+        dbsource.get_fg_data(cur)
+
+    part, report = choose_partition(
+        len(variable), conflict_edges(variable, factor, fmap), 3)
+    eng = BSPEngine(weight, variable, factor, fmap, part, mode="messages")
+    states = eng.init_states()
+    epochs = 3000
+    states = eng.inference(states, jax.random.PRNGKey(0), epochs=epochs,
+                           burn=100, sync_every=10)
+    marg = eng.marginals(states, epochs)
+    ex = coin_exact_marginal(0.3, -0.2, 0.4)
+    # marginals pooled over the 30 copies (map local order via meta vid)
+    x1 = marg[np.asarray(meta["vid"]) % 2 == 0, 1].mean()
+    x2 = marg[np.asarray(meta["vid"]) % 2 == 1, 1].mean()
+    assert x1 == pytest.approx(ex[2] + ex[3], abs=0.03)
+    assert x2 == pytest.approx(ex[1] + ex[3], abs=0.03)
+
+
 def test_cli_dburl_end_to_end(tmp_path):
     """-u sqlite:// URL drives the full pipeline; marginals match the
     exact coin joint."""

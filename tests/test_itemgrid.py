@@ -250,6 +250,47 @@ def test_rcm_reorder_rescues_shuffled_ising():
             assert got[vid][k] == pytest.approx(want, abs=1e-4)
 
 
+def test_planner_edge_cases():
+    """Degenerate graphs must plan (or cleanly report a reason), never
+    crash: isolated vars, no factors, self-pair factors, all-evidence,
+    single-variable graphs."""
+    def mk(n_vars, specs, all_ev=False):
+        v = T.new_variables(n_vars)
+        v["dataType"] = 0
+        v["cardinality"] = 2
+        if all_ev:
+            v["isEvidence"] = 1
+        w = T.new_weights(1)
+        w["initialValue"] = 0.5
+        w["isFixed"] = True
+        f = T.new_factors(len(specs))
+        tot = sum(len(s[1]) for s in specs)
+        fm = T.new_fmap(tot)
+        off = 0
+        for i, (ff, vids) in enumerate(specs):
+            f["factorFunction"][i] = ff
+            f["arity"][i] = len(vids)
+            f["ftv_offset"][i] = off
+            f["featureValue"][i] = 1.0
+            for j, vid in enumerate(vids):
+                fm["vid"][off + j] = vid
+            off += len(vids)
+        return w, v, f, fm
+
+    cases = [
+        mk(5, [(T.FUNC_ISTRUE, [0])]),                 # isolated vars
+        mk(4, []),                                     # no factors
+        mk(3, [(T.FUNC_EQUAL, [1, 1])]),               # self-pair
+        mk(4, [(T.FUNC_EQUAL, [0, 1])], all_ev=True),  # all evidence
+        mk(1, [(T.FUNC_ISTRUE, [0])]),                 # single var
+    ]
+    for w, v, f, fm in cases:
+        cg = compile_graph(w, v, f, fm)
+        plan, reason = plan_item_grid(cg)
+        assert plan is not None, reason
+        fill_weights(plan, w["initialValue"])
+
+
 def test_unsupported_graphs_report_reason():
     # cardinality beyond the kernel envelope
     w, v, f, fm = _random_bool_graph(1)
@@ -259,6 +300,32 @@ def test_unsupported_graphs_report_reason():
     cg = compile_graph(w, v2, f, fm)
     plan, reason = plan_item_grid(cg)
     assert plan is None and "cardinality" in reason
+
+
+@pytest.mark.skipif("tpu" not in str(jax.devices()[0]).lower()
+                    and "axon" not in jax.default_backend().lower(),
+                    reason="itemgrid kernel needs TPU hardware PRNG")
+def test_itemgrid_tpu_fuzz_vs_xla_per_variable():
+    """Random mixed/boolean multi-color graphs: kernel vs XLA engine
+    per-variable marginals within Monte-Carlo tolerance."""
+    from numbskull_tpu.ops import GibbsEngine
+    from numbskull_tpu.ops.itemgrid_pallas import PallasItemGridEngine
+
+    for seed, mk in [(3, _random_mixed_graph), (4, _random_bool_graph)]:
+        w, v, f, fm = mk(seed, n_vars=60, n_factors=120)
+        cg = compile_graph(w, v, f, fm)
+        eng = PallasItemGridEngine(cg)
+        epochs = 2000
+        x, cnt = eng.run(seed=0, burn=100, epochs=epochs)
+        marg = eng.marginals(cnt, epochs)
+        ge = GibbsEngine(cg)
+        st = ge.init_state()
+        st = ge.inference(st, jax.random.PRNGKey(0), epochs=epochs,
+                          burn=100)
+        gm = ge.marginals(st, epochs)
+        K = min(marg.shape[1], gm.shape[1])
+        gap = np.abs(marg[:, :K] - gm[:, :K]).max()
+        assert gap < 0.06, (seed, gap)
 
 
 @pytest.mark.skipif("tpu" not in str(jax.devices()[0]).lower()
