@@ -19,10 +19,11 @@ kernel is the TPU-native design for the irregular case (SURVEY.md §7.3
   row block; sampling uses the hardware PRNG.
 
 Coverage: boolean AND categorical variables (cardinality <= K_MAX_SUP),
-24 of the 25 reference factor functions (all boolean, all categorical,
-all data-programming generative factors; FUNC_UFO — a distributed
-support factor — stays on the XLA engine), inference AND dual-chain SGD
-learning. Graphs outside the envelope report a reason and the caller
+ALL 25 reference factor functions (boolean, categorical, the nine
+data-programming generative factors, and FUNC_UFO), inference AND
+dual-chain SGD learning; per-value tallies are int16 (cap ~30k tallied
+epochs per run; chain runs compose across calls). Graphs outside the
+envelope report a reason and the caller
 falls back to ops/gibbs.GibbsEngine. Semantics match GibbsEngine: same
 potentials (reference numbskull/inference.py:55-71), same vmap slot
 logic for categorical adjacency (reference dataloading.py:16-81), same
@@ -42,8 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 from numbskull_tpu import types as T
 from numbskull_tpu.compile import CompiledGraph
 
-SUPPORTED_FUNCS = tuple(
-    code for name, code in T.FACTORS.items() if name != "UFO")
+SUPPORTED_FUNCS = tuple(T.FACTORS.values())
 
 RB = 1024            # rows per block (multiple of 128; smaller blocks
 #                      shrink gather windows and the MXU work that scales
@@ -52,8 +52,10 @@ W_MAX = 16384        # max window span (multiple of 128)
 D_MAX = 32           # max items per row
 A_MAX = 8            # max factor arity
 K_MAX_SUP = 8        # max variable cardinality
-V_MAX = 6 << 20      # max padded variables (VMEM budget; 2048x2048
-#                      lattices verified on hardware)
+V_MAX = 7 << 20      # max padded variables (VMEM: 4B values + 1B tally
+#                      + 2B/value counts + Mosaic spill headroom;
+#                      2560x2560 lattices = 6.6M vars verified on
+#                      hardware)
 COLOR_MAX = 8
 
 
@@ -197,6 +199,7 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank):
     for p in cg.plans:
         starts.append(vp)
         vp += _ceil(int(p.cv_valid.sum()), RB)
+    vp = _ceil(vp, 2048)   # int16 count slabs need 16-sublane alignment
     if vp > V_MAX:
         return None, "graph too large for VMEM (%d padded vars)" % vp
     perm = np.full(cg.n_vars, -1, np.int64)
@@ -494,6 +497,15 @@ def _eval_all(present, ftype, arity, vals, eqs, cards, A):
             val = jnp.where((vals[0] == ab) | (vals[1] == ab), zero, neg)
         elif t == T.FUNC_DP_GEN_DEP_SIMILAR:
             val = jnp.where(vals[0] == vals[1], one, zero)
+        elif t == T.FUNC_UFO:
+            # distributed-support factor: value of the arg at position
+            # val(0)-1, or 0 when val(0)==0 (reference
+            # inference.py:398-405)
+            sel = zero
+            for a in range(A):
+                sel = jnp.where(vals[0] - 1 == jnp.int32(a),
+                                vals[a].astype(f32), sel)
+            val = jnp.where(vals[0] == 0, zero, sel)
         else:  # pragma: no cover - guarded by _plan_ranked
             val = zero
         out = jnp.where(ftype == jnp.int32(t), val, out)
@@ -638,7 +650,7 @@ def _make_kernel(plan: ItemGridPlan):
 
         pltpu.prng_seed(seed_ref[0])
         x_out[:] = x_in[:]
-        count_out[:] = jnp.zeros((kmax * vpr, 128), jnp.int32)
+        count_out[:] = jnp.zeros((kmax * vpr, 128), jnp.int16)
         burn = burn_ref[0]
         total = burn + epochs_ref[0]
 
@@ -680,10 +692,11 @@ def _make_kernel(plan: ItemGridPlan):
                 color_step(ci)
             mult = (i >= burn).astype(jnp.int32)
             for k in range(kmax):
-                hit = (x_out[:] == k).astype(jnp.int32)
+                hit = ((x_out[:] == k).astype(jnp.int32) *
+                       tally_in[:].astype(jnp.int32) * mult)
                 count_out[pl.ds(k * vpr, vpr), :] = \
                     count_out[pl.ds(k * vpr, vpr), :] + \
-                    hit * tally_in[:] * mult
+                    hit.astype(jnp.int16)
             return 0
 
         jax.lax.fori_loop(0, total, epoch_body, 0)
@@ -923,13 +936,14 @@ class PallasItemGridEngine:
                 out_shape=(
                     jax.ShapeDtypeStruct((vp // 128, 128), jnp.int32),
                     jax.ShapeDtypeStruct((kmax * vp // 128, 128),
-                                         jnp.int32)),
+                                         jnp.int16)),
                 in_specs=in_specs,
                 out_specs=out_specs,
                 scratch_shapes=scratch,
                 compiler_params=pltpu.CompilerParams(
                     has_side_effects=True,
-                    vmem_limit_bytes=110 * 1024 * 1024),
+                    vmem_limit_bytes=120 * 1024 * 1024),
+                input_output_aliases={3: 0},   # x0 buffer IS x_out
                 interpret=(pltpu.InterpretParams()
                            if self.interpret else False),
             )(seed, burn, epochs, x0, tally, *packs)
@@ -970,7 +984,8 @@ class PallasItemGridEngine:
                 scratch_shapes=scratch,
                 compiler_params=pltpu.CompilerParams(
                     has_side_effects=True,
-                    vmem_limit_bytes=110 * 1024 * 1024),
+                    vmem_limit_bytes=120 * 1024 * 1024),
+                input_output_aliases={5: 0},   # x0 buffer IS x_out
                 interpret=(pltpu.InterpretParams()
                            if self.interpret else False),
             )(seed, burn, epochs, step0, decay, x0, w0, wfix, *packs)
@@ -1020,6 +1035,9 @@ class PallasItemGridEngine:
             weight_value=None, x0=None):
         """Run burn + epochs sweeps; returns (values (V,), counts (V, K))
         in ORIGINAL variable order."""
+        assert epochs <= 30000, \
+            "int16 in-kernel tallies cap one run at 30000 epochs; " \
+            "chain multiple runs (x0=previous values) for more"
         plan = self.plan
         wv = np.asarray(self.cg.weight_init if weight_value is None
                         else weight_value, np.float32)
@@ -1031,12 +1049,13 @@ class PallasItemGridEngine:
         if x0 is not None:
             init[plan.perm] = np.asarray(x0, np.int32)
         x2d = jnp.asarray(init.reshape(plan.vp // 128, 128))
-        t2d = jnp.asarray(plan.tally_new.reshape(plan.vp // 128, 128))
+        t2d = jnp.asarray(plan.tally_new.reshape(plan.vp // 128, 128)
+                          .astype(np.int8))
         x_out, cnt = self._call(
             jnp.asarray([seed], jnp.int32), jnp.asarray([burn], jnp.int32),
             jnp.asarray([epochs], jnp.int32), x2d, t2d, *self._packs)
         x_flat = np.asarray(x_out).reshape(-1)[plan.perm]
-        cnt = np.asarray(cnt).reshape(plan.kmax, plan.vp)
+        cnt = np.asarray(cnt).astype(np.int32).reshape(plan.kmax, plan.vp)
         counts = cnt[:, plan.perm].T.copy()            # (V, K)
         return x_flat, counts
 

@@ -250,6 +250,37 @@ def test_rcm_reorder_rescues_shuffled_ising():
             assert got[vid][k] == pytest.approx(want, abs=1e-4)
 
 
+def test_eval_ufo_matches_golden():
+    """FUNC_UFO (distributed-support factor): value of the arg at
+    position val(0)-1."""
+    from numbskull_tpu.ops.itemgrid_pallas import _eval_all
+
+    A = 4
+    for arity in (2, 3, 4):
+        for case in range(3 ** arity):
+            vals_np = [(case // 3 ** a) % 3 for a in range(arity)]
+            v = T.new_variables(arity)
+            v["dataType"] = 1
+            v["cardinality"] = 3
+            f = T.new_factors(1)
+            f["factorFunction"] = T.FACTORS["UFO"]
+            f["arity"] = arity
+            fm = T.new_fmap(arity)
+            fm["vid"] = np.arange(arity)
+            want = golden.eval_factor(0, -1, 0, v, f, fm,
+                                      np.array(vals_np))
+            vals = [jnp.full((1, 8), vals_np[a] if a < arity else 0,
+                             jnp.int32) for a in range(A)]
+            eqs = [jnp.zeros((1, 8), jnp.int32) for _ in range(A)]
+            crd = [jnp.full((1, 8), 3, jnp.int32) for _ in range(A)]
+            got = np.asarray(_eval_all(
+                (T.FACTORS["UFO"],),
+                jnp.full((1, 8), T.FACTORS["UFO"], jnp.int32),
+                jnp.full((1, 8), arity, jnp.int32), vals, eqs, crd,
+                A))[0, 0]
+            assert got == pytest.approx(want), (arity, vals_np)
+
+
 def test_planner_edge_cases():
     """Degenerate graphs must plan (or cleanly report a reason), never
     crash: isolated vars, no factors, self-pair factors, all-evidence,
