@@ -430,6 +430,42 @@ def test_itemgrid_tpu_learning_recovers_coin_weights():
 @pytest.mark.skipif("tpu" not in str(jax.devices()[0]).lower()
                     and "axon" not in jax.default_backend().lower(),
                     reason="itemgrid kernel needs TPU hardware PRNG")
+def test_itemgrid_tpu_l1_lf_learning_and_sum_agg():
+    """In-kernel L1 truncated-gradient learning on the labeling-function
+    model (accuracy magnitude + ordering, analog of reference
+    test_lf_learning.py) and the grad_agg='sum' branch on the coin."""
+    from numbskull_tpu.models import coin_model, lf_model
+    from numbskull_tpu.ops.gibbs import LearnParams
+    from numbskull_tpu.ops.itemgrid_pallas import PallasItemGridEngine
+
+    prior, acc = 0.0, [1.0, 0.4]
+    w, v, f, fm, dm, e = lf_model(prior, acc, copies=2000, seed=11)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm)
+    eng = PallasItemGridEngine(cg)
+    lp = LearnParams(regularization=1, reg_param=0.01, truncation=10,
+                     learn_non_evidence=True)
+    epochs = 200
+    got = eng.learn(seed=0, burn=20, epochs=epochs, stepsize=0.05,
+                    decay=0.01 ** (1.0 / epochs), lp=lp)
+    assert abs(got[0] - prior) < 0.25
+    assert got[1] == pytest.approx(acc[0], abs=0.3)
+    assert got[2] == pytest.approx(acc[1], abs=0.3)
+    assert got[1] > got[2]
+
+    lp2 = LearnParams(regularization=2, reg_param=1e-4, grad_agg="sum")
+    w, v, f, fm, dm, e = coin_model(1000, 0.8, -0.5, 0.4, evidence=True,
+                                    weight_init=(0.0, 0.0, 0.0),
+                                    fixed=False, seed=3)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm)
+    eng = PallasItemGridEngine(cg)
+    got2 = eng.learn(seed=0, burn=5, epochs=60, stepsize=0.002,
+                     decay=0.995, lp=lp2)
+    assert got2[0] > 0.3 and got2[1] < -0.1 and got2[2] > 0.1
+
+
+@pytest.mark.skipif("tpu" not in str(jax.devices()[0]).lower()
+                    and "axon" not in jax.default_backend().lower(),
+                    reason="itemgrid kernel needs TPU hardware PRNG")
 def test_itemgrid_tpu_marginals_match_xla_engine():
     from numbskull_tpu.ops import GibbsEngine
     from numbskull_tpu.ops.itemgrid_pallas import PallasItemGridEngine
