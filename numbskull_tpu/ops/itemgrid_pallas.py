@@ -662,12 +662,22 @@ def _make_kernel(plan: ItemGridPlan):
                 jnp.int32, (c.Wc // 128, RB), 0)
             lane_iota = jax.lax.broadcasted_iota(jnp.int32, (128, RB), 0)
 
+            def dma(rb, slot):
+                return pltpu.make_async_copy(
+                    hbm_refs[ci].at[rb], pack_scr[ci].at[slot],
+                    sem.at[slot])
+
+            dma(0, 0).start()           # warm up the double buffer
+
             def rb_body(rb, _):
-                cp = pltpu.make_async_copy(
-                    hbm_refs[ci].at[rb], pack_scr[ci], sem)
-                cp.start()
-                cp.wait()
-                pk = pack_scr[ci]
+                slot = rb % 2
+
+                @pl.when(rb + 1 < c.num_rb)
+                def _():
+                    dma(rb + 1, (rb + 1) % 2).start()
+
+                dma(rb, slot).wait()
+                pk = pack_scr[ci].at[slot]
 
                 def win_x(da):
                     return x_out[pl.ds(pk[L.wrow, da], c.Wc // 128),
@@ -743,12 +753,22 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
                 sub_iota = jax.lax.broadcasted_iota(
                     jnp.int32, (c.Wc // 128, RB), 0)
 
+                def dma(rb, slot):
+                    return pltpu.make_async_copy(
+                        hbm_refs[ci].at[rb], pack_scr[ci].at[slot],
+                        sem.at[slot])
+
+                dma(0, 0).start()
+
                 def rb_body(rb, _):
-                    cp = pltpu.make_async_copy(
-                        hbm_refs[ci].at[rb], pack_scr[ci], sem)
-                    cp.start()
-                    cp.wait()
-                    pk = pack_scr[ci]
+                    slot = rb % 2
+
+                    @pl.when(rb + 1 < c.num_rb)
+                    def _():
+                        dma(rb + 1, (rb + 1) % 2).start()
+
+                    dma(rb, slot).wait()
+                    pk = pack_scr[ci].at[slot]
 
                     def win_x(da):
                         return x_out[pl.ds(pk[L.wrow, da], c.Wc // 128),
@@ -779,12 +799,22 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
             gw_scr[:] = jnp.zeros((wrows, 128), jnp.float32)
             nw_scr[:] = jnp.zeros((wrows, 128), jnp.float32)
 
+            def dma(rb, slot):
+                return pltpu.make_async_copy(
+                    hbm_refs[ci].at[rb], pack_scr[ci].at[slot],
+                    sem.at[slot])
+
+            dma(0, 0).start()
+
             def rb_body(rb, _):
-                cp = pltpu.make_async_copy(
-                    hbm_refs[ci].at[rb], pack_scr[ci], sem)
-                cp.start()
-                cp.wait()
-                pk = pack_scr[ci]
+                slot = rb % 2
+
+                @pl.when(rb + 1 < c.num_rb)
+                def _():
+                    dma(rb + 1, (rb + 1) % 2).start()
+
+                dma(rb, slot).wait()
+                pk = pack_scr[ci].at[slot]
 
                 def win_p(da):
                     return x_out[pl.ds(pk[L.wrow, da], c.Wc // 128),
@@ -925,9 +955,9 @@ class PallasItemGridEngine:
         )
         out_specs = (pl.BlockSpec(memory_space=pltpu.VMEM),
                      pl.BlockSpec(memory_space=pltpu.VMEM))
-        scratch = [pltpu.VMEM(c.packed.shape[1:], jnp.int32)
-                   for c in plan.colors]
-        scratch.append(pltpu.SemaphoreType.DMA(()))
+        scratch = [pltpu.VMEM((2,) + c.packed.shape[1:], jnp.int32)
+                   for c in plan.colors]                  # double buffers
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
 
         @jax.jit
         def call(seed, burn, epochs, x0, tally, *packs):
@@ -966,11 +996,11 @@ class PallasItemGridEngine:
         )
         out_specs = tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                           for _ in range(3))
-        scratch = [pltpu.VMEM(c.packed.shape[1:], jnp.int32)
-                   for c in plan.colors]
+        scratch = [pltpu.VMEM((2,) + c.packed.shape[1:], jnp.int32)
+                   for c in plan.colors]                  # double buffers
         scratch.append(pltpu.VMEM((wrows, 128), jnp.float32))   # gw
         scratch.append(pltpu.VMEM((wrows, 128), jnp.float32))   # nw
-        scratch.append(pltpu.SemaphoreType.DMA(()))
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
 
         def call(seed, burn, epochs, step0, decay, x0, w0, wfix, *packs):
             return pl.pallas_call(
