@@ -367,3 +367,75 @@ class BSPEngine:
         return {"mode": self.mode,
                 "boundary_values_per_sync": int(self.boundary_vars.sum()),
                 "message_floats_per_sync": msg_floats}
+
+
+class BSPItemGridInference:
+    """Bulk-synchronous partitioned inference with Pallas itemgrid local
+    engines: the reference's cluster semantics (stale halos, per-sync
+    value exchange) at fused-kernel speed. TPU-only (hardware PRNG);
+    values mode only (straddling factors replicated on every part that
+    owns one of their variables). Host arrays mediate the exchange — on
+    a real deployment each part is one host and the exchange is the DCN
+    hop."""
+
+    def __init__(self, weights, variables, factors, fmap,
+                 part: np.ndarray, domain_mask=None, seed: int = 0):
+        from numbskull_tpu.ops.itemgrid_pallas import PallasItemGridEngine
+
+        part = np.asarray(part, np.int64)
+        self.part = part
+        self.n_parts = int(part.max()) + 1 if len(part) else 1
+        self.n_vars = len(variables)
+
+        F = len(factors)
+        arity = factors["arity"].astype(np.int64)
+        fvid = fmap["vid"].astype(np.int64)
+        edge_fid = np.repeat(np.arange(F, dtype=np.int64), arity)
+        edge_part = part[fvid]
+
+        self.engines = []
+        self.owned = []
+        init = variables["initialValue"].astype(np.int64)
+        self._values = init.copy()
+        for p in range(self.n_parts):
+            owned_vars = part == p
+            self.owned.append(owned_vars)
+            touches = np.zeros(F, bool)
+            np.logical_or.at(touches, edge_fid, edge_part == p)
+            skip = np.flatnonzero(~touches).astype(np.int64)
+            v = variables.copy()
+            v["isEvidence"] = np.where(owned_vars, variables["isEvidence"],
+                                       np.int8(4))
+            cg = compile_graph(weights, v, factors, fmap,
+                               factors_to_skip=skip,
+                               domain_mask=domain_mask, seed=seed)
+            self.engines.append(PallasItemGridEngine(cg))
+        self.kmax = max(e.plan.kmax for e in self.engines)
+        self._counts = np.zeros((self.n_vars, self.kmax), np.int64)
+
+    def inference(self, seed: int, epochs: int, burn: int = 0,
+                  sync_every: int = 1):
+        """Burn-in then tallying epochs; owned values exchange at every
+        sync (reference numbskull_master.py:151-227 semantics)."""
+        step = 0
+        for phase, n in (("burn", burn), ("epoch", epochs)):
+            done = 0
+            while done < n:
+                k = min(sync_every, n - done)
+                for p, eng in enumerate(self.engines):
+                    vals, counts = eng.run(
+                        seed + 7919 * step + p,
+                        burn=k if phase == "burn" else 0,
+                        epochs=0 if phase == "burn" else k,
+                        x0=self._values)
+                    own = self.owned[p]
+                    self._values[own] = vals[own]
+                    if phase == "epoch":
+                        K = counts.shape[1]
+                        self._counts[own, :K] += counts[own, :K]
+                done += k
+                step += 1
+        return self._values
+
+    def marginals(self, epochs: int) -> np.ndarray:
+        return self._counts.astype(np.float64) / float(max(epochs, 1))

@@ -168,6 +168,28 @@ def test_bsp_multi_device_learning():
     assert got[2] == pytest.approx(c, abs=0.25)
 
 
+@pytest.mark.skipif("tpu" not in str(jax.devices()[0]).lower()
+                    and "axon" not in jax.default_backend().lower(),
+                    reason="itemgrid local engines need TPU hardware PRNG")
+def test_bsp_itemgrid_tpu_exact_marginals():
+    """Reference cluster semantics at fused-kernel speed: partitioned
+    BSP inference with Pallas itemgrid local engines vs the exact coin
+    joint (every pair straddles the partition)."""
+    from numbskull_tpu.parallel.bsp import BSPItemGridInference
+
+    w, v, f, fm, dm, e = coin_model(300, 0.3, -0.2, 0.4, evidence=False,
+                                    weight_init=(0.3, -0.2, 0.4),
+                                    fixed=True)
+    part = np.arange(len(v)) % 2
+    eng = BSPItemGridInference(w, v, f, fm, part, domain_mask=dm)
+    epochs = 3000
+    eng.inference(seed=0, epochs=epochs, burn=100, sync_every=10)
+    marg = eng.marginals(epochs)
+    ex = coin_exact_marginal(0.3, -0.2, 0.4)
+    assert marg[0::2, 1].mean() == pytest.approx(ex[2] + ex[3], abs=0.02)
+    assert marg[1::2, 1].mean() == pytest.approx(ex[1] + ex[3], abs=0.02)
+
+
 def test_traffic_accounting():
     w, v, f, fm = _random_graph(seed=2)
     part = np.arange(len(v)) % 2
