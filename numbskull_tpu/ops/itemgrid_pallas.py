@@ -52,10 +52,10 @@ W_MAX = 16384        # max window span (multiple of 128)
 D_MAX = 32           # max items per row
 A_MAX = 8            # max factor arity
 K_MAX_SUP = 8        # max variable cardinality
-V_MAX = 7 << 20      # max padded variables (VMEM: 4B values + 1B tally
-#                      + 2B/value counts + Mosaic spill headroom;
-#                      2560x2560 lattices = 6.6M vars verified on
-#                      hardware)
+V_MAX = 10 << 20     # max padded variables (VMEM: 4B values + 1B tally
+#                      + 2B/value counts; chunked init/tally avoid
+#                      register spills; 3072x3072 lattices = 9.4M vars
+#                      verified on hardware)
 COLOR_MAX = 8
 
 
@@ -649,8 +649,17 @@ def _make_kernel(plan: ItemGridPlan):
         sem = scr[n_c]
 
         pltpu.prng_seed(seed_ref[0])
-        x_out[:] = x_in[:]
-        count_out[:] = jnp.zeros((kmax * vpr, 128), jnp.int16)
+        # chunked init + tally: full-(vp)-array ops stage through vector
+        # registers and spill tens of MB at multi-million-variable sizes
+        CH = 4096
+
+        def _chunks(rows):
+            return [(s, min(CH, rows - s)) for s in range(0, rows, CH)]
+
+        for s, ln in _chunks(vpr):
+            x_out[pl.ds(s, ln), :] = x_in[pl.ds(s, ln), :]
+        for s, ln in _chunks(kmax * vpr):
+            count_out[pl.ds(s, ln), :] = jnp.zeros((ln, 128), jnp.int16)
         burn = burn_ref[0]
         total = burn + epochs_ref[0]
 
@@ -702,11 +711,14 @@ def _make_kernel(plan: ItemGridPlan):
                 color_step(ci)
             mult = (i >= burn).astype(jnp.int32)
             for k in range(kmax):
-                hit = ((x_out[:] == k).astype(jnp.int32) *
-                       tally_in[:].astype(jnp.int32) * mult)
-                count_out[pl.ds(k * vpr, vpr), :] = \
-                    count_out[pl.ds(k * vpr, vpr), :] + \
-                    hit.astype(jnp.int16)
+                for s, ln in _chunks(vpr):
+                    hit = ((x_out[pl.ds(s, ln), :] == k)
+                           .astype(jnp.int32) *
+                           tally_in[pl.ds(s, ln), :].astype(jnp.int32) *
+                           mult)
+                    count_out[pl.ds(k * vpr + s, ln), :] = \
+                        count_out[pl.ds(k * vpr + s, ln), :] + \
+                        hit.astype(jnp.int16)
             return 0
 
         jax.lax.fori_loop(0, total, epoch_body, 0)
@@ -972,7 +984,7 @@ class PallasItemGridEngine:
                 scratch_shapes=scratch,
                 compiler_params=pltpu.CompilerParams(
                     has_side_effects=True,
-                    vmem_limit_bytes=120 * 1024 * 1024),
+                    vmem_limit_bytes=127 * 1024 * 1024),
                 input_output_aliases={3: 0},   # x0 buffer IS x_out
                 interpret=(pltpu.InterpretParams()
                            if self.interpret else False),
@@ -1014,7 +1026,7 @@ class PallasItemGridEngine:
                 scratch_shapes=scratch,
                 compiler_params=pltpu.CompilerParams(
                     has_side_effects=True,
-                    vmem_limit_bytes=120 * 1024 * 1024),
+                    vmem_limit_bytes=127 * 1024 * 1024),
                 input_output_aliases={5: 0},   # x0 buffer IS x_out
                 interpret=(pltpu.InterpretParams()
                            if self.interpret else False),
