@@ -746,8 +746,13 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
         sem = scr[n_c + 2]
 
         pltpu.prng_seed(seed_ref[0])
-        x_out[:] = x_in[:]
-        xe_out[:] = x_in[:]
+        # chunked init (full-array copies spill registers at scale)
+        CH = 4096
+        vpr_l = plan.vp // 128
+        for s in range(0, vpr_l, CH):
+            ln = min(CH, vpr_l - s)
+            x_out[pl.ds(s, ln), :] = x_in[pl.ds(s, ln), :]
+            xe_out[pl.ds(s, ln), :] = x_in[pl.ds(s, ln), :]
         w_out[:] = w_in[:]
 
         w_iota = jax.lax.broadcasted_iota(jnp.int32, (wrows, RB), 0)
