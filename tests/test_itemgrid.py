@@ -336,6 +336,26 @@ def test_unsupported_graphs_report_reason():
 @pytest.mark.skipif("tpu" not in str(jax.devices()[0]).lower()
                     and "axon" not in jax.default_backend().lower(),
                     reason="itemgrid kernel needs TPU hardware PRNG")
+def test_itemgrid_tpu_deterministic_by_seed():
+    """Same seed -> bit-identical values and tallies; different seed
+    differs (hardware PRNG seeded per run)."""
+    from numbskull_tpu.ops.itemgrid_pallas import PallasItemGridEngine
+
+    n = 64
+    w, v, f, fm, dm, e = ising_grid(n, n, weight=0.3)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm,
+                       color_hint=ising_color_hint(n, n))
+    eng = PallasItemGridEngine(cg)
+    x1, c1 = eng.run(seed=42, burn=10, epochs=100)
+    x2, c2 = eng.run(seed=42, burn=10, epochs=100)
+    x3, c3 = eng.run(seed=43, burn=10, epochs=100)
+    assert (x1 == x2).all() and (c1 == c2).all()
+    assert not (c1 == c3).all()
+
+
+@pytest.mark.skipif("tpu" not in str(jax.devices()[0]).lower()
+                    and "axon" not in jax.default_backend().lower(),
+                    reason="itemgrid kernel needs TPU hardware PRNG")
 def test_itemgrid_tpu_fuzz_vs_xla_per_variable():
     """Random mixed/boolean multi-color graphs: kernel vs XLA engine
     per-variable marginals within Monte-Carlo tolerance."""
