@@ -200,15 +200,24 @@ class FactorGraph:
                   sample_evidence: bool = False, diagnostics: bool = False,
                   checkpoint: str = "", checkpoint_every: int = 100):
         if checkpoint:
-            from numbskull_tpu.resilience import run_resilient
-            with Timer() as t:
-                self.state = run_resilient(
-                    self.engine, self.state, self._next_key(), epochs,
-                    ckpt_path=checkpoint, chunk=checkpoint_every,
-                    burn=burnin_epochs, sample_evidence=sample_evidence)
-            metrics.observe("inference.run_s", t.interval)
-            self.inference_total_time += t.interval
-            self.inference_epochs_done += epochs
+            # chunked + checkpointed at this level so the engine dispatch
+            # (itemgrid fast path or XLA) applies to every chunk; resume
+            # restores state AND the RNG key, so a relaunched run
+            # continues the same chain
+            from numbskull_tpu.checkpoint import (load_checkpoint,
+                                                  save_checkpoint)
+            done = 0
+            if os.path.exists(checkpoint):
+                self.state, self.key, meta = load_checkpoint(checkpoint)
+                done = int(meta.get("epochs_done", 0))
+                metrics.add("inference.resumes")
+            while done < epochs:
+                n = min(checkpoint_every, epochs - done)
+                self.inference(burnin_epochs if done == 0 else 0, n,
+                               sample_evidence=sample_evidence)
+                done += n
+                save_checkpoint(checkpoint, self.state, self.key,
+                                meta={"epochs_done": done})
             return
         with Timer() as t:
             ig = self._maybe_itemgrid(sample_evidence)
