@@ -4,6 +4,11 @@ NOTE: in this environment the JAX_PLATFORMS env var is overridden by the
 TPU plugin; the only reliable way to force CPU is jax.config.update before
 the backend initializes, which this conftest guarantees by running before
 any test module imports jax.
+
+Set NSX_TPU_TESTS=1 to KEEP the real TPU backend so the hardware-gated
+tests run under pytest, e.g.:
+    NSX_TPU_TESTS=1 python -m pytest tests/test_itemgrid.py -k tpu
+(multi-device CPU-mesh tests will skip in that mode: one chip only).
 """
 
 import os
@@ -15,4 +20,5 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("NSX_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
