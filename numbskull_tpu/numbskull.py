@@ -345,6 +345,14 @@ class FactorGraph:
             for v in range(cg.n_vars):
                 if cg.var_card[v] == 2:
                     out.write("%d %d %.3f\n" % (v, 1, counts[v, 1] / epochs))
+                elif cg.var_dtype[v] == 0:
+                    # dense multi-valued variable: values ARE 0..card-1
+                    # (the reference's dump reads past its single vmap
+                    # slot here, factorgraph.py:226-228 — a latent bug
+                    # its tests never hit; we write the identity values)
+                    for k in range(cg.var_card[v]):
+                        out.write("%d %d %.3f\n" %
+                                  (v, k, counts[v, k] / epochs))
                 else:
                     for k in range(cg.var_card[v]):
                         orig = cg.vmap_value[cg.vtf_offset[v] + k]

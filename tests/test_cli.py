@@ -52,6 +52,26 @@ def test_cli_checkpoint_resume(tmp_path):
     assert np.abs(p1[:, 2] - p2[:, 2]).max() < 0.2
 
 
+def test_dump_probabilities_multivalue(tmp_path):
+    """Dense multi-valued variables dump one line per value (the
+    reference's dump reads past its single vmap slot here — a latent
+    bug its tests never hit; we write identity values)."""
+    from numbskull_tpu.models import lf_model
+
+    ns = NumbSkull(n_inference_epoch=50, quiet=True,
+                   output_dir=str(tmp_path))
+    ns.loadFactorGraph(*lf_model(0.3, [0.9], copies=2, seed=0))
+    ns.inference(out=True)
+    lines = open(os.path.join(
+        str(tmp_path), "inference_result.out.text")).read().splitlines()
+    # 2 copies x (1 boolean y + 1 card-3 LF) -> 2*1 + 2*3 = 8 lines
+    assert len(lines) == 8
+    probs = np.array([[float(x) for x in ln.split()] for ln in lines])
+    for v in (1, 3):                      # card-3 vars sum to ~1
+        s = probs[probs[:, 0] == v, 2].sum()
+        assert abs(s - 1.0) < 0.05
+
+
 def test_load_api():
     ns = load([REF_DIR, "-q"])
     assert len(ns.factorGraphs) == 1
