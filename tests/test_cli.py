@@ -78,6 +78,31 @@ def test_load_api():
     assert ns.factorGraphs[0].cg.n_vars == 18
 
 
+def test_api_coverage_diagnostics_and_raw_load(capsys):
+    """Diagnostics histogram/weight prints, compressed getMarginals, and
+    loadFactorGraphRaw (prebuilt CompiledGraph) all function."""
+    from numbskull_tpu.compile import compile_graph
+    from numbskull_tpu.models import coin_model, lf_model
+
+    ns = NumbSkull(n_inference_epoch=20, n_learning_epoch=10, burn_in=2,
+                   quiet=False, verbose=True)
+    ns.loadFactorGraph(*coin_model(3, evidence=True))
+    ns.learning(out=False)
+    ns.inference(out=False)
+    out = capsys.readouterr().out
+    assert "Prob. 0.9..1.0" in out          # histogram printed
+    assert "weightId" in out                # learning diagnostics
+    fg = ns.factorGraphs[0]
+    assert fg.getMarginals(20).shape == (6,)
+
+    w, v, f, fm, dm, e = lf_model(0.3, [0.9], copies=2, seed=0)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm)
+    ns2 = NumbSkull(n_inference_epoch=10, quiet=True)
+    ns2.loadFactorGraphRaw(cg)
+    ns2.inference(out=False)
+    assert len(ns2.factorGraphs) == 1
+
+
 def test_programmatic_smoke():
     """Analog of reference loadfg.py: every factor function learns+infers
     without crashing."""
