@@ -86,6 +86,42 @@ def test_ising_two_colors():
     assert n_items == 2 * cg.n_factors
 
 
+def test_bipartite_coloring_grid_and_odd_cycle():
+    from numbskull_tpu.compile import bipartite_coloring
+
+    # 4x4 grid: bipartite -> 2 colors, no conflicts
+    n = 4
+    edges = []
+    for i in range(n):
+        for j in range(n):
+            v = i * n + j
+            if i:
+                edges.append((v, v - n))
+            if j:
+                edges.append((v, v - 1))
+    e = np.array(edges)
+    c = bipartite_coloring(16, e)
+    assert c is not None and c.max() == 1
+    assert (c[e[:, 0]] != c[e[:, 1]]).all()
+
+    # triangle: odd cycle -> not bipartite
+    tri = np.array([[0, 1], [1, 2], [2, 0]])
+    assert bipartite_coloring(3, tri) is None
+
+
+def test_reduce_colors_preserves_validity():
+    from numbskull_tpu.compile import color_variables, reduce_colors
+
+    rng = np.random.default_rng(5)
+    n = 200
+    e = rng.integers(0, n, (600, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    c0 = color_variables(n, e)
+    c1 = reduce_colors(c0, e)
+    assert c1.max() <= c0.max()
+    assert (c1[e[:, 0]] != c1[e[:, 1]]).all()
+
+
 def test_max_colors_cap():
     w, v, f, fm, dm, e = ising_grid(6, 6)
     cg = compile_graph(w, v, f, fm, domain_mask=dm, max_colors=1)
