@@ -22,8 +22,8 @@ from numbskull_tpu.models import voting_model
 from numbskull_tpu.ops import GibbsEngine
 
 
-def run(out_path="degree_sweep.tsv", n_vars=65536, n_factors=16384,
-        epochs=20, degrees=(1, 2, 5, 10, 20, 50)):
+def run(out_path="degree_sweep.tsv", n_vars=8192, n_factors=2048,
+        epochs=10, degrees=(1, 2, 5, 10, 20)):
     rows = ["degree\tn_colors\tcompile_s\tepoch_ms\tupdates_per_s"]
     for degree in degrees:
         args = voting_model(n_vars, n_factors, degree, weight=0.1, seed=1)
