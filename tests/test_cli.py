@@ -103,6 +103,23 @@ def test_api_coverage_diagnostics_and_raw_load(capsys):
     assert len(ns2.factorGraphs) == 1
 
 
+def test_remaining_api_surface():
+    """Every public function is exercised somewhere: burnIn,
+    getFactorGraph, device_memory_stats, is_coordinator."""
+    from numbskull_tpu.models import coin_model
+    from numbskull_tpu.observability import device_memory_stats
+    from numbskull_tpu.parallel.multihost import is_coordinator
+
+    ns = NumbSkull(quiet=True)
+    ns.loadFactorGraph(*coin_model(2, evidence=True))
+    fg = ns.getFactorGraph(0)
+    fg.burnIn(3, sample_evidence=True)
+    assert fg is ns.factorGraphs[0]
+    stats = device_memory_stats()
+    assert isinstance(stats, list) and "device" in stats[0]
+    assert is_coordinator() is True        # single-process
+
+
 def test_programmatic_smoke():
     """Analog of reference loadfg.py: every factor function learns+infers
     without crashing."""
