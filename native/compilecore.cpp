@@ -1,0 +1,254 @@
+// compilecore — native graph-compile inner loops.
+//
+// The graph compiler (numbskull_tpu/compile.py) lowers a factor graph to
+// per-color work-item tables: the deduplicated (factor, variable, slot)
+// attachment relation of the reference's compute_var_map (reference:
+// numbskull/dataloading.py:16-81), folded to (factor, variable) items
+// with <=2 slot values, grouped by variable color and sorted by target
+// row. The numpy pipeline expresses this as ~30 full-array passes
+// (lexsort, gathers, scatters); at 10M+ variables that is minutes of
+// memory traffic. This core does the same job as two sequential passes
+// (count, fill) with per-factor working sets, exposed via ctypes.
+// compile.py keeps the numpy pipeline as the fallback and as the test
+// oracle (tests/test_native.py asserts exact plan equality).
+//
+// Also hosts dump_rows: fixed-point text formatting for the DimmWitted
+// output files (reference: numbskull/factorgraph.py:210-229), because
+// every numpy text conversion is a per-element sprintf.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+
+namespace {
+
+constexpr int64_t kMaxArity = 4096;
+
+struct Pair {
+  int64_t v;
+  int64_t slot;
+};
+
+// Strided field view into a numpy structured array (no astype copies on
+// the Python side — the factor/fmap/variable records are read in place).
+struct Field {
+  const uint8_t* base;
+  int64_t stride;
+  int64_t i64(int64_t i) const {
+    int64_t v;
+    std::memcpy(&v, base + i * stride, 8);
+    return v;
+  }
+  int16_t i16(int64_t i) const {
+    int16_t v;
+    std::memcpy(&v, base + i * stride, 2);
+    return v;
+  }
+  double f64(int64_t i) const {
+    double v;
+    std::memcpy(&v, base + i * stride, 8);
+    return v;
+  }
+};
+
+struct Graph {
+  Field ffunc, fwid, ffv, farity, fftv;  // factor fields
+  Field mvid, meq;                       // fmap fields
+  Field vdtype, vcard;                   // variable fields
+};
+
+// Gathers factor f's deduplicated (variable, slot) pairs sorted by
+// (v, slot); returns count, or -1 if arity exceeds the working buffer.
+inline int64_t factor_pairs(const Graph& g, int64_t a0, int64_t a,
+                            Pair* buf) {
+  if (a > kMaxArity) return -1;
+  for (int64_t j = 0; j < a; ++j) {
+    int64_t v = g.mvid.i64(a0 + j);
+    buf[j].v = v;
+    buf[j].slot = g.vdtype.i16(v) == 0 ? 0 : g.meq.i64(a0 + j);
+  }
+  std::sort(buf, buf + a, [](const Pair& x, const Pair& y) {
+    return x.v < y.v || (x.v == y.v && x.slot < y.slot);
+  });
+  int64_t m = 0;
+  for (int64_t j = 0; j < a; ++j) {
+    if (j == 0 || buf[j].v != buf[m - 1].v || buf[j].slot != buf[m - 1].slot)
+      buf[m++] = buf[j];
+  }
+  return m;
+}
+
+Graph make_graph(const uint8_t* fac, int64_t fac_stride, const int64_t* foff,
+                 const uint8_t* fmp, int64_t fmp_stride, const int64_t* moff,
+                 const uint8_t* var, int64_t var_stride,
+                 const int64_t* voff) {
+  Graph g;
+  g.ffunc = {fac + foff[0], fac_stride};
+  g.fwid = {fac + foff[1], fac_stride};
+  g.ffv = {fac + foff[2], fac_stride};
+  g.farity = {fac + foff[3], fac_stride};
+  g.fftv = {fac + foff[4], fac_stride};
+  g.mvid = {fmp + moff[0], fmp_stride};
+  g.meq = {fmp + moff[1], fmp_stride};
+  g.vdtype = {var + voff[0], var_stride};
+  g.vcard = {var + voff[1], var_stride};
+  return g;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pass 1: count items per global row (rowcount must be zeroed by the
+// caller) and the max arity among kept factors. Returns the total item
+// count, or -1 when a factor exceeds the arity working buffer.
+// Structured-array fields are read in place via (base, stride, offsets):
+// foff = {factorFunction, weightId, featureValue, arity, ftv_offset},
+// moff = {vid, dense_equal_to}, voff = {dataType, cardinality}.
+int64_t compile_count(int64_t F, const uint8_t* fac, int64_t fac_stride,
+                      const int64_t* foff, const uint8_t* fmp,
+                      int64_t fmp_stride, const int64_t* moff,
+                      const uint8_t* var, int64_t var_stride,
+                      const int64_t* voff, const uint8_t* skip,
+                      const int64_t* grow, int64_t* rowcount,
+                      int64_t* amax_out) {
+  Graph g = make_graph(fac, fac_stride, foff, fmp, fmp_stride, moff, var,
+                       var_stride, voff);
+  Pair buf[kMaxArity];
+  int64_t total = 0;
+  int64_t amax = 1;
+  for (int64_t f = 0; f < F; ++f) {
+    if (skip[f]) continue;
+    int64_t a = g.farity.i64(f);
+    int64_t m = factor_pairs(g, g.fftv.i64(f), a, buf);
+    if (m < 0) return -1;
+    if (a > amax) amax = a;
+    for (int64_t j = 0; j < m;) {
+      int64_t v = buf[j].v;
+      int64_t k = j;
+      while (k < m && buf[k].v == v) ++k;
+      int64_t items = (k - j + 1) / 2;
+      rowcount[grow[v]] += items;
+      total += items;
+      j = k;
+    }
+  }
+  *amax_out = amax;
+  return total;
+}
+
+// Pass 2: fill the item tables. ``rowpos`` holds, per global row, the
+// output index of that row's next item (exclusive prefix sums of
+// rowcount, offset per color by the caller so each color's items land
+// in its own padded arena region); it is consumed/advanced in place.
+// Item order per row matches the numpy pipeline: ascending factor id,
+// then ascending (variable, slot). Returns 0, or -1 when a weight id
+// or slot value does not fit the int32 device tables.
+int compile_fill(int64_t F, const uint8_t* fac, int64_t fac_stride,
+                 const int64_t* foff, const uint8_t* fmp,
+                 int64_t fmp_stride, const int64_t* moff,
+                 const uint8_t* var, int64_t var_stride,
+                 const int64_t* voff, const uint8_t* skip,
+                 const int64_t* grow, const int32_t* row_in_color,
+                 int64_t* rowpos, int64_t amax,
+                 int32_t* it_row, int32_t* it_ftype, int32_t* it_wid,
+                 float* it_fv, uint8_t* it_dense, int32_t* it_d1,
+                 int32_t* it_d2, uint8_t* it_valid, int32_t* it_arity,
+                 int32_t* ag_vid, int32_t* ag_eq, uint8_t* ag_valid,
+                 int32_t* ag_card, uint8_t* ag_subst) {
+  Graph g = make_graph(fac, fac_stride, foff, fmp, fmp_stride, moff, var,
+                       var_stride, voff);
+  Pair buf[kMaxArity];
+  for (int64_t f = 0; f < F; ++f) {
+    if (skip[f]) continue;
+    int64_t a0 = g.fftv.i64(f);
+    int64_t a = g.farity.i64(f);
+    int64_t m = factor_pairs(g, a0, a, buf);
+    if (m < 0) return -1;
+    int64_t wid = g.fwid.i64(f);
+    if (wid < 0 || wid > INT32_MAX) return -1;
+    int16_t func = g.ffunc.i16(f);
+    float fv = static_cast<float>(g.ffv.f64(f));
+    for (int64_t j = 0; j < m;) {
+      int64_t v = buf[j].v;
+      int64_t k = j;
+      while (k < m && buf[k].v == v) ++k;
+      for (int64_t s = j; s < k; s += 2) {
+        int64_t d1 = buf[s].slot;
+        int64_t d2 = (s + 1 < k) ? buf[s + 1].slot : d1;
+        if (d1 < INT32_MIN || d1 > INT32_MAX || d2 > INT32_MAX) return -1;
+        int64_t i = rowpos[grow[v]]++;
+        it_row[i] = row_in_color[v];
+        it_ftype[i] = func;
+        it_wid[i] = static_cast<int32_t>(wid);
+        it_fv[i] = fv;
+        it_dense[i] = g.vdtype.i16(v) == 0 ? 1 : 0;
+        it_d1[i] = static_cast<int32_t>(d1);
+        it_d2[i] = static_cast<int32_t>(d2);
+        it_valid[i] = 1;
+        it_arity[i] = static_cast<int32_t>(a);
+        int64_t base = i * amax;
+        for (int64_t t = 0; t < amax; ++t) {
+          if (t < a) {
+            int64_t av = g.mvid.i64(a0 + t);
+            int64_t eq = g.meq.i64(a0 + t);
+            if (eq < INT32_MIN || eq > INT32_MAX) return -1;
+            ag_vid[base + t] = static_cast<int32_t>(av);
+            ag_eq[base + t] = static_cast<int32_t>(eq);
+            ag_valid[base + t] = 1;
+            ag_card[base + t] = static_cast<int32_t>(g.vcard.i64(av));
+            ag_subst[base + t] = av == v ? 1 : 0;
+          } else {
+            ag_vid[base + t] = 0;
+            ag_eq[base + t] = 0;
+            ag_valid[base + t] = 0;
+            ag_card[base + t] = 1;
+            ag_subst[base + t] = 0;
+          }
+        }
+      }
+      j = k;
+    }
+  }
+  return 0;
+}
+
+// Text row formatter: writes n rows of "a b prob\n" ("%.{dec}f"-style
+// fixed point) to path. b may be null (2-column id/value dumps).
+// Returns 0, or -1 on I/O failure.
+int dump_rows(const char* path, int64_t n, const int64_t* a,
+              const int64_t* b, const double* x, int dec) {
+  FILE* fp = std::fopen(path, "wb");
+  if (!fp) return -1;
+  char buf[1 << 16];
+  std::setvbuf(fp, nullptr, _IOFBF, sizeof(buf));
+  int64_t scale = 1;
+  for (int d = 0; d < dec; ++d) scale *= 10;
+  char line[96];
+  for (int64_t i = 0; i < n; ++i) {
+    double sx = x[i] * static_cast<double>(scale);
+    long long pm = llround(sx);
+    const char* sign = pm < 0 ? "-" : "";
+    unsigned long long ap = pm < 0 ? -static_cast<unsigned long long>(pm)
+                                   : static_cast<unsigned long long>(pm);
+    unsigned long long ip = ap / scale, fr = ap % scale;
+    int len;
+    if (b) {
+      len = std::snprintf(line, sizeof(line), "%lld %lld %s%llu.%0*llu\n",
+                          static_cast<long long>(a[i]),
+                          static_cast<long long>(b[i]), sign, ip, dec, fr);
+    } else {
+      len = std::snprintf(line, sizeof(line), "%lld %s%llu.%0*llu\n",
+                          static_cast<long long>(a[i]), sign, ip, dec, fr);
+    }
+    if (len <= 0 || std::fwrite(line, 1, len, fp) != static_cast<size_t>(len)) {
+      std::fclose(fp);
+      return -1;
+    }
+  }
+  return std::fclose(fp) == 0 ? 0 : -1;
+}
+
+}  // extern "C"

@@ -24,11 +24,49 @@ of an inverse index walked one variable at a time by racing threads, we:
 
 from __future__ import annotations
 
+import ctypes
 import dataclasses
+import os
 
 import numpy as np
 
 _INT = np.int32
+
+_CORE = None
+
+
+def _compilecore():
+    """ctypes handle to the native compile core, if built (make -C
+    native libcompilecore.so); None otherwise (numpy pipeline runs).
+    Override the path with NUMBSKULL_TPU_COMPILECORE; set it to "off"
+    to force the numpy pipeline."""
+    global _CORE
+    if _CORE is not None:
+        return _CORE or None
+    override = os.environ.get("NUMBSKULL_TPU_COMPILECORE", "")
+    if override == "off":
+        _CORE = False
+        return None
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates = [override,
+                  os.path.join(here, "..", "native", "libcompilecore.so")]
+    for path in candidates:
+        if path and os.path.isfile(path):
+            lib = ctypes.CDLL(path)
+            lib.compile_count.restype = ctypes.c_int64
+            lib.compile_fill.restype = ctypes.c_int
+            lib.dump_rows.restype = ctypes.c_int
+            lib.dump_rows.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+            _CORE = lib
+            return lib
+    _CORE = False
+    return None
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
 
 
 def _pad_to(n: int, m: int) -> int:
@@ -130,8 +168,15 @@ def build_attachments(variables, factors, fmap, factors_to_skip=None):
     return f, v, d
 
 
-def conflict_edges(variables, factors, fmap, factors_to_skip=None):
-    """Distinct unordered variable pairs co-occurring in a factor."""
+def conflict_edges(variables, factors, fmap, factors_to_skip=None,
+                   dedup: int = 4 << 20):
+    """Unordered variable pairs co-occurring in a factor (u <= w).
+
+    Deduplicated only below ``dedup`` pairs: every consumer (coloring,
+    CC labels, RCM, partition cost ratios) is correct with duplicate
+    edges, and the dedup sort is the most expensive single step of
+    compiling a 10M-variable graph.
+    """
     F = len(factors)
     arity = factors["arity"].astype(np.int64)
     offs = factors["ftv_offset"].astype(np.int64)
@@ -157,7 +202,9 @@ def conflict_edges(variables, factors, fmap, factors_to_skip=None):
     if not pairs:
         return np.zeros((0, 2), np.int64)
     e = np.concatenate(pairs, axis=0)
-    return np.unique(e, axis=0)
+    if len(e) <= dedup:
+        e = np.unique(e, axis=0)
+    return e
 
 
 def color_variables(n_vars: int, edges: np.ndarray,
@@ -311,50 +358,118 @@ def pack_item_block(variables, factors, fmap, item_f, item_v,
     return it, amax
 
 
-def bipartite_coloring(n_vars: int, edges: np.ndarray,
-                       max_vars: int = 2 << 20):
-    """BFS parity 2-coloring, or None if the conflict graph is odd-cyclic.
+def cc_labels(n: int, u: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Connected-component labels (consistent ids; NOT guaranteed to be
+    the min vertex of the component).
+
+    scipy's compiled union-find when available (C speed at 10M+ vars);
+    otherwise min-label hooking + full pointer jumping (Shiloach–
+    Vishkin style): every round is vectorized numpy over the edge list,
+    label distances doubling per round.
+    """
+    parent = np.arange(n, dtype=np.int64)
+    if not len(u):
+        return parent
+    u = np.asarray(u, np.int64)
+    w = np.asarray(w, np.int64)
+    try:
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import connected_components
+        g = coo_matrix((np.ones(len(u), np.int8), (u, w)), shape=(n, n))
+        _, labels = connected_components(g, directed=False)
+        return labels.astype(np.int64)
+    except ImportError:      # pragma: no cover - scipy is baked in
+        pass
+    while True:
+        pu, pw = parent[u], parent[w]
+        live = pu != pw
+        if not live.any():
+            return parent
+        # drop settled edges: most of a mesh settles within a few
+        # rounds, so later rounds touch a shrinking edge set
+        u, w, pu, pw = u[live], w[live], pu[live], pw[live]
+        np.minimum.at(parent, pu, pw)
+        np.minimum.at(parent, pw, pu)
+        while True:                       # full path compression
+            pp = parent[parent]
+            if (pp == parent).all():
+                break
+            parent = pp
+
+
+def rcm_rank(n_vars: int, edges_u: np.ndarray,
+             edges_v: np.ndarray) -> np.ndarray:
+    """Reverse Cuthill–McKee-style bandwidth-reducing rank.
+
+    Fully vectorized (no per-vertex/per-edge Python): CSR by argsort,
+    one min-degree seed per connected component, level-synchronous
+    multi-seed BFS, final order = lexsort by (component, BFS level,
+    degree) — the King variant of CM, reversed. Components stay
+    contiguous so their neighborhoods never interleave. Shared by the
+    itemgrid kernel's window layout and balanced partitioning.
+    """
+    u = np.asarray(edges_u, np.int64)
+    w = np.asarray(edges_v, np.int64)
+    src = np.concatenate([u, w])
+    dst = np.concatenate([w, u])
+    adj = dst[np.argsort(src, kind="stable")]
+    deg = np.bincount(src, minlength=n_vars)
+    offs = np.concatenate(([0], np.cumsum(deg)))
+
+    comp = cc_labels(n_vars, u, w)
+    # one min-degree seed per component (first of each comp group)
+    sord = np.lexsort((deg, comp))
+    first = np.ones(n_vars, bool)
+    if n_vars:
+        first[1:] = comp[sord][1:] != comp[sord][:-1]
+    seeds = sord[first]
+
+    level = np.full(n_vars, -1, np.int64)
+    level[seeds] = 0
+    frontier = seeds
+    lvl = 0
+    while len(frontier):
+        cnt = deg[frontier]
+        total = int(cnt.sum())
+        if not total:
+            break
+        starts = np.repeat(offs[frontier], cnt)
+        idx = starts + (np.arange(total) -
+                        np.repeat(np.cumsum(cnt) - cnt, cnt))
+        nbrs = adj[idx]
+        nbrs = np.unique(nbrs[level[nbrs] < 0])
+        lvl += 1
+        level[nbrs] = lvl
+        frontier = nbrs
+    order = np.lexsort((deg, level, comp))
+    rank = np.empty(n_vars, np.int64)
+    rank[order[::-1]] = np.arange(n_vars)
+    return rank
+
+
+def bipartite_coloring(n_vars: int, edges: np.ndarray):
+    """Parity 2-coloring, or None if the conflict graph is odd-cyclic.
 
     Most pairwise models (lattices, chains, bipartite feature graphs)
     are 2-chromatic; MIS peeling typically wastes 2-3 extra colors on
     them, which costs sweep steps and breaks the itemgrid kernel's
-    window locality. One host-side BFS fixes both.
+    window locality.
+
+    Fully vectorized via the bipartite double cover: lift each edge
+    (u, w) to (u, w') and (u', w) on 2V vertices; the graph is bipartite
+    iff v and v' always land in DIFFERENT components, and the side of
+    the double-cover component each v fell on IS its parity.
     """
-    if n_vars > max_vars or not len(edges):
+    if not len(edges):
         return None
-    deg = np.zeros(n_vars, np.int64)
-    u, w = edges[:, 0], edges[:, 1]
-    np.add.at(deg, u, 1)
-    np.add.at(deg, w, 1)
-    offs = np.concatenate(([0], np.cumsum(deg)))
-    adj = np.zeros(offs[-1], np.int64)
-    cur = offs[:-1].copy()
-    for a, b in zip(u, w):
-        adj[cur[a]] = b
-        cur[a] += 1
-        adj[cur[b]] = a
-        cur[b] += 1
-    color = np.full(n_vars, -1, np.int64)
-    order = np.empty(n_vars, np.int64)
-    for seed in range(n_vars):
-        if color[seed] >= 0:
-            continue
-        color[seed] = 0
-        order[0] = seed
-        head, pos = 0, 1
-        while head < pos:
-            x = order[head]
-            head += 1
-            nxt = adj[offs[x]:offs[x + 1]]
-            new = nxt[color[nxt] < 0]
-            if len(new):
-                new = np.unique(new)
-                color[new] = 1 - color[x]
-                order[pos:pos + len(new)] = new
-                pos += len(new)
-            if (color[nxt] == color[x]).any():
-                return None
-    return color
+    u, w = edges[:, 0].astype(np.int64), edges[:, 1].astype(np.int64)
+    comp = cc_labels(2 * n_vars,
+                     np.concatenate([u, u + n_vars]),
+                     np.concatenate([w + n_vars, w]))
+    lo, hi = comp[:n_vars], comp[n_vars:]
+    if (lo == hi).any():
+        return None                       # odd cycle in some component
+    return (lo > hi).astype(np.int64)
 
 
 def reduce_colors(color: np.ndarray, edges: np.ndarray,
@@ -402,6 +517,182 @@ def reduce_colors(color: np.ndarray, edges: np.ndarray,
     return dense
 
 
+def _cv_arrays(cvars, variables, var_card, row_pad: int):
+    """Per-color variable-side arrays (shared by both plan builders)."""
+    R = _pad_to(len(cvars), row_pad) + 1   # +1 dummy row for item padding
+    cv_vid = np.zeros(R, _INT)
+    cv_card = np.ones(R, _INT)
+    cv_isev = np.full(R, 4, _INT)
+    cv_valid = np.zeros(R, bool)
+    cv_vid[:len(cvars)] = cvars
+    cv_card[:len(cvars)] = var_card[cvars]
+    cv_isev[:len(cvars)] = variables["isEvidence"][cvars]
+    cv_valid[:len(cvars)] = True
+    kmax_c = int(var_card[cvars].max()) if len(cvars) else 1
+    return R, kmax_c, dict(cv_vid=cv_vid, cv_card=cv_card,
+                           cv_isev=cv_isev, cv_valid=cv_valid)
+
+
+def _plans_numpy(variables, factors, fmap, factors_to_skip, color,
+                 n_colors, var_card, item_pad: int, row_pad: int):
+    """Reference numpy plan pipeline (also the native core's oracle)."""
+    V = len(variables)
+    att_f, att_v, att_d = build_attachments(variables, factors, fmap,
+                                            factors_to_skip)
+    # fold attachment triples into (factor, var) items with <=2 slots
+    item_f, item_v, item_d1, item_d2 = fold_attachments(att_f, att_v, att_d)
+
+    plans = []
+    for c in range(n_colors):
+        cvars = np.flatnonzero(color == c)
+        R, kmax_c, cv = _cv_arrays(cvars, variables, var_card, row_pad)
+
+        # row index of each variable of this color
+        row_of = np.zeros(V, np.int64)
+        row_of[cvars] = np.arange(len(cvars))
+
+        sel = np.flatnonzero(color[item_v] == c) if len(item_v) else \
+            np.zeros(0, np.int64)
+        # sort items by target row for segment-sum locality
+        sel = sel[np.argsort(row_of[item_v[sel]], kind="stable")]
+        it, amax_c = pack_item_block(
+            variables, factors, fmap, item_f[sel], item_v[sel],
+            item_d1[sel], item_d2[sel], row_of[item_v[sel]],
+            R, item_pad=item_pad)
+
+        plans.append(ColorPlan(color=c, kmax=kmax_c, amax=amax_c,
+                               **cv, **it))
+    return plans
+
+
+def _plans_native(variables, factors, fmap, factors_to_skip, color,
+                  n_colors, var_card, item_pad: int, row_pad: int):
+    """Native-core plan pipeline: two sequential C passes build every
+    color's item tables in one shared arena (per-color views), exactly
+    matching _plans_numpy output (asserted by tests/test_native.py).
+    Returns None when the graph exceeds the core's limits (caller
+    falls back to numpy)."""
+    core = _compilecore()
+    V = len(variables)
+    F = len(factors)
+    if V == 0 or V > 2 ** 31 - 2:
+        return None
+
+    # structured arrays are read IN PLACE by the core (base + record
+    # stride + per-field offsets) — no astype copies of multi-GB columns
+    def _field_offs(arr, names):
+        return np.array([arr.dtype.fields[n][1] for n in names], np.int64)
+
+    factors = np.ascontiguousarray(factors)
+    fmap = np.ascontiguousarray(fmap)
+    variables = np.ascontiguousarray(variables)
+    foff = _field_offs(factors, ("factorFunction", "weightId",
+                                 "featureValue", "arity", "ftv_offset"))
+    moff = _field_offs(fmap, ("vid", "dense_equal_to"))
+    voff = _field_offs(variables, ("dataType", "cardinality"))
+    fac_stride = ctypes.c_int64(factors.dtype.itemsize)
+    fmp_stride = ctypes.c_int64(fmap.dtype.itemsize)
+    var_stride = ctypes.c_int64(variables.dtype.itemsize)
+    skip = np.zeros(F, np.uint8)
+    if factors_to_skip is not None and len(factors_to_skip):
+        skip[np.asarray(factors_to_skip, np.int64)] = 1
+
+    # global row ids ordered (color, row-in-color)
+    color32 = np.ascontiguousarray(color.astype(np.int64))
+    order = np.argsort(color32, kind="stable")
+    counts_c = np.bincount(color32, minlength=n_colors).astype(np.int64)
+    starts_c = np.concatenate(([0], np.cumsum(counts_c)))
+    row_in_color = np.empty(V, np.int32)
+    row_in_color[order] = (np.arange(V) -
+                           starts_c[color32[order]]).astype(np.int32)
+    grow = np.ascontiguousarray(starts_c[color32] + row_in_color)
+    row_in_color = np.ascontiguousarray(row_in_color)
+
+    rowcount = np.zeros(V, np.int64)
+    amax_out = np.zeros(1, np.int64)
+    total = core.compile_count(
+        ctypes.c_int64(F), _ptr(factors), fac_stride, _ptr(foff),
+        _ptr(fmap), fmp_stride, _ptr(moff), _ptr(variables), var_stride,
+        _ptr(voff), _ptr(skip), _ptr(grow), _ptr(rowcount),
+        _ptr(amax_out))
+    if total < 0:
+        return None
+    amax = max(int(amax_out[0]), 1)
+
+    # per-color item extents in one padded arena
+    cs = np.concatenate(([0], np.cumsum(rowcount)))
+    items_c = cs[starts_c[1:]] - cs[starts_c[:-1]]
+    I_c = np.array([_pad_to(int(ic), item_pad) for ic in items_c],
+                   np.int64)
+    arena_off = np.concatenate(([0], np.cumsum(I_c)))
+    I_total = int(arena_off[-1])
+
+    it_row = np.empty(I_total, _INT)
+    it_ftype = np.empty(I_total, _INT)
+    it_wid = np.empty(I_total, _INT)
+    it_fv = np.empty(I_total, np.float32)
+    it_dense = np.empty(I_total, np.uint8)
+    it_d1 = np.empty(I_total, _INT)
+    it_d2 = np.empty(I_total, _INT)
+    it_valid = np.empty(I_total, np.uint8)
+    it_arity = np.empty(I_total, _INT)
+    ag_vid = np.empty((I_total, amax), _INT)
+    ag_eq = np.empty((I_total, amax), _INT)
+    ag_valid = np.empty((I_total, amax), np.uint8)
+    ag_card = np.empty((I_total, amax), _INT)
+    ag_subst = np.empty((I_total, amax), np.uint8)
+
+    # per-row fill cursor, shifted so color c starts at its arena base
+    adj = (arena_off[:-1] - cs[starts_c[:-1]])
+    rowpos = np.ascontiguousarray(cs[:V] + adj[color32[order]])
+    rc = core.compile_fill(
+        ctypes.c_int64(F), _ptr(factors), fac_stride, _ptr(foff),
+        _ptr(fmap), fmp_stride, _ptr(moff), _ptr(variables), var_stride,
+        _ptr(voff), _ptr(skip), _ptr(grow), _ptr(row_in_color),
+        _ptr(rowpos), ctypes.c_int64(amax),
+        _ptr(it_row), _ptr(it_ftype), _ptr(it_wid), _ptr(it_fv),
+        _ptr(it_dense), _ptr(it_d1), _ptr(it_d2), _ptr(it_valid),
+        _ptr(it_arity), _ptr(ag_vid), _ptr(ag_eq), _ptr(ag_valid),
+        _ptr(ag_card), _ptr(ag_subst))
+    if rc < 0:
+        return None
+
+    plans = []
+    for c in range(n_colors):
+        cvars = order[starts_c[c]:starts_c[c + 1]]
+        R, kmax_c, cv = _cv_arrays(cvars, variables, var_card, row_pad)
+        base, ic, Ic = int(arena_off[c]), int(items_c[c]), int(I_c[c])
+        pad = slice(base + ic, base + Ic)
+        it_row[pad] = R - 1
+        it_ftype[pad] = -1
+        it_wid[pad] = 0
+        it_fv[pad] = 0
+        it_dense[pad] = 0
+        it_d1[pad] = 0
+        it_d2[pad] = 0
+        it_valid[pad] = 0
+        it_arity[pad] = 1
+        ag_vid[pad] = 0
+        ag_eq[pad] = 0
+        ag_valid[pad] = 0
+        ag_card[pad] = 1
+        ag_subst[pad] = 0
+        sl = slice(base, base + Ic)
+        amax_c = int(it_arity[base:base + ic].max()) if ic else 1
+        amax_c = min(amax_c, amax)
+        plans.append(ColorPlan(
+            color=c, kmax=kmax_c, amax=amax_c, **cv,
+            it_row=it_row[sl], it_ftype=it_ftype[sl], it_wid=it_wid[sl],
+            it_fv=it_fv[sl], it_dense=it_dense[sl].view(bool),
+            it_d1=it_d1[sl], it_d2=it_d2[sl],
+            it_valid=it_valid[sl].view(bool), it_arity=it_arity[sl],
+            it_args_vid=ag_vid[sl, :amax_c], it_args_eq=ag_eq[sl, :amax_c],
+            it_args_valid=ag_valid[sl, :amax_c].view(bool),
+            it_args_card=ag_card[sl, :amax_c],
+            it_subst=ag_subst[sl, :amax_c].view(bool)))
+    return plans
+
+
 def compile_graph(weights, variables, factors, fmap,
                   factors_to_skip=None,
                   max_colors: int | None = None,
@@ -421,8 +712,6 @@ def compile_graph(weights, variables, factors, fmap,
     W = len(weights)
     F = len(factors)
 
-    att_f, att_v, att_d = build_attachments(variables, factors, fmap,
-                                            factors_to_skip)
     edges = conflict_edges(variables, factors, fmap, factors_to_skip)
     color = None
     if color_hint is not None:
@@ -438,43 +727,18 @@ def compile_graph(weights, variables, factors, fmap,
         color = reduce_colors(color, edges, seed=seed)
     n_colors = int(color.max()) + 1 if V else 0
 
-    # --- fold attachment triples into (factor, var) items with <=2 slots ---
-    item_f, item_v, item_d1, item_d2 = fold_attachments(att_f, att_v, att_d)
-
     var_card = variables["cardinality"].astype(np.int64)
     var_dtype = variables["dataType"].astype(np.int64)
 
-    plans = []
-    for c in range(n_colors):
-        cvars = np.flatnonzero(color == c)
-        R = _pad_to(len(cvars), row_pad) + 1   # +1 dummy row for item padding
-        cv_vid = np.zeros(R, _INT)
-        cv_card = np.ones(R, _INT)
-        cv_isev = np.full(R, 4, _INT)
-        cv_valid = np.zeros(R, bool)
-        cv_vid[:len(cvars)] = cvars
-        cv_card[:len(cvars)] = var_card[cvars]
-        cv_isev[:len(cvars)] = variables["isEvidence"][cvars]
-        cv_valid[:len(cvars)] = True
-        kmax_c = int(var_card[cvars].max()) if len(cvars) else 1
-
-        # row index of each variable of this color
-        row_of = np.zeros(V, np.int64)
-        row_of[cvars] = np.arange(len(cvars))
-
-        sel = np.flatnonzero(color[item_v] == c) if len(item_v) else \
-            np.zeros(0, np.int64)
-        # sort items by target row for segment-sum locality
-        sel = sel[np.argsort(row_of[item_v[sel]], kind="stable")]
-        it, amax_c = pack_item_block(
-            variables, factors, fmap, item_f[sel], item_v[sel],
-            item_d1[sel], item_d2[sel], row_of[item_v[sel]],
-            R, item_pad=item_pad)
-
-        plans.append(ColorPlan(
-            color=c, kmax=kmax_c, amax=amax_c,
-            cv_vid=cv_vid, cv_card=cv_card, cv_isev=cv_isev,
-            cv_valid=cv_valid, **it))
+    plans = None
+    if _compilecore() is not None:
+        plans = _plans_native(variables, factors, fmap, factors_to_skip,
+                              color, n_colors, var_card,
+                              item_pad=item_pad, row_pad=row_pad)
+    if plans is None:
+        plans = _plans_numpy(variables, factors, fmap, factors_to_skip,
+                             color, n_colors, var_card,
+                             item_pad=item_pad, row_pad=row_pad)
 
     # vtf layout for dump mapping (reference numbskull.py:310-317 formula)
     slots = np.where(var_dtype == 0, 1, var_card)

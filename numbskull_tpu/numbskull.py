@@ -106,8 +106,10 @@ arguments = [
         {"metavar": "CHECKPOINT_FILE", "dest": "checkpoint", "default": "",
          "type": str,
          "help": "checkpoint inference to FILE every --checkpoint_every "
-                 "epochs and resume from it if it exists (bit-exact; "
-                 "uses the XLA engine)"}),
+                 "epochs and resume from it if it exists; composes with "
+                 "engine dispatch (itemgrid or XLA per chunk). Resume is "
+                 "bit-exact when the same engine is selected (XLA chunked "
+                 "runs equal uninterrupted ones exactly)"}),
     (("--checkpoint_every",),
         {"metavar": "N", "dest": "checkpoint_every", "default": 100,
          "type": int, "help": "epochs between checkpoints"}),
@@ -138,6 +140,93 @@ flags = [
         {"default": False, "dest": "verbose", "action": "store_true",
          "help": "verbose"}),
 ]
+
+
+def _native_dump(path: str, a, b, x, dec: int) -> bool:
+    """Write `a [b] x` text rows via the native core (compilecore.so
+    dump_rows); returns False when unavailable (numpy fallback runs)."""
+    from numbskull_tpu.compile import _compilecore, _ptr
+    core = _compilecore()
+    if core is None:
+        return False
+    import ctypes
+    a = np.ascontiguousarray(a, np.int64)
+    bp = None
+    if b is not None:
+        b = np.ascontiguousarray(b, np.int64)
+        bp = _ptr(b)
+    x = np.ascontiguousarray(x, np.float64)
+    rc = core.dump_rows(path.encode(), ctypes.c_int64(len(a)), _ptr(a),
+                        bp, _ptr(x), ctypes.c_int(dec))
+    return rc == 0
+
+
+def _digit_block(a: np.ndarray, width: int, pad_zero: bool,
+                 neg: np.ndarray | None) -> np.ndarray:
+    """(N, width) uint8 right-aligned decimal digits of non-negative
+    ``a``; leading positions are spaces (or zeros when ``pad_zero``),
+    with '-' placed just left of the first digit for ``neg`` rows.
+
+    Pure digit arithmetic — every numpy text conversion (astype('S'),
+    np.char, savetxt) is a per-element sprintf and takes minutes at
+    9.4M rows; this is a handful of vectorized integer passes."""
+    n = len(a)
+    out = np.empty((n, width), np.uint8)
+    dt = np.int32 if (n == 0 or int(a.max()) < 2 ** 31) else np.int64
+    cur = np.asarray(a).astype(dt, copy=True)
+    live = np.ones(n, bool)            # rows with digits remaining
+    prev = live
+    for k in range(width):             # k-th digit from the right
+        col = width - 1 - k
+        digit = (cur % 10 + 48).astype(np.uint8)
+        if pad_zero or k == 0:
+            out[:, col] = digit
+        else:
+            # '-' lands one column left of a row's last digit
+            fill = np.uint8(32) if neg is None else \
+                np.where(prev & ~live & neg, np.uint8(45), np.uint8(32))
+            out[:, col] = np.where(live, digit, fill)
+        np.floor_divide(cur, 10, out=cur)
+        prev = live
+        live = live & (cur > 0)
+    return out
+
+
+def _int_width(a: np.ndarray) -> int:
+    m = int(a.max()) if len(a) else 0
+    return max(len(str(max(m, 1))), 1)
+
+
+def _format_cols(cols) -> bytes:
+    """`vid value prob`-style rows as one bytes blob: space-separated,
+    right-aligned columns, newline-terminated. Each col is an int array
+    or a ('fixed', array, decimals) fixed-point spec."""
+    blocks = []
+    n = None
+    for c in cols:
+        if isinstance(c, tuple):
+            _, x, dec = c
+            scale = 10 ** dec
+            pm = np.round(np.asarray(x, np.float64) * scale).astype(
+                np.int64)
+            neg = pm < 0
+            ap = np.abs(pm)
+            ip, fr = ap // scale, ap % scale
+            w = _int_width(ip) + (1 if neg.any() else 0)
+            blocks.append(_digit_block(ip, w, False, neg))
+            blocks.append(np.full((len(ip), 1), 46, np.uint8))   # '.'
+            blocks.append(_digit_block(fr, dec, True, None))
+        else:
+            x = np.asarray(c, np.int64)
+            neg = x < 0
+            w = _int_width(np.abs(x)) + (1 if neg.any() else 0)
+            blocks.append(_digit_block(np.abs(x), w, False, neg))
+        n = len(x)
+        blocks.append(np.full((n, 1), 32, np.uint8))             # ' '
+    if n is None or n == 0:
+        return b""
+    blocks[-1][:] = 10                                           # '\n'
+    return np.hstack(blocks).tobytes()
 
 
 class FactorGraph:
@@ -179,7 +268,10 @@ class FactorGraph:
         if sample_evidence in self._itemgrid:
             return self._itemgrid[sample_evidence]
         eng = None
-        on_tpu = jax.default_backend() not in ("cpu",)
+        # auto mode requires the TPU backend specifically: the kernel
+        # needs the hardware PRNG, and other accelerators (gpu/metal)
+        # would fail at lowering, not at plan time
+        on_tpu = jax.default_backend() == "tpu"
         if on_tpu or self.engine_mode == "itemgrid":
             try:
                 from numbskull_tpu.ops.itemgrid_pallas import \
@@ -196,49 +288,86 @@ class FactorGraph:
             self.state, self._next_key(), epochs=0, burn=epochs,
             sample_evidence=sample_evidence)
 
+    #: the itemgrid kernel tallies in int16; longer runs are chained
+    #: across calls (x0 = previous values) transparently below
+    ITEMGRID_EPOCH_CAP = 30000
+
     def inference(self, burnin_epochs: int, epochs: int,
                   sample_evidence: bool = False, diagnostics: bool = False,
                   checkpoint: str = "", checkpoint_every: int = 100):
         if checkpoint:
             # chunked + checkpointed at this level so the engine dispatch
-            # (itemgrid fast path or XLA) applies to every chunk; resume
-            # restores state AND the RNG key, so a relaunched run
-            # continues the same chain
+            # (itemgrid fast path or XLA) applies to every chunk. A
+            # single BASE key is drawn up front and every chunk passes
+            # its absolute epoch offset, so the chunked run is
+            # bit-identical to an uninterrupted one (on the XLA engine;
+            # the itemgrid kernel's hardware-PRNG stream restarts per
+            # chunk, so there resume-exactness — interrupted ==
+            # uninterrupted chunked — is the guarantee).
             from numbskull_tpu.checkpoint import (load_checkpoint,
                                                   save_checkpoint)
+            checkpoint_every = max(int(checkpoint_every), 1)
             done = 0
+            base_key = None
             if os.path.exists(checkpoint):
-                self.state, self.key, meta = load_checkpoint(checkpoint)
+                self.state, base_key, meta = load_checkpoint(checkpoint)
                 done = int(meta.get("epochs_done", 0))
                 metrics.add("inference.resumes")
+            if base_key is None:
+                base_key = self._next_key()
             while done < epochs:
                 n = min(checkpoint_every, epochs - done)
-                self.inference(burnin_epochs if done == 0 else 0, n,
-                               sample_evidence=sample_evidence)
+                self._infer_once(burnin_epochs if done == 0 else 0, n,
+                                 sample_evidence, base_key,
+                                 epoch_offset=done)
                 done += n
-                save_checkpoint(checkpoint, self.state, self.key,
+                save_checkpoint(checkpoint, self.state, base_key,
                                 meta={"epochs_done": done})
+            if diagnostics:
+                self.diagnostics(self.inference_epochs_done)
             return
+        self._infer_once(burnin_epochs, epochs, sample_evidence,
+                         self._next_key(), epoch_offset=0)
+        if diagnostics:
+            print("FACTOR %d: inference %d epochs took %.3f sec" %
+                  (self.fid, epochs, self._last_infer_s))
+            self.diagnostics(self.inference_epochs_done)
+
+    def _infer_once(self, burnin_epochs: int, epochs: int,
+                    sample_evidence: bool, key, epoch_offset: int):
+        """One engine-dispatched inference run with an explicit key."""
         with Timer() as t:
             ig = self._maybe_itemgrid(sample_evidence)
             if ig is not None:
-                vals, counts = ig.run(
-                    self._next_seed(), burnin_epochs, epochs,
-                    weight_value=np.asarray(self.state.weight_value),
-                    x0=np.asarray(self.state.var_value))
                 cnt = np.asarray(self.state.count).copy()
-                K = min(cnt.shape[1], counts.shape[1])
-                cnt[:, :K] += counts[:, :K]
+                x0 = np.asarray(self.state.var_value)
+                run = 0
+                while True:       # int16-tally cap: chain segments
+                    n = min(epochs - run, self.ITEMGRID_EPOCH_CAP)
+                    seed = int(jax.random.randint(
+                        jax.random.fold_in(key, epoch_offset + run),
+                        (), 0, np.int32(2 ** 31 - 1)))
+                    vals, counts = ig.run(
+                        seed, burnin_epochs if run == 0 else 0, n,
+                        weight_value=np.asarray(self.state.weight_value),
+                        x0=x0)
+                    K = min(cnt.shape[1], counts.shape[1])
+                    cnt[:, :K] += counts[:, :K]
+                    x0 = vals
+                    run += n
+                    if run >= epochs:
+                        break
                 import dataclasses as _dc
                 self.state = _dc.replace(
                     self.state,
-                    var_value=jnp.asarray(vals.astype(np.int32)),
+                    var_value=jnp.asarray(x0.astype(np.int32)),
                     var_value_evid=self.state.var_value_evid,
                     count=jnp.asarray(cnt))
             else:
                 self.state = self.engine.inference(
-                    self.state, self._next_key(), epochs=epochs,
-                    burn=burnin_epochs, sample_evidence=sample_evidence)
+                    self.state, key, epochs=epochs,
+                    burn=burnin_epochs, sample_evidence=sample_evidence,
+                    epoch_offset=epoch_offset)
             jax.block_until_ready(self.state.count)
         metrics.observe("inference.run_s", t.interval)
         metrics.add("inference.epochs", epochs + burnin_epochs)
@@ -246,10 +375,7 @@ class FactorGraph:
                     float(self.cg.n_vars) * (epochs + burnin_epochs))
         self.inference_total_time += t.interval
         self.inference_epochs_done += epochs
-        if diagnostics:
-            print("FACTOR %d: inference %d epochs took %.3f sec" %
-                  (self.fid, epochs, t.interval))
-            self.diagnostics(self.inference_epochs_done)
+        self._last_infer_s = t.interval
 
     def learn(self, burnin_epochs: int, epochs: int, stepsize: float,
               decay: float, regularization: int, reg_param: float,
@@ -301,16 +427,26 @@ class FactorGraph:
         epochs = epochs or self.inference_epochs_done or 1
         return np.asarray(self.state.count, np.float64) / epochs
 
+    def _out_layout(self):
+        """Flat cstart output layout (binary vars: one slot, at k=1).
+
+        Returns (vrep, kidx): the (variable, value-index) of every output
+        slot, vectorized (no per-variable Python at multi-M-var scale)."""
+        card = np.asarray(self.cg.var_card, np.int64)
+        if not len(card):
+            z = np.zeros(0, np.int64)
+            return z, z
+        nsl = np.where(card == 2, 1, card)
+        csum = np.cumsum(nsl)
+        vrep = np.repeat(np.arange(len(card)), nsl)
+        within = np.arange(csum[-1]) - np.repeat(csum - nsl, nsl)
+        kidx = within + (card[vrep] == 2)
+        return vrep, kidx
+
     def _compress(self, counts_vk: np.ndarray) -> np.ndarray:
         """(V, K) -> flat cstart layout (binary vars: P(v=1) only)."""
-        cg = self.cg
-        out = []
-        for v in range(cg.n_vars):
-            if cg.var_card[v] == 2:
-                out.append(counts_vk[v, 1:2])
-            else:
-                out.append(counts_vk[v, :cg.var_card[v]])
-        return np.concatenate(out) if out else np.zeros(0)
+        vrep, kidx = self._out_layout()
+        return counts_vk[vrep, kidx]
 
     def diagnostics(self, epochs: int):
         print("Inference took %.03f sec." % self.inference_total_time)
@@ -332,32 +468,43 @@ class FactorGraph:
     # --- dumps (DimmWitted text format, reference factorgraph.py:210-229) --
 
     def dump_weights(self, fout: str):
-        w = self.getWeights()
-        with open(fout, "w") as out:
-            for i in range(self.cg.n_weights):
-                out.write("%d %f\n" % (i, w[i]))
+        w = self.getWeights().astype(np.float64)
+        ids = np.arange(self.cg.n_weights)
+        if _native_dump(fout, ids, None, w, 6):
+            return
+        with open(fout, "wb") as out:
+            out.write(_format_cols((ids, ("fixed", w, 6))))
 
     def dump_probabilities(self, fout: str, epochs: int):
+        """DimmWitted `vid value prob` text dump, array-formatted (a
+        9.4M-var graph dumps in seconds, not minutes of Python loop)."""
         epochs = epochs or 1
         counts = np.asarray(self.state.count, np.float64)
         cg = self.cg
-        with open(fout, "w") as out:
-            for v in range(cg.n_vars):
-                if cg.var_card[v] == 2:
-                    out.write("%d %d %.3f\n" % (v, 1, counts[v, 1] / epochs))
-                elif cg.var_dtype[v] == 0:
-                    # dense multi-valued variable: values ARE 0..card-1
-                    # (the reference's dump reads past its single vmap
-                    # slot here, factorgraph.py:226-228 — a latent bug
-                    # its tests never hit; we write the identity values)
-                    for k in range(cg.var_card[v]):
-                        out.write("%d %d %.3f\n" %
-                                  (v, k, counts[v, k] / epochs))
-                else:
-                    for k in range(cg.var_card[v]):
-                        orig = cg.vmap_value[cg.vtf_offset[v] + k]
-                        out.write("%d %d %.3f\n" %
-                                  (v, orig, counts[v, k] / epochs))
+        vrep, kidx = self._out_layout()
+        prob = counts[vrep, kidx] / epochs
+        card = np.asarray(cg.var_card, np.int64)
+        dt = np.asarray(cg.var_dtype, np.int64)
+        vo = np.asarray(cg.vtf_offset, np.int64)
+        vmapv = np.asarray(cg.vmap_value, np.int64)
+        binary = card[vrep] == 2
+        # dense multi-valued variables: values ARE 0..card-1 (the
+        # reference's dump reads past its single vmap slot here,
+        # factorgraph.py:226-228 — a latent bug its tests never hit; we
+        # write the identity values). Categorical: the original domain
+        # value at this slot.
+        dense_val = kidx
+        if len(vmapv):
+            dom_idx = np.minimum(vo[vrep] + kidx, len(vmapv) - 1)
+            cat_val = vmapv[dom_idx]
+        else:
+            cat_val = kidx
+        value = np.where(binary, 1,
+                         np.where(dt[vrep] == 0, dense_val, cat_val))
+        if _native_dump(fout, vrep, value, prob, 3):
+            return
+        with open(fout, "wb") as out:
+            out.write(_format_cols((vrep, value, ("fixed", prob, 3))))
 
 
 class NumbSkull:

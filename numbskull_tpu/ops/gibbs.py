@@ -368,7 +368,8 @@ class GibbsEngine:
         return count + onehot.astype(jnp.int32)
 
     def _run_infer(self, plans, var_isev, state: SamplerState, key, burn,
-                   epochs, sample_evidence: bool, ext_pot=None):
+                   epochs, sample_evidence: bool, ext_pot=None,
+                   epoch_offset=0):
         def burn_body(i, carry):
             vv, k = carry
             vv = self._sweep_infer(plans, sample_evidence, vv,
@@ -377,10 +378,14 @@ class GibbsEngine:
             return vv, k
 
         def epoch_body(i, carry):
+            # keys are folded at the ABSOLUTE epoch index (i + offset) so
+            # a run chunked at any boundary (e.g. checkpoint_every) is
+            # bit-identical to one uninterrupted run
             vv, cnt, k = carry
             vv = self._sweep_infer(plans, sample_evidence, vv,
                                    state.weight_value,
-                                   jax.random.fold_in(k, i + (1 << 20)),
+                                   jax.random.fold_in(
+                                       k, i + epoch_offset + (1 << 20)),
                                    ext_pot)
             cnt = self._tally(var_isev, sample_evidence, cnt, vv)
             return vv, cnt, k
@@ -441,16 +446,19 @@ class GibbsEngine:
 
     def inference(self, state: SamplerState, key, epochs: int,
                   burn: int = 0, sample_evidence: bool = True,
-                  ext_pot=None) -> SamplerState:
+                  ext_pot=None, epoch_offset: int = 0) -> SamplerState:
         """Burn in, then run `epochs` tallying sweeps of the free chain.
 
         ``ext_pot``: optional (V, K) external unary potentials (boundary
-        messages in partitioned execution)."""
+        messages in partitioned execution). ``epoch_offset``: absolute
+        index of the first epoch (chunked/checkpointed runs pass their
+        progress so the per-epoch keys continue the same sequence)."""
         fn = self._get_jit("infer", self._run_infer, ("sample_evidence",))
         plans = self.stacked if self.scan_colors else self.plans
         return fn(plans, self.var_isev, state, key,
                   jnp.int32(burn), jnp.int32(epochs),
-                  sample_evidence=sample_evidence, ext_pot=ext_pot)
+                  sample_evidence=sample_evidence, ext_pot=ext_pot,
+                  epoch_offset=jnp.int32(epoch_offset))
 
     def learn(self, state: SamplerState, key, epochs: int, stepsize: float,
               decay: float = 1.0, burn: int = 0,

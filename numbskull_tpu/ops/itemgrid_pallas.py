@@ -115,45 +115,11 @@ class ItemGridPlan:
 
 def _rcm_rank(n_vars: int, edges_u: np.ndarray,
               edges_v: np.ndarray) -> np.ndarray:
-    """Reverse Cuthill–McKee rank over an undirected adjacency: a
+    """Reverse Cuthill–McKee-style rank over an undirected adjacency: a
     bandwidth-reducing order so itemgrid windows stay bounded on graphs
-    whose natural variable ids are shuffled."""
-    deg = np.zeros(n_vars, np.int64)
-    np.add.at(deg, edges_u, 1)
-    np.add.at(deg, edges_v, 1)
-    offs = np.concatenate(([0], np.cumsum(deg)))
-    adj = np.zeros(offs[-1], np.int64)
-    cur = offs[:-1].copy()
-    for u, v in zip(edges_u, edges_v):
-        adj[cur[u]] = v
-        cur[u] += 1
-        adj[cur[v]] = u
-        cur[v] += 1
-    visited = np.zeros(n_vars, bool)
-    order = np.empty(n_vars, np.int64)
-    pos = 0
-    by_deg = np.argsort(deg, kind="stable")
-    for seed in by_deg:
-        if visited[seed]:
-            continue
-        visited[seed] = True
-        order[pos] = seed
-        head = pos
-        pos += 1
-        while head < pos:
-            u = order[head]
-            head += 1
-            nbrs = adj[offs[u]:offs[u + 1]]
-            nbrs = nbrs[~visited[nbrs]]
-            if len(nbrs):
-                nbrs = np.unique(nbrs)
-                nbrs = nbrs[np.argsort(deg[nbrs], kind="stable")]
-                visited[nbrs] = True
-                order[pos:pos + len(nbrs)] = nbrs
-                pos += len(nbrs)
-    rank = np.empty(n_vars, np.int64)
-    rank[order[::-1]] = np.arange(n_vars)
-    return rank
+    whose natural variable ids are shuffled (see compile.rcm_rank)."""
+    from numbskull_tpu.compile import rcm_rank
+    return rcm_rank(n_vars, edges_u, edges_v)
 
 
 def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True):

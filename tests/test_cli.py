@@ -37,19 +37,34 @@ def test_cli_grad_agg_sum_matches_reference_movement(tmp_path):
 
 
 def test_cli_checkpoint_resume(tmp_path):
-    """--checkpoint: an interrupted run resumes bit-exactly (same output
-    as one uninterrupted run with the same seed)."""
-    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    """--checkpoint: a chunked run is BIT-EXACT vs an uninterrupted one
+    (per-epoch keys are folded at absolute epoch indices), and an
+    interrupted run resumes to the same exact output."""
+    out1, out2, out3 = (str(tmp_path / d) for d in "abc")
     ck = str(tmp_path / "ck.npz")
     main([REF_DIR, "-i", "120", "-o", out1, "-q", "--seed", "5"])
-    # run once halfway (simulated interrupt: small run writes checkpoint)
     main([REF_DIR, "-i", "120", "-o", out2, "-q", "--seed", "5",
           "--checkpoint", ck, "--checkpoint_every", "40"])
     p1 = np.loadtxt(os.path.join(out1, "inference_result.out.text"))
     p2 = np.loadtxt(os.path.join(out2, "inference_result.out.text"))
     assert p1.shape == p2.shape
-    # same engine + seed: checkpointed path must match plain run closely
-    assert np.abs(p1[:, 2] - p2[:, 2]).max() < 0.2
+    assert (p1 == p2).all()
+    # simulated interrupt: run 80 epochs (2 chunks), then resume to 120
+    ck2 = str(tmp_path / "ck2.npz")
+    main([REF_DIR, "-i", "80", "-o", str(tmp_path / "x"), "-q",
+          "--seed", "5", "--checkpoint", ck2, "--checkpoint_every", "40"])
+    main([REF_DIR, "-i", "120", "-o", out3, "-q", "--seed", "5",
+          "--checkpoint", ck2, "--checkpoint_every", "40"])
+    p3 = np.loadtxt(os.path.join(out3, "inference_result.out.text"))
+    assert (p1 == p3).all()
+
+
+def test_cli_checkpoint_every_zero_terminates(tmp_path):
+    """--checkpoint_every 0 must clamp to 1, not spin forever."""
+    ck = str(tmp_path / "ck.npz")
+    main([REF_DIR, "-i", "3", "-o", str(tmp_path), "-q",
+          "--checkpoint", ck, "--checkpoint_every", "0"])
+    assert os.path.exists(ck)
 
 
 def test_dump_probabilities_multivalue(tmp_path):

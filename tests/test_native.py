@@ -117,3 +117,83 @@ def test_fastload_matches_numpy_parser(tmp_path):
     with pytest.raises(ValueError):
         dl.load_factors(data[:-8], n, E)
     dl._FASTLOAD = None
+
+COMPILECORE = os.path.join(NATIVE, "libcompilecore.so")
+needs_core = pytest.mark.skipif(not os.path.exists(COMPILECORE),
+                                reason="run `make -C native` first")
+
+_PLAN_FIELDS = (
+    "cv_vid", "cv_card", "cv_isev", "cv_valid", "it_row", "it_ftype",
+    "it_wid", "it_fv", "it_dense", "it_d1", "it_d2", "it_valid",
+    "it_arity", "it_args_vid", "it_args_eq", "it_args_valid",
+    "it_args_card", "it_subst")
+
+
+@needs_core
+def test_compilecore_plans_equal_numpy_oracle():
+    """The native compile core emits color plans exactly equal to the
+    numpy pipeline on random mixed boolean/categorical graphs with
+    duplicate args and skipped factors."""
+    import numbskull_tpu.compile as C
+
+    assert C._compilecore() is not None
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        V, F = 150, 220
+        v = T.new_variables(V)
+        v["isEvidence"] = rng.integers(0, 2, V)
+        v["dataType"] = rng.integers(0, 2, V)
+        v["cardinality"] = np.where(v["dataType"] == 0, 2,
+                                    rng.integers(2, 5, V))
+        ar = rng.integers(1, 5, F)
+        f = T.new_factors(F)
+        f["factorFunction"] = rng.choice([0, 2, 4, 13], F)
+        f["weightId"] = rng.integers(0, 10, F)
+        f["featureValue"] = rng.random(F)
+        f["arity"] = ar
+        f["ftv_offset"] = np.concatenate(([0], np.cumsum(ar)[:-1]))
+        E = int(ar.sum())
+        fm = T.new_fmap(E)
+        fm["vid"] = rng.integers(0, V, E)
+        fm["dense_equal_to"] = rng.integers(0, 4, E)
+        skip = rng.choice(F, size=9, replace=False).astype(np.int64)
+        edges = C.conflict_edges(v, f, fm, skip)
+        color = C.reduce_colors(
+            C.color_variables(V, edges, seed=trial), edges, seed=trial)
+        nc = int(color.max()) + 1
+        vc = v["cardinality"].astype(np.int64)
+        pn = C._plans_numpy(v, f, fm, skip, color, nc, vc, 128, 8)
+        pc = C._plans_native(v, f, fm, skip, color, nc, vc, 128, 8)
+        assert pc is not None
+        assert len(pn) == len(pc)
+        for pa, pb in zip(pn, pc):
+            assert pa.amax == pb.amax and pa.kmax == pb.kmax
+            for fld in _PLAN_FIELDS:
+                va = np.asarray(getattr(pa, fld))
+                vb = np.asarray(getattr(pb, fld))
+                assert va.shape == vb.shape, fld
+                assert (va == vb).all(), fld
+
+
+@needs_core
+def test_native_dump_matches_numpy_formatter(tmp_path):
+    """dump_rows output parses to the same values as the numpy
+    formatter, including negatives and zero-padding."""
+    from numbskull_tpu.numbskull import _format_cols, _native_dump
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 10 ** 6, 500)
+    b = rng.integers(0, 9, 500)
+    x = rng.normal(size=500) * 3
+    p1 = str(tmp_path / "native.txt")
+    assert _native_dump(p1, a, b, x, 3)
+    blob = _format_cols((a, b, ("fixed", x, 3)))
+    g1 = np.loadtxt(p1)
+    g2 = np.loadtxt((tmp_path / "np.txt").write_bytes(blob) and
+                    str(tmp_path / "np.txt"))
+    assert (g1 == g2).all()
+    # 2-column (weights) form
+    p2 = str(tmp_path / "w.txt")
+    assert _native_dump(p2, a[:5], None, x[:5], 6)
+    g3 = np.loadtxt(p2)
+    assert np.allclose(g3[:, 1], np.round(x[:5], 6))
