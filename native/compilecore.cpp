@@ -21,6 +21,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -213,6 +214,33 @@ int compile_fill(int64_t F, const uint8_t* fac, int64_t fac_stride,
     }
   }
   return 0;
+}
+
+// Greedy sequential graph coloring over a CSR adjacency, processing
+// vertices in the given order (a bandwidth-reducing order makes the
+// coloring ALIGNED: equivalent local structures get the same color
+// sequence, which keeps the itemgrid kernel's windows contiguous —
+// random-priority MIS coloring scatters them). color must be filled
+// with -1 by the caller. Returns the number of colors used.
+int64_t greedy_color(int64_t n, const int64_t* offs, const int64_t* adj,
+                     const int64_t* order, int64_t* color) {
+  std::vector<int64_t> mark;
+  int64_t n_colors = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t v = order[i];
+    for (int64_t e = offs[v]; e < offs[v + 1]; ++e) {
+      int64_t c = color[adj[e]];
+      if (c >= 0) {
+        if (c >= static_cast<int64_t>(mark.size())) mark.resize(c + 1, -1);
+        mark[c] = v;
+      }
+    }
+    int64_t c = 0;
+    while (c < static_cast<int64_t>(mark.size()) && mark[c] == v) ++c;
+    color[v] = c;
+    if (c + 1 > n_colors) n_colors = c + 1;
+  }
+  return n_colors;
 }
 
 // Text row formatter: writes n rows of "a b prob\n" ("%.{dec}f"-style

@@ -55,6 +55,7 @@ def _compilecore():
             lib = ctypes.CDLL(path)
             lib.compile_count.restype = ctypes.c_int64
             lib.compile_fill.restype = ctypes.c_int
+            lib.greedy_color.restype = ctypes.c_int64
             lib.dump_rows.restype = ctypes.c_int
             lib.dump_rows.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
@@ -472,6 +473,38 @@ def bipartite_coloring(n_vars: int, edges: np.ndarray):
     return (lo > hi).astype(np.int64)
 
 
+def greedy_coloring(n_vars: int, edges: np.ndarray):
+    """Greedy sequential coloring in bandwidth-reduced (RCM) order via
+    the native core; None when the core is unavailable.
+
+    Greedy-in-RCM-order colors equivalent local structures with the
+    SAME color sequence (e.g. every disjoint voting clique gets colors
+    0..k in group order), so color regions stay group-aligned and the
+    itemgrid kernel's windows stay contiguous — random-priority MIS
+    coloring scatters a clique's colors and destroys window locality.
+    Color count is <= max degree + 1 (near-greedy-optimal).
+    """
+    core = _compilecore()
+    if core is None or n_vars == 0:
+        return None
+    if not len(edges):
+        return np.zeros(n_vars, np.int64)
+    u = edges[:, 0].astype(np.int64)
+    w = edges[:, 1].astype(np.int64)
+    src = np.concatenate([u, w])
+    dst = np.concatenate([w, u])
+    adj = np.ascontiguousarray(dst[np.argsort(src, kind="stable")])
+    deg = np.bincount(src, minlength=n_vars)
+    offs = np.ascontiguousarray(
+        np.concatenate(([0], np.cumsum(deg))).astype(np.int64))
+    order = np.ascontiguousarray(
+        np.argsort(rcm_rank(n_vars, u, w)).astype(np.int64))
+    color = np.full(n_vars, -1, np.int64)
+    core.greedy_color(ctypes.c_int64(n_vars), _ptr(offs), _ptr(adj),
+                      _ptr(order), _ptr(color))
+    return color
+
+
 def reduce_colors(color: np.ndarray, edges: np.ndarray,
                   rounds: int = 4, seed: int = 0) -> np.ndarray:
     """Greedy color-count reduction (vectorized recoloring).
@@ -722,6 +755,8 @@ def compile_graph(weights, variables, factors, fmap,
             color = hint
     if color is None and (max_colors is None or max_colors >= 2):
         color = bipartite_coloring(V, edges)
+    if color is None and max_colors is None:
+        color = greedy_coloring(V, edges)
     if color is None:
         color = color_variables(V, edges, max_colors=max_colors, seed=seed)
         color = reduce_colors(color, edges, seed=seed)

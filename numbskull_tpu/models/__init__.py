@@ -10,7 +10,9 @@ domain_mask, edges)` tuple accepted by `NumbSkull.loadFactorGraph`.
 from numbskull_tpu.models.ising import ising_grid, ising_color_hint  # noqa: F401
 from numbskull_tpu.models.coin import coin_model, coin_exact_marginal  # noqa: F401
 from numbskull_tpu.models.lf import lf_model, lf_exact_cdf  # noqa: F401
-from numbskull_tpu.models.voting import voting_model  # noqa: F401
+from numbskull_tpu.models.voting import (  # noqa: F401
+    voting_grouped, voting_model,
+)
 from numbskull_tpu.models.replicate import (  # noqa: F401
     pool_chain_counts, replicate_graph,
 )

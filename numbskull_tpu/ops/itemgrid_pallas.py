@@ -42,21 +42,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 from numbskull_tpu import types as T
 from numbskull_tpu.compile import CompiledGraph
+from numbskull_tpu.ops.factor_semantics import ArgStats, finalize
 
 SUPPORTED_FUNCS = tuple(T.FACTORS.values())
 
 RB = 1024            # rows per block (multiple of 128; smaller blocks
 #                      shrink gather windows and the MXU work that scales
 #                      with them, at the cost of more DMA issues)
-W_MAX = 16384        # max window span (multiple of 128)
-D_MAX = 32           # max items per row
-A_MAX = 8            # max factor arity
+TRW = 128            # window tile rows (tile = TRW*128 = 16384 values —
+#                      a full-depth MXU contraction per gather tile)
+NT_MAX = 16          # max window tiles per color (windows up to 256K
+#                      values; every graph with vp <= NT_MAX*16384 fits
+#                      regardless of locality — expanders included)
+D_MAX = 64           # max items per row (slot loop is data-driven, so
+#                      code size does not grow with D)
+A_MAX = 64           # max factor arity (arity > 8 evaluates via stats
+#                      loops — code size O(1) in arity)
+DA_MAX = 1024        # max D*A per row (bounds the staged-gather and
+#                      packed-block scratch)
 K_MAX_SUP = 8        # max variable cardinality
 V_MAX = 10 << 20     # max padded variables (VMEM: 4B values + 1B tally
 #                      + 2B/value counts; chunked init/tally avoid
 #                      register spills; 3072x3072 lattices = 9.4M vars
 #                      verified on hardware)
-COLOR_MAX = 8
+COLOR_MAX = 64       # the color sweep is a data-driven loop over an
+#                      SMEM schedule — more colors cost sweep steps,
+#                      not code size or scratch
 
 
 def _ceil(a, m):
@@ -90,27 +101,28 @@ class _Layout:
 
 
 @dataclasses.dataclass
-class _ColorPack:
-    packed: np.ndarray      # (num_rb, layout.rows, RB) int32
-    wrow: np.ndarray        # (num_rb, D*A) int32 window starts / 128
-    num_rb: int
-    D: int
-    A: int
-    Wc: int                 # window span (multiple of 128)
-    start: int              # first renumbered vid of this color
-    present: tuple          # factor codes present
-
-
-@dataclasses.dataclass
 class ItemGridPlan:
-    colors: list[_ColorPack]
+    """Kernel-ready plan: ONE packed item array covering every color,
+    plus a per-color SMEM schedule. The kernel is a data-driven loop
+    over the schedule — one code body regardless of color count, row
+    degree, or window span."""
+
+    packed: np.ndarray      # (total_rb, layout.rows, RB) int32
+    wbase: np.ndarray       # (total_rb, D*A) int32 window starts / 128
+    cmeta: np.ndarray       # (C, 8) int32 per-color schedule:
+    #                         [rb_off, num_rb, row0r, n_tiles, D_c, 0..]
+    D: int                  # layout slots per row (max over colors)
+    A: int                  # layout args per slot (max over colors)
     perm: np.ndarray        # (V,) original vid -> renumbered slot
     vp: int                 # padded renumbered size (multiple of 128)
     n_vars: int
     kmax: int               # max cardinality (static K loop bound)
+    present: tuple          # factor codes present (union over colors)
     init_new: np.ndarray    # (vp,) int32 initial values (renumbered)
     tally_new: np.ndarray   # (vp,) int32 tally mask (renumbered)
+    g_wid: np.ndarray = None   # (total_rb, D, RB) weight ids (for baking)
     n_weights: int = 0
+    trw: int = TRW          # gather tile rows (vp//128 for small graphs)
 
 
 def _rcm_rank(n_vars: int, edges_u: np.ndarray,
@@ -131,8 +143,13 @@ def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True):
     again with a reverse-Cuthill–McKee bandwidth-reducing order.
     """
     plan, reason = _plan_ranked(cg, sample_evidence, None)
-    if plan is not None or "window span" not in (reason or ""):
-        return plan, reason
+    if plan is not None and int(plan.cmeta[:, 3].max()) <= 1:
+        return plan, None        # natural order already single-tile
+    if plan is None and "window span" not in (reason or ""):
+        return plan, reason      # rejected for a non-locality reason
+    # windows span multiple gather tiles (or overflowed): try a reverse-
+    # Cuthill-McKee bandwidth-reducing order and keep whichever plan
+    # pays fewer tiles per sweep
     eu, ev = [], []
     for p in cg.plans:
         iv = p.it_valid
@@ -145,7 +162,16 @@ def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True):
     ev = np.concatenate(ev) if ev else np.zeros(0, np.int64)
     rank = _rcm_rank(cg.n_vars, eu, ev)
     plan2, _ = _plan_ranked(cg, sample_evidence, rank)
-    return (plan2, None) if plan2 is not None else (None, reason)
+    if plan2 is None:
+        return (plan, None) if plan is not None else (None, reason)
+    if plan is None:
+        return plan2, None
+
+    def cost(p):     # tiles swept per epoch, weighted by color size
+        return int((p.cmeta[:, 1] * p.cmeta[:, 3] *
+                    np.maximum(p.cmeta[:, 4], 1)).sum())
+
+    return (plan2, None) if cost(plan2) < cost(plan) else (plan, None)
 
 
 def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank):
@@ -178,6 +204,47 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank):
         perm[vids[ro]] = s + np.arange(len(vids))
     assert (perm >= 0).all()
 
+    # ---- gather tile size: adapt to the graph's locality. The MXU
+    # work per gather is one contraction over the tile, so a lattice
+    # whose windows span ~2K values must not pay a 16K tile. A cheap
+    # per-(color, block) span scan (upper bound of the per-slot spans)
+    # picks the smallest tile that keeps windows single-tile, capped at
+    # TRW; spans beyond TRW*128 pay extra tiles instead of rejection.
+    worst_span = 256
+    for p, start, ro in zip(cg.plans, starts, row_orders):
+        n_rows = int(p.cv_valid.sum())
+        iv = p.it_valid
+        if not iv.any():
+            continue
+        inv_ro = np.empty(n_rows, np.int64)
+        inv_ro[ro] = np.arange(n_rows)
+        rows = inv_ro[p.it_row[iv].astype(np.int64)]
+        blk = rows // RB
+        fetch = p.it_args_valid[iv] & ~p.it_subst[iv]
+        pos = perm[p.it_args_vid[iv].astype(np.int64)]
+        nb = int(blk.max()) + 1
+        big = np.iinfo(np.int64).max
+        blo = np.full(nb, big)
+        bhi = np.zeros(nb, np.int64)
+        sel = fetch.any(axis=1)
+        pmin = np.where(fetch, pos, big).min(axis=1)
+        pmax = np.where(fetch, pos, 0).max(axis=1)
+        np.minimum.at(blo, blk[sel], pmin[sel])
+        np.maximum.at(bhi, blk[sel], pmax[sel])
+        ok = blo != big
+        if ok.any():
+            worst_span = max(worst_span,
+                             int((bhi[ok] - (blo[ok] // 128) * 128).max())
+                             + 1)
+    need_rows = _ceil(-(-worst_span // 128), 8)
+    if vp // 128 <= need_rows or vp <= 2048:
+        trw = vp // 128             # one tile covers the whole array
+    else:
+        trw = min(TRW, need_rows)
+        vp = _ceil(vp, trw * 128)
+        if vp > V_MAX:
+            return None, "graph too large for VMEM (%d padded vars)" % vp
+
     init_new = np.zeros(vp, np.int32)
     tally_new = np.zeros(vp, np.int32)
     upd_new = np.zeros(vp, np.int32)
@@ -185,9 +252,52 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank):
     tally_new[perm] = tally_ok
     upd_new[perm] = upd_ok
 
-    colors = []
+    # ---- global layout extents (one code body serves every color) ----
+    Dg, Ag, present_all = 1, 1, set()
+    color_items = []
     for p, start, ro in zip(cg.plans, starts, row_orders):
         n_rows = int(p.cv_valid.sum())
+        it_valid = p.it_valid
+        rows = p.it_row[it_valid].astype(np.int64)
+        ftype = p.it_ftype[it_valid].astype(np.int64)
+        arity = p.it_arity[it_valid].astype(np.int64)
+
+        pres = set(int(t) for t in np.unique(ftype))
+        if any(t not in SUPPORTED_FUNCS and t != T.FUNC_NOOP
+               for t in pres):
+            return None, "unsupported factor function in color"
+        if len(arity) and int(arity.max()) > A_MAX:
+            return None, "arity > %d" % A_MAX
+        present_all |= pres
+
+        counts = np.bincount(rows, minlength=n_rows) if len(rows) else \
+            np.zeros(n_rows, np.int64)
+        D_c = max(int(counts.max()) if len(counts) else 1, 1)
+        if D_c > D_MAX:
+            return None, "max row degree %d > %d" % (D_c, D_MAX)
+        A_c = max(min(int(p.it_args_vid.shape[1]) if len(rows) else 1,
+                      A_MAX), 1)
+        Dg = max(Dg, D_c)
+        Ag = max(Ag, A_c)
+        color_items.append((p, start, ro, n_rows, D_c))
+
+    present_all.discard(T.FUNC_NOOP)
+    present = tuple(sorted(present_all))
+    if Dg * Ag > DA_MAX:
+        return None, "row degree x arity %d > %d" % (Dg * Ag, DA_MAX)
+    L = _Layout(Dg, Ag)
+    DA = Dg * Ag
+
+    total_rb = sum(_ceil(max(nr, 1), RB) // RB
+                   for (_, _, _, nr, _) in color_items)
+    DAp = _ceil(DA, 128)     # DMA slices need 128-lane alignment
+    packed_all = np.zeros((max(total_rb, 1), L.rows, RB), np.int32)
+    wbase_all = np.zeros((max(total_rb, 1), DAp), np.int32)
+    gwid_all = np.zeros((max(total_rb, 1), Dg, RB), np.int32)
+    cmeta = np.zeros((max(len(color_items), 1), 8), np.int32)
+
+    rb_cursor = 0
+    for ci, (p, start, ro, n_rows, D_c) in enumerate(color_items):
         R = _ceil(max(n_rows, 1), RB)
         num_rb = R // RB
         inv_ro = np.empty(n_rows, np.int64)
@@ -199,22 +309,20 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank):
         ftype = p.it_ftype[it_valid].astype(np.int64)
         arity = p.it_arity[it_valid].astype(np.int64)
         wid = p.it_wid[it_valid].astype(np.int64)
-        avid = p.it_args_vid[it_valid].astype(np.int64)     # (I, Ap)
-        avalid = p.it_args_valid[it_valid]
+        D, A = D_c, Ag
 
-        pres = tuple(sorted(set(int(t) for t in np.unique(ftype))))
-        if any(t not in SUPPORTED_FUNCS and t != T.FUNC_NOOP
-               for t in pres):
-            return None, "unsupported factor function in color"
-        if len(arity) and int(arity.max()) > A_MAX:
-            return None, "arity > %d" % A_MAX
+        def pad_args(arr, fill):
+            """(I, Ap) -> (I, Ag) column padding (color plans may store
+            fewer arg columns than the global layout)."""
+            arr = np.asarray(arr)
+            if arr.shape[1] >= A:
+                return arr[:, :A]
+            out = np.full((arr.shape[0], A), fill, arr.dtype)
+            out[:, :arr.shape[1]] = arr
+            return out
 
-        counts = np.bincount(rows, minlength=n_rows) if len(rows) else \
-            np.zeros(n_rows, np.int64)
-        D = max(int(counts.max()) if len(counts) else 1, 1)
-        if D > D_MAX:
-            return None, "max row degree %d > %d" % (D, D_MAX)
-        A = max(min(int(avid.shape[1]) if len(rows) else 1, A_MAX), 1)
+        avid = pad_args(p.it_args_vid[it_valid].astype(np.int64), 0)
+        avalid = pad_args(p.it_args_valid[it_valid], False)
 
         # dense (R, D[, A]) grids; subst slots and padding carry offset 0
         # and an explicit subst mask (replaced by the candidate / masked
@@ -233,9 +341,9 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank):
             # order items within each row by their smallest fetched-arg
             # position, so slot d is COHERENT across a block's rows and
             # each (block, slot, arg) window covers one contiguous region
-            subst_all = p.it_subst[it_valid][:, :A]
-            fetch_all = avalid[:, :A] & ~subst_all
-            pos_all = np.where(fetch_all, perm[avid[:, :A]], np.iinfo(
+            subst_all = pad_args(p.it_subst[it_valid], False)
+            fetch_all = avalid & ~subst_all
+            pos_all = np.where(fetch_all, perm[avid], np.iinfo(
                 np.int64).max)
             item_key = pos_all.min(axis=1)
             order = np.lexsort((item_key, inv_ro[rows]))
@@ -257,10 +365,10 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank):
             g_dd[nr, slot] = (p.it_d1[it_idx].astype(np.int64) |
                               (p.it_d2[it_idx].astype(np.int64) << 8))
             subst = subst_all[order]
-            fetch = avalid[:, :A] & ~subst
-            g_off[nr, slot, :] = np.where(fetch, perm[avid[:, :A]], 0)
-            g_eq[nr, slot, :] = p.it_args_eq[it_idx][:, :A]
-            g_acard[nr, slot, :] = p.it_args_card[it_idx][:, :A]
+            fetch = avalid & ~subst
+            g_off[nr, slot, :] = np.where(fetch, perm[avid], 0)
+            g_eq[nr, slot, :] = pad_args(p.it_args_eq[it_idx], 0)
+            g_acard[nr, slot, :] = pad_args(p.it_args_card[it_idx], 1)
             g_subst[nr, slot, :] = subst
             g_fetch[nr, slot, :] = fetch
 
@@ -268,7 +376,9 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank):
         # ids: a block's neighbors may scatter across several color
         # regions, but each (d, a) slot's neighbors are coherent (items
         # are grouped per row in a stable factor order), so every slot
-        # gets its own window base
+        # gets its own window base. Window size is a whole number of
+        # gather tiles; a color whose spans exceed NT_MAX tiles falls
+        # back to base-0 full windows when the whole array fits.
         blk = np.arange(R) // RB
         big = np.iinfo(np.int64).max
         lo = np.full((num_rb, D, A), big)
@@ -278,29 +388,39 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank):
         lo = np.where(lo == big, 0, lo)
         base = (lo // 128) * 128
         span = np.maximum(hi + 1 - base, 1)
-        Wc = int(_ceil(max(int(span.max()), 256), 128))
-        if Wc > W_MAX:
-            return None, "window span %d > %d (graph lacks locality)" % \
-                (Wc, W_MAX)
-        base = np.minimum(np.maximum(base, 0), vp - Wc)
-        if ((hi - base) >= Wc).any():
+        tile_v = trw * 128
+        nt = -(-max(int(span.max()), 1) // tile_v)
+        if nt > NT_MAX:
+            if vp <= NT_MAX * tile_v:
+                base[:] = 0
+                nt = -(-vp // tile_v)
+            else:
+                return None, ("window span %d > %d tiles "
+                              "(graph lacks locality)" %
+                              (int(span.max()), NT_MAX))
+        win = nt * tile_v
+        base = np.minimum(np.maximum(base, 0), vp - win)
+        if ((hi - base) >= win).any():
             return None, "window overflow after clamping"
         g_off = np.where(g_fetch, g_off - base[blk], 0)
-        assert (g_off >= 0).all() and (g_off < Wc).all()
+        assert (g_off >= 0).all() and (g_off < win).all()
 
-        L = _Layout(D, A)
-        DA = D * A
-        packed = np.zeros((num_rb, L.rows, RB), np.int32)
+        sl = slice(rb_cursor, rb_cursor + num_rb)
+        packed = packed_all[sl]
 
-        def put_da(row0, grid):       # (R, D, A) -> packed rows
+        def put_da(row0, grid, packed=packed, num_rb=num_rb, D=D, A=A):
             g = grid.reshape(num_rb, RB, D, A).transpose(0, 2, 3, 1)
-            packed[:, row0:row0 + DA] = g.reshape(num_rb, DA, RB)
+            # D*A rows of THIS color land in the global D*A stride:
+            # slot d occupies rows [row0 + d*Ag, row0 + d*Ag + A)
+            g = g.reshape(num_rb, D, A, RB)
+            for d in range(D):
+                packed[:, row0 + d * Ag:row0 + d * Ag + A] = g[:, d]
 
-        def put_d(row0, grid):        # (R, D) -> packed rows
+        def put_d(row0, grid, packed=packed, num_rb=num_rb, D=D):
             packed[:, row0:row0 + D] = \
                 grid.reshape(num_rb, RB, D).transpose(0, 2, 1)
 
-        def put_1(row0, vec):         # (R,) -> packed row
+        def put_1(row0, vec, packed=packed, num_rb=num_rb):
             packed[:, row0] = vec.reshape(num_rb, RB)
 
         put_da(L.off, g_off)
@@ -323,42 +443,43 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank):
         put_1(L.upd_e, (valid_c & (isev_c == 0)).astype(np.int64))
         put_1(L.lrn, (valid_c & (isev_c == 1)).astype(np.int64))
         put_1(L.rowmeta, meta_c)
-        packed[:, L.wrow, :DA] = \
-            (base // 128).reshape(num_rb, DA).astype(np.int32)
 
-        cp = _ColorPack(packed=packed,
-                        wrow=(base // 128).astype(np.int32).reshape(
-                            num_rb, DA),
-                        num_rb=num_rb, D=D, A=A, Wc=Wc, start=start,
-                        present=pres)
-        cp._g_wid = g_wid.reshape(num_rb, RB, D).transpose(0, 2, 1)
-        colors.append(cp)
+        br = (base // 128).reshape(num_rb, D, A).astype(np.int32)
+        for d in range(D):
+            wbase_all[sl, d * Ag:d * Ag + A] = br[:, d]
+        gwid_all[sl, :D] = \
+            g_wid.reshape(num_rb, RB, D).transpose(0, 2, 1)
 
-    return ItemGridPlan(colors=colors, perm=perm, vp=vp,
-                        n_vars=cg.n_vars, kmax=kmax, init_new=init_new,
-                        tally_new=tally_new, n_weights=cg.n_weights), None
+        cmeta[ci] = (rb_cursor, num_rb, start // 128, nt, D_c, 0, 0, 0)
+        rb_cursor += num_rb
+
+    plan = ItemGridPlan(packed=packed_all, wbase=wbase_all, cmeta=cmeta,
+                        D=Dg, A=Ag, perm=perm, vp=vp,
+                        n_vars=cg.n_vars, kmax=kmax, present=present,
+                        init_new=init_new, tally_new=tally_new,
+                        g_wid=gwid_all, n_weights=cg.n_weights, trw=trw)
+    return plan, None
 
 
 def fill_weights(plan: ItemGridPlan, weight_value: np.ndarray):
-    """Bake w[wid] into each color's packed block (inference path only;
+    """Bake w[wid] into the packed blocks (inference path only;
     potentials use w * eval, reference inference.py:66-70)."""
     wv = np.asarray(weight_value, np.float32)
-    for c in plan.colors:
-        L = _Layout(c.D, c.A)
-        wslab = wv[c._g_wid]                       # (num_rb, D, RB) f32
-        c.packed[:, L.wbake:L.wbake + c.D] = wslab.view(np.int32)
+    L = _Layout(plan.D, plan.A)
+    wslab = wv[plan.g_wid]                      # (total_rb, D, RB) f32
+    plan.packed[:, L.wbake:L.wbake + plan.D] = wslab.view(np.int32)
 
 
 # --------------------------------------------------------------------------
 # factor evaluation (full reference set; golden.eval_factor parity)
 
 def _eval_all(present, ftype, arity, vals, eqs, cards, A):
-    """Vectorized factor evaluation on (1, RB)-shaped slabs.
-
-    Parity with golden.eval_factor (reference numbskull/inference.py:
-    149-413) for every function except FUNC_UFO. vals/eqs/cards are
-    lists of A (1, RB) int32 slabs (hypothetical already substituted)."""
-    f32 = jnp.float32
+    """Factor evaluation on (1, RB)-shaped slabs via the shared
+    semantics table (ops/factor_semantics.finalize; parity with
+    golden.eval_factor, reference numbskull/inference.py:149-413).
+    vals/eqs/cards are lists of A (1, RB) int32 slabs (hypothetical
+    already substituted). This is the UNROLLED stats producer (small
+    arity); high-arity slots use the loop producer in the kernel."""
     avalid = [(jnp.int32(a) < arity) for a in range(A)]
     head_pos = arity - 1
 
@@ -369,113 +490,42 @@ def _eval_all(present, ftype, arity, vals, eqs, cards, A):
             acc = fn(acc, m, a)
         return acc
 
-    n_zero = red(lambda s, m, a: s + jnp.where(m & (vals[a] == 0), 1, 0),
-                 0)
-    n_one = red(lambda s, m, a: s + jnp.where(m & (vals[a] == 1), 1, 0),
-                0)
     head = 0
     head_eq = 0
+    ufo_sel = jnp.float32(0)
     for a in range(A):
         at_head = jnp.int32(a) == head_pos
         head = jnp.where(at_head, vals[a], head)
         head_eq = jnp.where(at_head, eqs[a], head_eq)
+        ufo_sel = jnp.where(vals[0] - 1 == jnp.int32(a),
+                            vals[a].astype(jnp.float32), ufo_sel)
     v0 = vals[0]
-    n_diff0 = red(lambda s, m, a: s + jnp.where(m & (vals[a] != v0), 1, 0),
-                  0)
-    n_head_eq = red(
-        lambda s, m, a: s + jnp.where(m & (vals[a] == head), 1, 0),
-        0, body_only=True)
-    n_body_zero = red(
-        lambda s, m, a: s + jnp.where(m & (vals[a] == 0), 1, 0),
-        0, body_only=True)
-    n_neq_eq = red(
-        lambda s, m, a: s + jnp.where(m & (vals[a] != eqs[a]), 1, 0), 0)
-    n_eq_eq = red(
-        lambda s, m, a: s + jnp.where(m & (vals[a] == eqs[a]), 1, 0), 0)
-    n_body_neq_eq = red(
-        lambda s, m, a: s + jnp.where(m & (vals[a] != eqs[a]), 1, 0),
-        0, body_only=True)
-
-    one, neg, zero = f32(1), f32(-1), f32(0)
-    headf = head.astype(f32)
-    out = zero
-    for t in present:
-        if t == T.FUNC_NOOP:
-            val = zero
-        elif t == T.FUNC_IMPLY_NATURAL:
-            val = jnp.where(n_zero > 0, zero,
-                            jnp.where(head == 1, one, neg))
-        elif t == T.FUNC_OR:
-            val = jnp.where(n_one > 0, one, neg)
-        elif t == T.FUNC_EQUAL:
-            val = jnp.where(n_diff0 > 0, neg, one)
-        elif t in (T.FUNC_AND, T.FUNC_ISTRUE):
-            val = jnp.where(n_zero > 0, neg, one)
-        elif t == T.FUNC_LINEAR:
-            val = n_head_eq.astype(f32)
-        elif t == T.FUNC_RATIO:
-            val = jnp.log1p(n_head_eq.astype(f32))
-        elif t == T.FUNC_LOGICAL:
-            val = jnp.where(n_head_eq > 0, one, zero)
-        elif t == T.FUNC_IMPLY_MLN:
-            val = jnp.where(n_body_zero > 0, one, headf)
-        elif t in (T.FUNC_AND_CAT, T.FUNC_EQUAL_CAT_CONST):
-            val = jnp.where(n_neq_eq > 0, zero, one)
-        elif t == T.FUNC_OR_CAT:
-            val = jnp.where(n_eq_eq > 0, one, neg)
-        elif t == T.FUNC_IMPLY_NATURAL_CAT:
-            val = jnp.where(n_body_neq_eq > 0, zero,
-                            jnp.where(head == head_eq, one, neg))
-        elif t == T.FUNC_IMPLY_MLN_CAT:
-            val = jnp.where(n_body_neq_eq > 0, one,
-                            jnp.where(head == head_eq, one, zero))
-        elif t == T.FUNC_DP_GEN_CLASS_PRIOR:
-            val = jnp.where(vals[0] == 1, one, neg)
-        elif t == T.FUNC_DP_GEN_LF_PRIOR:
-            val = jnp.where(vals[0] == 2, neg,
-                            jnp.where(vals[0] == 0, zero, one))
-        elif t == T.FUNC_DP_GEN_LF_PROPENSITY:
-            val = jnp.where(vals[0] == cards[0] - 1, zero, one)
-        elif t == T.FUNC_DP_GEN_LF_ACCURACY:
-            val = jnp.where(vals[1] == cards[1] - 1, zero,
-                            jnp.where(vals[0] == vals[1], one, neg))
-        elif t == T.FUNC_DP_GEN_LF_CLASS_PROPENSITY:
-            val = jnp.where(vals[1] == cards[1] - 1, zero,
-                            jnp.where(vals[0] == 1, one, neg))
-        elif t == T.FUNC_DP_GEN_DEP_FIXING and A >= 3:
-            y, l1, l2 = vals[0], vals[1], vals[2]
-            ab = jnp.where(l1 == cards[1] - 1,
-                           jnp.where(l2 != 1, neg, zero), zero)
-            hit = ((l1 == 0) & (l2 == 1) & (y == 1)) | \
-                  ((l1 == 1) & (l2 == 0) & (y == 0))
-            val = jnp.where(l1 == cards[1] - 1, ab,
-                            jnp.where(hit, one, zero))
-        elif t == T.FUNC_DP_GEN_DEP_REINFORCING and A >= 3:
-            y, l1, l2 = vals[0], vals[1], vals[2]
-            ab = jnp.where(l1 == cards[1] - 1,
-                           jnp.where(l2 != 1, neg, zero), zero)
-            hit = ((l1 == 0) & (l2 == 0) & (y == 0)) | \
-                  ((l1 == 1) & (l2 == 1) & (y == 1))
-            val = jnp.where(l1 == cards[1] - 1, ab,
-                            jnp.where(hit, one, zero))
-        elif t == T.FUNC_DP_GEN_DEP_EXCLUSIVE:
-            ab = cards[0] - 1
-            val = jnp.where((vals[0] == ab) | (vals[1] == ab), zero, neg)
-        elif t == T.FUNC_DP_GEN_DEP_SIMILAR:
-            val = jnp.where(vals[0] == vals[1], one, zero)
-        elif t == T.FUNC_UFO:
-            # distributed-support factor: value of the arg at position
-            # val(0)-1, or 0 when val(0)==0 (reference
-            # inference.py:398-405)
-            sel = zero
-            for a in range(A):
-                sel = jnp.where(vals[0] - 1 == jnp.int32(a),
-                                vals[a].astype(f32), sel)
-            val = jnp.where(vals[0] == 0, zero, sel)
-        else:  # pragma: no cover - guarded by _plan_ranked
-            val = zero
-        out = jnp.where(ftype == jnp.int32(t), val, out)
-    return out
+    st = ArgStats(
+        n_zero=red(lambda s, m, a: s +
+                   jnp.where(m & (vals[a] == 0), 1, 0), 0),
+        n_one=red(lambda s, m, a: s +
+                  jnp.where(m & (vals[a] == 1), 1, 0), 0),
+        n_diff0=red(lambda s, m, a: s +
+                    jnp.where(m & (vals[a] != v0), 1, 0), 0),
+        n_head_eq=red(lambda s, m, a: s +
+                      jnp.where(m & (vals[a] == head), 1, 0), 0,
+                      body_only=True),
+        n_body_zero=red(lambda s, m, a: s +
+                        jnp.where(m & (vals[a] == 0), 1, 0), 0,
+                        body_only=True),
+        n_neq_eq=red(lambda s, m, a: s +
+                     jnp.where(m & (vals[a] != eqs[a]), 1, 0), 0),
+        n_eq_eq=red(lambda s, m, a: s +
+                    jnp.where(m & (vals[a] == eqs[a]), 1, 0), 0),
+        n_body_neq_eq=red(lambda s, m, a: s +
+                          jnp.where(m & (vals[a] != eqs[a]), 1, 0), 0,
+                          body_only=True),
+        head=head, head_eq=head_eq,
+        v0=v0, v1=vals[1] if A > 1 else v0 * 0,
+        v2=vals[2] if A > 2 else v0 * 0,
+        card0=cards[0], card1=cards[1] if A > 1 else cards[0],
+        ufo_sel=ufo_sel)
+    return finalize(present, ftype, st)
 
 
 def _eval_bool(present, ftype, arity, vals, A):
@@ -499,6 +549,35 @@ def _gather(win, off, sub_iota, lane_iota):
         preferred_element_type=jnp.float32)             # (128, RB)
     loh = lane_iota == (off & 127)
     return jnp.sum(jnp.where(loh, rows_sel, 0.0), axis=0, keepdims=True)
+
+
+def _gather_tiled(xref, base_r, off, nt, trw, sub_iota, lane_iota):
+    """Tiled two-step one-hot gather from the value array.
+
+    Reads xref at absolute positions base_r*128 + off, where off is the
+    (1, RB) window-relative offset. The window is ``nt`` (dynamic) tiles
+    of ``trw`` rows; each tile is one full-depth MXU contraction, and
+    the per-tile (128, RB) row-select collapses to (1, RB) by lane
+    select before accumulation, so the loop carry stays small. Windowed
+    colors run nt=1; expander colors pay extra tiles instead of falling
+    off the fast path."""
+    row = off >> 7
+    loh = lane_iota == (off & 127)
+
+    def tile(t, acc):
+        win = xref[pl.ds(base_r + t * trw, trw), :].astype(jnp.float32)
+        roh = (sub_iota == (row - t * trw)).astype(jnp.float32)
+        rs = jax.lax.dot_general(
+            win, roh, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (128, RB)
+        sel = jnp.sum(jnp.where(loh, rs, 0.0), axis=0, keepdims=True)
+        return sel if acc is None else acc + sel
+
+    if nt is None:                  # static single-tile specialization
+        return tile(0, None)
+    return jax.lax.fori_loop(
+        0, nt, lambda t, acc: tile(t, acc),
+        jnp.zeros((1, RB), jnp.float32))
 
 
 def _uniform(shape):
@@ -528,71 +607,164 @@ def _draw(pots, card, kmax):
     return jnp.minimum(val, card - 1)
 
 
-def _block_terms(pk, L, win_fns, sub_iota, lane_iota, w_of=None):
-    """Shared per-block item decode + gathers.
+def _loop_stats(Ag, arity, read_val, read_eq, read_card, read_sub,
+                subvals):
+    """ArgStats for EVERY substituted candidate in ``subvals`` via two
+    fori loops over the argument index — code size O(1) in arity, so
+    factors of arity up to A_MAX evaluate without unrolling, and all
+    candidates share the per-argument reads. ``read_*(a)`` return
+    (1, RB) slabs for a TRACED index a; subvals entries are scalar k
+    or (1, RB). Returns a list of ArgStats, one per candidate."""
+    zi = jnp.zeros_like(arity)
+    K = len(subvals)
 
-    Returns a list of per-d dicts with ftype/arity/dd/eq/cards/w/fv and
-    per-chain gathered arg values + subst masks. ``win_fns`` is a list
-    (one per chain) of callables da -> (Wr, 128) f32 window — every
-    (item-slot, arg-slot) pair has its own window base. ``w_of(wid)``
-    yields per-item weights from the live weight vector (learning); when
-    None, the baked per-run weights are read from the block (inference)."""
-    D, A = L.D, L.A
+    def body1(a, c):
+        g = read_val(a)
+        sub = read_sub(a)
+        eqa = read_eq(a)
+        carda = read_card(a)
+        m = a < arity
+        mb = a < arity - 1
+        out = []
+        for k in range(K):
+            (n_zero, n_one, n_diff0, n_body_zero, n_neq_eq, n_eq_eq,
+             n_body_neq_eq, head, head_eq, v0, v1, v2, c0, c1,
+             ufo) = c[k]
+            v = jnp.where(sub, subvals[k], g)
+            v0 = jnp.where(a == 0, v, v0)
+            v1 = jnp.where(a == 1, v, v1)
+            v2 = jnp.where(a == 2, v, v2)
+            c0 = jnp.where(a == 0, carda, c0)
+            c1 = jnp.where(a == 1, carda, c1)
+            head = jnp.where(a == arity - 1, v, head)
+            head_eq = jnp.where(a == arity - 1, eqa, head_eq)
+            ufo = jnp.where((v0 - 1 == a) & m, v.astype(jnp.float32),
+                            ufo)
+            n_zero = n_zero + jnp.where(m & (v == 0), 1, 0)
+            n_one = n_one + jnp.where(m & (v == 1), 1, 0)
+            n_diff0 = n_diff0 + jnp.where(m & (v != v0), 1, 0)
+            n_body_zero = n_body_zero + jnp.where(mb & (v == 0), 1, 0)
+            n_neq_eq = n_neq_eq + jnp.where(m & (v != eqa), 1, 0)
+            n_eq_eq = n_eq_eq + jnp.where(m & (v == eqa), 1, 0)
+            n_body_neq_eq = n_body_neq_eq + \
+                jnp.where(mb & (v != eqa), 1, 0)
+            out.append((n_zero, n_one, n_diff0, n_body_zero, n_neq_eq,
+                        n_eq_eq, n_body_neq_eq, head, head_eq, v0, v1,
+                        v2, c0, c1, ufo))
+        return tuple(out)
+
+    ones = jnp.ones_like(arity)
+    init = tuple((zi, zi, zi, zi, zi, zi, zi, zi, zi, zi, zi, zi,
+                  ones, ones, jnp.zeros(arity.shape, jnp.float32))
+                 for _ in range(K))
+    c = jax.lax.fori_loop(0, Ag, body1, init)
+    heads = [c[k][7] for k in range(K)]
+
+    def body2(a, nhe):              # head known only after pass 1
+        g = read_val(a)
+        sub = read_sub(a)
+        mb = a < arity - 1
+        return tuple(
+            nhe[k] + jnp.where(
+                mb & (jnp.where(sub, subvals[k], g) == heads[k]), 1, 0)
+            for k in range(K))
+
+    n_head_eq = jax.lax.fori_loop(0, Ag, body2, tuple(zi for _ in
+                                                      range(K)))
+    res = []
+    for k in range(K):
+        (n_zero, n_one, n_diff0, n_body_zero, n_neq_eq, n_eq_eq,
+         n_body_neq_eq, head, head_eq, v0, v1, v2, c0, c1, ufo) = c[k]
+        res.append(ArgStats(
+            n_zero=n_zero, n_one=n_one, n_diff0=n_diff0,
+            n_head_eq=n_head_eq[k], n_body_zero=n_body_zero,
+            n_neq_eq=n_neq_eq, n_eq_eq=n_eq_eq,
+            n_body_neq_eq=n_body_neq_eq, head=head, head_eq=head_eq,
+            v0=v0, v1=v1, v2=v2, card0=c0, card1=c1, ufo_sel=ufo))
+    return res
+
+
+def _slot_gather_stage(pk, wb, L, Ag, d, gat, av_scr, row_base):
+    """Gather all Ag args of slot d into av_scr rows [row_base + a)."""
+    def a_body(a, _):
+        off = pk[pl.ds(L.off + d * Ag + a, 1), :]
+        av_scr[pl.ds(row_base + a, 1), :] = \
+            gat(wb[d * Ag + a], off).astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, Ag, a_body, 0)
+
+
+def _slot_eval_loop(pk, L, Ag, d, av_scr, row_base, present, ftype,
+                    arity, subvals):
+    """Evaluate slot d at every candidate in ``subvals`` from staged
+    gathers via the shared stats loops + the shared semantics table.
+    Returns a list of (1, RB) float32, one per candidate."""
+    sbits = pk[pl.ds(L.sbits + d, 1), :]
+    sts = _loop_stats(
+        Ag, arity,
+        read_val=lambda a: av_scr[pl.ds(row_base + a, 1), :],
+        read_eq=lambda a: pk[pl.ds(L.eq + d * Ag + a, 1), :],
+        read_card=lambda a: pk[pl.ds(L.acard + d * Ag + a, 1), :],
+        read_sub=lambda a: ((sbits >> a) & 1) != 0,
+        subvals=subvals)
+    return [finalize(present, ftype, st) for st in sts]
+
+
+def _slot_decode(pk, wb, L, Ag, d, gather_chains, w_of=None):
+    """Decode item-slot ``d`` (a TRACED index — the slot loop is data-
+    driven, so code size does not grow with row degree) of the current
+    block, gathering its argument values once per chain.
+
+    ``gather_chains``: list of callables (base_r, off) -> (1, RB) f32.
+    ``w_of(wid)`` yields per-item weights from the live weight vector
+    (learning); when None, the baked per-run weights are read from the
+    block (inference)."""
+    fta = pk[pl.ds(L.fta + d, 1), :]
+    term = dict(
+        ftype=(fta & 0xFF) - 1,
+        arity=fta >> 8,
+        wid=pk[pl.ds(L.wid + d, 1), :],
+        fv=pltpu.bitcast(pk[pl.ds(L.fv + d, 1), :], jnp.float32),
+        dd=pk[pl.ds(L.dd + d, 1), :],
+        eqs=[pk[pl.ds(L.eq + d * Ag + a, 1), :] for a in range(Ag)],
+        cards=[pk[pl.ds(L.acard + d * Ag + a, 1), :] for a in range(Ag)],
+    )
+    sbits = pk[pl.ds(L.sbits + d, 1), :]
+    term["sub"] = [(sbits & (1 << a)) != 0 for a in range(Ag)]
+    if w_of is not None:
+        term["w"] = w_of(term["wid"])
+    else:
+        term["w"] = pltpu.bitcast(pk[pl.ds(L.wbake + d, 1), :],
+                                  jnp.float32)
+    gats = []
+    for gfn in gather_chains:
+        gats.append([
+            gfn(wb[d * Ag + a],
+                pk[pl.ds(L.off + d * Ag + a, 1), :]).astype(jnp.int32)
+            for a in range(Ag)])
+    term["gat"] = gats
+    return term
+
+
+def _term_pots(term, present, Ag, kmax, card, dense, chain, pots):
+    """Accumulate one slot's contribution into per-candidate potentials,
+    honoring the vmap slot semantics: dense rows contribute to every
+    k < card, categorical rows only at their d1/d2 slots (reference
+    dataloading.py:34-46; ops/gibbs.color_potentials contrib_ok)."""
+    d1 = term["dd"] & 0xFF
+    d2 = term["dd"] >> 8
     out = []
-    for d in range(D):
-        fta = pk[L.fta + d:L.fta + d + 1, :]
-        term = dict(
-            ftype=(fta & 0xFF) - 1,
-            arity=fta >> 8,
-            sbits=pk[L.sbits + d:L.sbits + d + 1, :],
-            wid=pk[L.wid + d:L.wid + d + 1, :],
-            fv=pltpu.bitcast(pk[L.fv + d:L.fv + d + 1, :], jnp.float32),
-            dd=pk[L.dd + d:L.dd + d + 1, :],
-            eqs=[pk[L.eq + d * A + a:L.eq + d * A + a + 1, :]
-                 for a in range(A)],
-            cards=[pk[L.acard + d * A + a:L.acard + d * A + a + 1, :]
-                   for a in range(A)],
-        )
-        if w_of is not None:
-            term["w"] = w_of(term["wid"])
-        else:
-            term["w"] = pltpu.bitcast(
-                pk[L.wbake + d:L.wbake + d + 1, :], jnp.float32)
-        term["sub"] = [(term["sbits"] & (1 << a)) != 0 for a in range(A)]
-        gats = []
-        for win_fn in win_fns:
-            gats.append([
-                _gather(win_fn(d * A + a),
-                        pk[L.off + d * A + a:L.off + d * A + a + 1, :],
-                        sub_iota, lane_iota).astype(jnp.int32)
-                for a in range(A)])
-        term["gat"] = gats
-        out.append(term)
-    return out
-
-
-def _potentials(terms, present, A, kmax, rowmeta, chain_idx):
-    """Per-candidate potentials (list of kmax (1, RB)) honoring the vmap
-    slot semantics: dense rows contribute to every k < card, categorical
-    rows only at their d1/d2 slots (reference dataloading.py:34-46;
-    ops/gibbs.color_potentials contrib_ok)."""
-    card = rowmeta & 0xFF
-    dense = (rowmeta >> 8) == 0
-    pots = [jnp.zeros_like(terms[0]["w"]) for _ in range(kmax)]
-    for t in terms:
-        d1 = t["dd"] & 0xFF
-        d2 = t["dd"] >> 8
-        for k in range(kmax):
-            vals = [jnp.where(t["sub"][a], jnp.int32(k),
-                              t["gat"][chain_idx][a]) for a in range(A)]
-            e = _eval_all(present, t["ftype"], t["arity"], vals,
-                          t["eqs"], t["cards"], A)
-            ok_dense = dense & (jnp.int32(k) < card)
-            ok_cat = (~dense) & ((jnp.int32(k) == d1) |
-                                 (jnp.int32(k) == d2))
-            okf = (ok_dense | ok_cat).astype(jnp.float32)
-            pots[k] = pots[k] + okf * t["w"] * e
-    return pots
+    for k in range(kmax):
+        vals = [jnp.where(term["sub"][a], jnp.int32(k),
+                          term["gat"][chain][a]) for a in range(Ag)]
+        e = _eval_all(present, term["ftype"], term["arity"], vals,
+                      term["eqs"], term["cards"], Ag)
+        ok_dense = dense & (jnp.int32(k) < card)
+        ok_cat = (~dense) & ((jnp.int32(k) == d1) | (jnp.int32(k) == d2))
+        okf = (ok_dense | ok_cat).astype(jnp.float32)
+        out.append(pots[k] + okf * term["w"] * e)
+    return tuple(out)
 
 
 # --------------------------------------------------------------------------
@@ -601,19 +773,24 @@ def _potentials(terms, present, A, kmax, rowmeta, chain_idx):
 def _make_kernel(plan: ItemGridPlan):
     vp = plan.vp
     kmax = plan.kmax
-    colors = plan.colors
     vpr = vp // 128
+    trw = plan.trw
+    L = _Layout(plan.D, plan.A)
+    Ag = plan.A
+    C = plan.cmeta.shape[0]
+    present = plan.present
+    rbl = RB // 128
+    # static specializations: single-tile windows skip the tile loop;
+    # small slot counts unroll (pad slots evaluate to zero, so the
+    # unrolled body is correct for colors with fewer items per row)
+    single_tile = int(plan.cmeta[:, 3].max()) <= 1 if plan.cmeta.size \
+        else True
+    unroll_d = plan.D <= 8
+    unroll_a = plan.A <= 8          # high arity -> stats loops
 
-    def kernel(seed_ref, burn_ref, epochs_ref, *refs):
-        n_c = len(colors)
-        x_in = refs[0]
-        tally_in = refs[1]
-        hbm_refs = refs[2:2 + n_c]
-        x_out, count_out = refs[2 + n_c:2 + n_c + 2]
-        scr = refs[2 + n_c + 2:]
-        pack_scr = scr[:n_c]
-        sem = scr[n_c]
-
+    def kernel(seed_ref, burn_ref, epochs_ref, cmeta_ref, x_in, tally_in,
+               pack_hbm, wb_hbm, x_out, count_out,
+               pack_scr, wb_scr, av_scr, sem, wsem):
         pltpu.prng_seed(seed_ref[0])
         # chunked init + tally: full-(vp)-array ops stage through vector
         # registers and spill tens of MB at multi-million-variable sizes
@@ -629,52 +806,97 @@ def _make_kernel(plan: ItemGridPlan):
         burn = burn_ref[0]
         total = burn + epochs_ref[0]
 
-        def color_step(ci):
-            c = colors[ci]
-            L = _Layout(c.D, c.A)
-            rbl = RB // 128
-            sub_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (c.Wc // 128, RB), 0)
-            lane_iota = jax.lax.broadcasted_iota(jnp.int32, (128, RB), 0)
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (trw, RB), 0)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (128, RB), 0)
 
-            def dma(rb, slot):
-                return pltpu.make_async_copy(
-                    hbm_refs[ci].at[rb], pack_scr[ci].at[slot],
-                    sem.at[slot])
+        def start_dma(grb, slot):
+            pltpu.make_async_copy(pack_hbm.at[grb], pack_scr.at[slot],
+                                  sem.at[slot]).start()
+            pltpu.make_async_copy(wb_hbm.at[grb], wb_scr.at[slot],
+                                  wsem.at[slot]).start()
 
-            dma(0, 0).start()           # warm up the double buffer
+        def wait_dma(grb, slot):
+            pltpu.make_async_copy(pack_hbm.at[grb], pack_scr.at[slot],
+                                  sem.at[slot]).wait()
+            pltpu.make_async_copy(wb_hbm.at[grb], wb_scr.at[slot],
+                                  wsem.at[slot]).wait()
+
+        def color_body(ci, _):
+            # the per-color schedule is DATA (an SMEM table), so this
+            # single body serves any number of colors
+            rb_off = cmeta_ref[ci, 0]
+            num_rb = cmeta_ref[ci, 1]
+            row0c = cmeta_ref[ci, 2]
+            nt = cmeta_ref[ci, 3]
+            d_c = cmeta_ref[ci, 4]
+            start_dma(rb_off, 0)        # warm up the double buffer
 
             def rb_body(rb, _):
                 slot = rb % 2
 
-                @pl.when(rb + 1 < c.num_rb)
+                @pl.when(rb + 1 < num_rb)
                 def _():
-                    dma(rb + 1, (rb + 1) % 2).start()
+                    start_dma(rb_off + rb + 1, (rb + 1) % 2)
 
-                dma(rb, slot).wait()
-                pk = pack_scr[ci].at[slot]
+                wait_dma(rb_off + rb, slot)
+                pk = pack_scr.at[slot]
+                wb = wb_scr.at[slot]
 
-                def win_x(da):
-                    return x_out[pl.ds(pk[L.wrow, da], c.Wc // 128),
-                                 :].astype(jnp.float32)
+                def gat(base_r, off):
+                    return _gather_tiled(x_out, base_r, off,
+                                         None if single_tile else nt,
+                                         trw, sub_iota, lane_iota)
 
                 upd = pk[L.upd:L.upd + 1, :]
                 rowmeta = pk[L.rowmeta:L.rowmeta + 1, :]
-                terms = _block_terms(pk, L, [win_x], sub_iota, lane_iota)
-                pots = _potentials(terms, c.present, c.A, kmax, rowmeta, 0)
-                new = _draw(pots, rowmeta & 0xFF, kmax)
-                row0 = c.start // 128 + rb * rbl
+                card = rowmeta & 0xFF
+                dense = (rowmeta >> 8) == 0
+
+                def d_body(d, pots):
+                    if unroll_a:
+                        term = _slot_decode(pk, wb, L, Ag, d, [gat])
+                        return _term_pots(term, present, Ag, kmax, card,
+                                          dense, 0, pots)
+                    fta = pk[pl.ds(L.fta + d, 1), :]
+                    ftype = (fta & 0xFF) - 1
+                    ar = fta >> 8
+                    w = pltpu.bitcast(pk[pl.ds(L.wbake + d, 1), :],
+                                      jnp.float32)
+                    dd = pk[pl.ds(L.dd + d, 1), :]
+                    d1, d2 = dd & 0xFF, dd >> 8
+                    _slot_gather_stage(pk, wb, L, Ag, d, gat, av_scr, 0)
+                    es = _slot_eval_loop(
+                        pk, L, Ag, d, av_scr, 0, present, ftype, ar,
+                        [jnp.int32(k) for k in range(kmax)])
+                    out = []
+                    for k in range(kmax):
+                        ok = ((dense & (jnp.int32(k) < card)) |
+                              ((~dense) & ((jnp.int32(k) == d1) |
+                                           (jnp.int32(k) == d2))))
+                        out.append(pots[k] +
+                                   ok.astype(jnp.float32) * w * es[k])
+                    return tuple(out)
+
+                pots = tuple(jnp.zeros((1, RB), jnp.float32)
+                             for _ in range(kmax))
+                if unroll_d:
+                    for d in range(plan.D):
+                        pots = d_body(d, pots)
+                else:
+                    pots = jax.lax.fori_loop(0, d_c, d_body, pots)
+                new = _draw(list(pots), card, kmax)
+                row0 = row0c + rb * rbl
                 old = x_out[pl.ds(row0, rbl), :]
                 x_out[pl.ds(row0, rbl), :] = jnp.where(
                     upd.reshape(rbl, 128) == 1,
                     new.reshape(rbl, 128), old)
                 return 0
 
-            jax.lax.fori_loop(0, c.num_rb, rb_body, 0)
+            jax.lax.fori_loop(0, num_rb, rb_body, 0)
+            return 0
 
         def epoch_body(i, _):
-            for ci in range(len(colors)):
-                color_step(ci)
+            jax.lax.fori_loop(0, C, color_body, 0)
             mult = (i >= burn).astype(jnp.int32)
             for k in range(kmax):
                 for s, ln in _chunks(vpr):
@@ -694,136 +916,228 @@ def _make_kernel(plan: ItemGridPlan):
 
 def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
     """Dual-chain SGD fully in-kernel (reference learning.py:46-125 with
-    the batched per-color semantics of ops/gibbs._color_step_learn)."""
+    the batched per-color semantics of ops/gibbs._color_step_learn).
+
+    Same data-driven structure as the inference kernel. The slot loop
+    runs twice per block — potentials+draw, then gradients — with the
+    gathered argument values staged through a VMEM scratch so the
+    expensive gathers happen once."""
     kmax = plan.kmax
-    colors = plan.colors
+    vp = plan.vp
+    vpr = vp // 128
+    trw = plan.trw
+    L = _Layout(plan.D, plan.A)
+    Ag = plan.A
+    DA = plan.D * plan.A
+    C = plan.cmeta.shape[0]
+    present = plan.present
+    rbl = RB // 128
+    single_tile = int(plan.cmeta[:, 3].max()) <= 1 if plan.cmeta.size \
+        else True
+    unroll_d = plan.D <= 8
+    unroll_a = plan.A <= 8          # high arity -> stats loops
 
     def kernel(seed_ref, burn_ref, epochs_ref, step0_ref, decay_ref,
-               *refs):
-        n_c = len(colors)
-        x_in = refs[0]
-        w_in = refs[1]
-        wfix = refs[2]
-        hbm_refs = refs[3:3 + n_c]
-        x_out, xe_out, w_out = refs[3 + n_c:3 + n_c + 3]
-        scr = refs[3 + n_c + 3:]
-        pack_scr = scr[:n_c]
-        gw_scr, nw_scr = scr[n_c], scr[n_c + 1]
-        sem = scr[n_c + 2]
-
+               cmeta_ref, x_in, w_in, wfix, pack_hbm, wb_hbm,
+               x_out, xe_out, w_out,
+               pack_scr, wb_scr, gv_scr, gw_scr, nw_scr, sem, wsem):
         pltpu.prng_seed(seed_ref[0])
         # chunked init (full-array copies spill registers at scale)
         CH = 4096
-        vpr_l = plan.vp // 128
-        for s in range(0, vpr_l, CH):
-            ln = min(CH, vpr_l - s)
+        for s in range(0, vpr, CH):
+            ln = min(CH, vpr - s)
             x_out[pl.ds(s, ln), :] = x_in[pl.ds(s, ln), :]
             xe_out[pl.ds(s, ln), :] = x_in[pl.ds(s, ln), :]
         w_out[:] = w_in[:]
 
-        w_iota = jax.lax.broadcasted_iota(jnp.int32, (wrows, RB), 0)
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (trw, RB), 0)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (128, RB), 0)
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (wrows, RB), 0)
 
         def w_of(wid):
             return _gather(w_out[:], wid, w_iota, lane_iota)
 
-        def sweep_free():
-            """One inference-style sweep of the free chain (burn-in)."""
-            for ci in range(len(colors)):
-                c = colors[ci]
-                L = _Layout(c.D, c.A)
-                rbl = RB // 128
-                sub_iota = jax.lax.broadcasted_iota(
-                    jnp.int32, (c.Wc // 128, RB), 0)
+        def start_dma(grb, slot):
+            pltpu.make_async_copy(pack_hbm.at[grb], pack_scr.at[slot],
+                                  sem.at[slot]).start()
+            pltpu.make_async_copy(wb_hbm.at[grb], wb_scr.at[slot],
+                                  wsem.at[slot]).start()
 
-                def dma(rb, slot):
-                    return pltpu.make_async_copy(
-                        hbm_refs[ci].at[rb], pack_scr[ci].at[slot],
-                        sem.at[slot])
+        def wait_dma(grb, slot):
+            pltpu.make_async_copy(pack_hbm.at[grb], pack_scr.at[slot],
+                                  sem.at[slot]).wait()
+            pltpu.make_async_copy(wb_hbm.at[grb], wb_scr.at[slot],
+                                  wsem.at[slot]).wait()
 
-                dma(0, 0).start()
-
-                def rb_body(rb, _):
-                    slot = rb % 2
-
-                    @pl.when(rb + 1 < c.num_rb)
-                    def _():
-                        dma(rb + 1, (rb + 1) % 2).start()
-
-                    dma(rb, slot).wait()
-                    pk = pack_scr[ci].at[slot]
-
-                    def win_x(da):
-                        return x_out[pl.ds(pk[L.wrow, da], c.Wc // 128),
-                                     :].astype(jnp.float32)
-
-                    upd = pk[L.upd:L.upd + 1, :]
-                    rowmeta = pk[L.rowmeta:L.rowmeta + 1, :]
-                    terms = _block_terms(pk, L, [win_x], sub_iota,
-                                         lane_iota, w_of)
-                    pots = _potentials(terms, c.present, c.A, kmax,
-                                       rowmeta, 0)
-                    new = _draw(pots, rowmeta & 0xFF, kmax)
-                    row0 = c.start // 128 + rb * rbl
-                    old = x_out[pl.ds(row0, rbl), :]
-                    x_out[pl.ds(row0, rbl), :] = jnp.where(
-                        upd.reshape(rbl, 128) == 1,
-                        new.reshape(rbl, 128), old)
-                    return 0
-
-                jax.lax.fori_loop(0, c.num_rb, rb_body, 0)
-
-        def learn_color(ci, step):
-            c = colors[ci]
-            L = _Layout(c.D, c.A)
-            rbl = RB // 128
-            sub_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (c.Wc // 128, RB), 0)
-            gw_scr[:] = jnp.zeros((wrows, 128), jnp.float32)
-            nw_scr[:] = jnp.zeros((wrows, 128), jnp.float32)
-
-            def dma(rb, slot):
-                return pltpu.make_async_copy(
-                    hbm_refs[ci].at[rb], pack_scr[ci].at[slot],
-                    sem.at[slot])
-
-            dma(0, 0).start()
+        def free_color(ci, _):
+            """Inference-style color step of the free chain (burn-in),
+            with live weights."""
+            rb_off = cmeta_ref[ci, 0]
+            num_rb = cmeta_ref[ci, 1]
+            row0c = cmeta_ref[ci, 2]
+            nt = cmeta_ref[ci, 3]
+            d_c = cmeta_ref[ci, 4]
+            start_dma(rb_off, 0)
 
             def rb_body(rb, _):
                 slot = rb % 2
 
-                @pl.when(rb + 1 < c.num_rb)
+                @pl.when(rb + 1 < num_rb)
                 def _():
-                    dma(rb + 1, (rb + 1) % 2).start()
+                    start_dma(rb_off + rb + 1, (rb + 1) % 2)
 
-                dma(rb, slot).wait()
-                pk = pack_scr[ci].at[slot]
+                wait_dma(rb_off + rb, slot)
+                pk = pack_scr.at[slot]
+                wb = wb_scr.at[slot]
 
-                def win_p(da):
-                    return x_out[pl.ds(pk[L.wrow, da], c.Wc // 128),
-                                 :].astype(jnp.float32)
+                def gat(base_r, off):
+                    return _gather_tiled(x_out, base_r, off,
+                                         None if single_tile else nt,
+                                         trw, sub_iota, lane_iota)
 
-                def win_e(da):
-                    return xe_out[pl.ds(pk[L.wrow, da], c.Wc // 128),
-                                  :].astype(jnp.float32)
+                upd = pk[L.upd:L.upd + 1, :]
+                rowmeta = pk[L.rowmeta:L.rowmeta + 1, :]
+                card = rowmeta & 0xFF
+                dense = (rowmeta >> 8) == 0
+
+                def d_body(d, pots):
+                    if unroll_a:
+                        term = _slot_decode(pk, wb, L, Ag, d, [gat],
+                                            w_of)
+                        return _term_pots(term, present, Ag, kmax, card,
+                                          dense, 0, pots)
+                    fta = pk[pl.ds(L.fta + d, 1), :]
+                    ftype = (fta & 0xFF) - 1
+                    ar = fta >> 8
+                    w = w_of(pk[pl.ds(L.wid + d, 1), :])
+                    dd = pk[pl.ds(L.dd + d, 1), :]
+                    d1, d2 = dd & 0xFF, dd >> 8
+                    _slot_gather_stage(pk, wb, L, Ag, d, gat, gv_scr, 0)
+                    es = _slot_eval_loop(
+                        pk, L, Ag, d, gv_scr, 0, present, ftype, ar,
+                        [jnp.int32(k) for k in range(kmax)])
+                    out = []
+                    for k in range(kmax):
+                        ok = ((dense & (jnp.int32(k) < card)) |
+                              ((~dense) & ((jnp.int32(k) == d1) |
+                                           (jnp.int32(k) == d2))))
+                        out.append(pots[k] +
+                                   ok.astype(jnp.float32) * w * es[k])
+                    return tuple(out)
+
+                pots = tuple(jnp.zeros((1, RB), jnp.float32)
+                             for _ in range(kmax))
+                if unroll_d:
+                    for d in range(plan.D):
+                        pots = d_body(d, pots)
+                else:
+                    pots = jax.lax.fori_loop(0, d_c, d_body, pots)
+                new = _draw(list(pots), card, kmax)
+                row0 = row0c + rb * rbl
+                old = x_out[pl.ds(row0, rbl), :]
+                x_out[pl.ds(row0, rbl), :] = jnp.where(
+                    upd.reshape(rbl, 128) == 1,
+                    new.reshape(rbl, 128), old)
+                return 0
+
+            jax.lax.fori_loop(0, num_rb, rb_body, 0)
+            return 0
+
+        def learn_color(ci, step):
+            rb_off = cmeta_ref[ci, 0]
+            num_rb = cmeta_ref[ci, 1]
+            row0c = cmeta_ref[ci, 2]
+            nt = cmeta_ref[ci, 3]
+            d_c = cmeta_ref[ci, 4]
+            gw_scr[:] = jnp.zeros((wrows, 128), jnp.float32)
+            nw_scr[:] = jnp.zeros((wrows, 128), jnp.float32)
+            start_dma(rb_off, 0)
+
+            def rb_body(rb, _):
+                slot = rb % 2
+
+                @pl.when(rb + 1 < num_rb)
+                def _():
+                    start_dma(rb_off + rb + 1, (rb + 1) % 2)
+
+                wait_dma(rb_off + rb, slot)
+                pk = pack_scr.at[slot]
+                wb = wb_scr.at[slot]
+
+                def gat_p(base_r, off):
+                    return _gather_tiled(x_out, base_r, off,
+                                         None if single_tile else nt,
+                                         trw, sub_iota, lane_iota)
+
+                def gat_e(base_r, off):
+                    return _gather_tiled(xe_out, base_r, off,
+                                         None if single_tile else nt,
+                                         trw, sub_iota, lane_iota)
 
                 upd = pk[L.upd:L.upd + 1, :]
                 upd_e = pk[L.upd_e:L.upd_e + 1, :]
                 lrn_ev = pk[L.lrn:L.lrn + 1, :]
                 rowmeta = pk[L.rowmeta:L.rowmeta + 1, :]
+                card = rowmeta & 0xFF
+                dense = (rowmeta >> 8) == 0
                 lrn = upd if lp.learn_non_evidence else lrn_ev
 
-                terms = _block_terms(pk, L, [win_p, win_e], sub_iota,
-                                     lane_iota, w_of)
-                pots_p = _potentials(terms, c.present, c.A, kmax,
-                                     rowmeta, 0)
-                pots_e = _potentials(terms, c.present, c.A, kmax,
-                                     rowmeta, 1)
-                card = rowmeta & 0xFF
-                e_samp = _draw(pots_e, card, kmax)
-                p_samp = _draw(pots_p, card, kmax)
+                # pass 1: gather (staged to scratch) + potentials
+                def d_pots(d, pots2):
+                    pots_p, pots_e = pots2
+                    if unroll_a:
+                        term = _slot_decode(pk, wb, L, Ag, d,
+                                            [gat_p, gat_e], w_of)
+                        for a in range(Ag):
+                            gv_scr[pl.ds(d * Ag + a, 1), :] = \
+                                term["gat"][0][a]
+                            gv_scr[pl.ds(DA + d * Ag + a, 1), :] = \
+                                term["gat"][1][a]
+                        pots_p = _term_pots(term, present, Ag, kmax,
+                                            card, dense, 0, pots_p)
+                        pots_e = _term_pots(term, present, Ag, kmax,
+                                            card, dense, 1, pots_e)
+                        return (pots_p, pots_e)
+                    fta = pk[pl.ds(L.fta + d, 1), :]
+                    ftype = (fta & 0xFF) - 1
+                    ar = fta >> 8
+                    w = w_of(pk[pl.ds(L.wid + d, 1), :])
+                    dd = pk[pl.ds(L.dd + d, 1), :]
+                    d1, d2 = dd & 0xFF, dd >> 8
+                    _slot_gather_stage(pk, wb, L, Ag, d, gat_p, gv_scr,
+                                       d * Ag)
+                    _slot_gather_stage(pk, wb, L, Ag, d, gat_e, gv_scr,
+                                       DA + d * Ag)
+                    ks = [jnp.int32(k) for k in range(kmax)]
+                    eps = _slot_eval_loop(pk, L, Ag, d, gv_scr, d * Ag,
+                                          present, ftype, ar, ks)
+                    ees = _slot_eval_loop(pk, L, Ag, d, gv_scr,
+                                          DA + d * Ag, present, ftype,
+                                          ar, ks)
+                    np_, ne_ = [], []
+                    for k in range(kmax):
+                        ok = ((dense & (jnp.int32(k) < card)) |
+                              ((~dense) & ((jnp.int32(k) == d1) |
+                                           (jnp.int32(k) == d2)))
+                              ).astype(jnp.float32)
+                        np_.append(pots_p[k] + ok * w * eps[k])
+                        ne_.append(pots_e[k] + ok * w * ees[k])
+                    return (tuple(np_), tuple(ne_))
 
-                row0 = c.start // 128 + rb * rbl
+                zero = tuple(jnp.zeros((1, RB), jnp.float32)
+                             for _ in range(kmax))
+                if unroll_d:
+                    pots2 = (zero, zero)
+                    for d in range(plan.D):
+                        pots2 = d_pots(d, pots2)
+                    pots_p, pots_e = pots2
+                else:
+                    pots_p, pots_e = jax.lax.fori_loop(
+                        0, d_c, d_pots, (zero, zero))
+                e_samp = _draw(list(pots_e), card, kmax)
+                p_samp = _draw(list(pots_p), card, kmax)
+
+                row0 = row0c + rb * rbl
                 x_rows = x_out[pl.ds(row0, rbl), :].reshape(1, RB)
                 xe_rows = xe_out[pl.ds(row0, rbl), :].reshape(1, RB)
                 p_val = jnp.where(upd == 1, p_samp, x_rows)
@@ -831,39 +1145,64 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
                 x_out[pl.ds(row0, rbl), :] = p_val.reshape(rbl, 128)
                 xe_out[pl.ds(row0, rbl), :] = e_val.reshape(rbl, 128)
 
-                # gradient = eval(free @ proposal) - eval(clamped @
-                # evidence sample), x featureValue; categorical items
+                # pass 2: gradient = eval(free @ proposal) - eval(clamped
+                # @ evidence sample), x featureValue; categorical items
                 # contribute only when a sampled value hits their slot
                 # (reference ops/gibbs._color_step_learn slot_hit)
-                dense = (rowmeta >> 8) == 0
-                for t in terms:
-                    vp_ = [jnp.where(t["sub"][a], p_val, t["gat"][0][a])
-                           for a in range(c.A)]
-                    ve_ = [jnp.where(t["sub"][a], e_val, t["gat"][1][a])
-                           for a in range(c.A)]
-                    ev_p = _eval_all(c.present, t["ftype"], t["arity"],
-                                     vp_, t["eqs"], t["cards"], c.A)
-                    ev_e = _eval_all(c.present, t["ftype"], t["arity"],
-                                     ve_, t["eqs"], t["cards"], c.A)
-                    d1 = t["dd"] & 0xFF
-                    d2 = t["dd"] >> 8
+                def d_grad(d, _):
+                    term = _slot_decode(pk, wb, L, Ag, d, [], w_of)
+                    if unroll_a:
+                        gp = [gv_scr[pl.ds(d * Ag + a, 1), :]
+                              for a in range(Ag)]
+                        ge = [gv_scr[pl.ds(DA + d * Ag + a, 1), :]
+                              for a in range(Ag)]
+                        vp_ = [jnp.where(term["sub"][a], p_val, gp[a])
+                               for a in range(Ag)]
+                        ve_ = [jnp.where(term["sub"][a], e_val, ge[a])
+                               for a in range(Ag)]
+                        ev_p = _eval_all(present, term["ftype"],
+                                         term["arity"], vp_,
+                                         term["eqs"], term["cards"], Ag)
+                        ev_e = _eval_all(present, term["ftype"],
+                                         term["arity"], ve_,
+                                         term["eqs"], term["cards"], Ag)
+                    else:
+                        ev_p = _slot_eval_loop(
+                            pk, L, Ag, d, gv_scr, d * Ag, present,
+                            term["ftype"], term["arity"], [p_val])[0]
+                        ev_e = _slot_eval_loop(
+                            pk, L, Ag, d, gv_scr, DA + d * Ag, present,
+                            term["ftype"], term["arity"], [e_val])[0]
+                    d1 = term["dd"] & 0xFF
+                    d2 = term["dd"] >> 8
                     hit = (d1 == e_val) | (d1 == p_val) | \
                           (d2 == e_val) | (d2 == p_val)
-                    inc = (lrn == 1) & (t["ftype"] != -1) & (dense | hit)
-                    grad = jnp.where(inc, (ev_p - ev_e) * t["fv"], 0.0)
-                    roh = (w_iota == (t["wid"] >> 7)).astype(jnp.float32)
-                    loh = lane_iota == (t["wid"] & 127)
+                    inc = (lrn == 1) & (term["ftype"] != -1) & \
+                        (dense | hit)
+                    grad = jnp.where(inc, (ev_p - ev_e) * term["fv"],
+                                     0.0)
+                    roh = (w_iota == (term["wid"] >> 7)).astype(
+                        jnp.float32)
+                    loh = lane_iota == (term["wid"] & 127)
                     gw_scr[:] = gw_scr[:] + jax.lax.dot_general(
                         roh, jnp.where(loh, grad, 0.0),
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
                     nw_scr[:] = nw_scr[:] + jax.lax.dot_general(
-                        roh, jnp.where(loh, inc.astype(jnp.float32), 0.0),
+                        roh, jnp.where(loh, inc.astype(jnp.float32),
+                                       0.0),
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
+                    return 0
+
+                if unroll_d:
+                    for d in range(plan.D):
+                        d_grad(d, 0)
+                else:
+                    jax.lax.fori_loop(0, d_c, d_grad, 0)
                 return 0
 
-            jax.lax.fori_loop(0, c.num_rb, rb_body, 0)
+            jax.lax.fori_loop(0, num_rb, rb_body, 0)
 
             # apply the update (reference learning.py:111-125 semantics,
             # batched as in ops/gibbs._color_step_learn)
@@ -887,7 +1226,7 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
             w_out[:] = jnp.where(touched, w_new, w)
 
         def burn_body(i, _):
-            sweep_free()
+            jax.lax.fori_loop(0, C, free_color, 0)
             return 0
 
         jax.lax.fori_loop(0, burn_ref[0], burn_body, 0)
@@ -895,8 +1234,12 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
         def epoch_body(i, _):
             step = step0_ref[0] * jnp.exp(
                 i.astype(jnp.float32) * jnp.log(decay_ref[0]))
-            for ci in range(len(colors)):
+
+            def cstep(ci, _):
                 learn_color(ci, step)
+                return 0
+
+            jax.lax.fori_loop(0, C, cstep, 0)
             return 0
 
         jax.lax.fori_loop(0, epochs_ref[0], epoch_body, 0)
@@ -928,22 +1271,25 @@ class PallasItemGridEngine:
     def _build_call(self):
         plan = self.plan
         kernel = _make_kernel(plan)
-        n_c = len(plan.colors)
         vp, kmax = plan.vp, plan.kmax
+        L = _Layout(plan.D, plan.A)
+        DA = plan.D * plan.A
 
         in_specs = (
-            [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 +      # seed/b/e
-            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 +      # x, tally
-            [pl.BlockSpec(memory_space=pltpu.ANY)] * n_c       # packed
+            [pl.BlockSpec(memory_space=pltpu.SMEM)] * 4 +  # seed/b/e/meta
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 +  # x, tally
+            [pl.BlockSpec(memory_space=pltpu.ANY)] * 2     # packed, wbase
         )
         out_specs = (pl.BlockSpec(memory_space=pltpu.VMEM),
                      pl.BlockSpec(memory_space=pltpu.VMEM))
-        scratch = [pltpu.VMEM((2,) + c.packed.shape[1:], jnp.int32)
-                   for c in plan.colors]                  # double buffers
-        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+        scratch = [pltpu.VMEM((2, L.rows, RB), jnp.int32),  # block buf x2
+                   pltpu.SMEM((2, _ceil(DA, 128)), jnp.int32),   # win bases
+                   pltpu.VMEM((max(plan.A, 1), RB), jnp.int32),  # staged
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,))]
 
         @jax.jit
-        def call(seed, burn, epochs, x0, tally, *packs):
+        def call(seed, burn, epochs, cmeta, x0, tally, packed, wbase):
             return pl.pallas_call(
                 kernel,
                 out_shape=(
@@ -956,36 +1302,40 @@ class PallasItemGridEngine:
                 compiler_params=pltpu.CompilerParams(
                     has_side_effects=True,
                     vmem_limit_bytes=127 * 1024 * 1024),
-                input_output_aliases={3: 0},   # x0 buffer IS x_out
+                input_output_aliases={4: 0},   # x0 buffer IS x_out
                 interpret=(pltpu.InterpretParams()
                            if self.interpret else False),
-            )(seed, burn, epochs, x0, tally, *packs)
+            )(seed, burn, epochs, cmeta, x0, tally, packed, wbase)
 
         return call
 
     def _build_learn_call(self, lp):
         plan = self.plan
-        n_c = len(plan.colors)
         vp = plan.vp
+        L = _Layout(plan.D, plan.A)
+        DA = plan.D * plan.A
         wrows = max(_ceil(-(-plan.n_weights // 128), 8), 8)
         if plan.n_weights > wrows * 128:
             raise ValueError("itemgrid learn: too many weights")
         kernel = _make_learn_kernel(plan, lp, wrows)
 
         in_specs = (
-            [pl.BlockSpec(memory_space=pltpu.SMEM)] * 5 +      # scalars
-            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3 +      # x0,w0,wfix
-            [pl.BlockSpec(memory_space=pltpu.ANY)] * n_c       # packed
+            [pl.BlockSpec(memory_space=pltpu.SMEM)] * 6 +  # scalars+meta
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3 +  # x0,w0,wfix
+            [pl.BlockSpec(memory_space=pltpu.ANY)] * 2     # packed, wbase
         )
         out_specs = tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                           for _ in range(3))
-        scratch = [pltpu.VMEM((2,) + c.packed.shape[1:], jnp.int32)
-                   for c in plan.colors]                  # double buffers
-        scratch.append(pltpu.VMEM((wrows, 128), jnp.float32))   # gw
-        scratch.append(pltpu.VMEM((wrows, 128), jnp.float32))   # nw
-        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+        scratch = [pltpu.VMEM((2, L.rows, RB), jnp.int32),  # block buf x2
+                   pltpu.SMEM((2, _ceil(DA, 128)), jnp.int32),   # win bases
+                   pltpu.VMEM((2 * DA, RB), jnp.int32),     # staged gathers
+                   pltpu.VMEM((wrows, 128), jnp.float32),   # gw
+                   pltpu.VMEM((wrows, 128), jnp.float32),   # nw
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,))]
 
-        def call(seed, burn, epochs, step0, decay, x0, w0, wfix, *packs):
+        def call(seed, burn, epochs, step0, decay, cmeta, x0, w0, wfix,
+                 packed, wbase):
             return pl.pallas_call(
                 kernel,
                 out_shape=(
@@ -998,10 +1348,11 @@ class PallasItemGridEngine:
                 compiler_params=pltpu.CompilerParams(
                     has_side_effects=True,
                     vmem_limit_bytes=127 * 1024 * 1024),
-                input_output_aliases={5: 0},   # x0 buffer IS x_out
+                input_output_aliases={6: 0},   # x0 buffer IS x_out
                 interpret=(pltpu.InterpretParams()
                            if self.interpret else False),
-            )(seed, burn, epochs, step0, decay, x0, w0, wfix, *packs)
+            )(seed, burn, epochs, step0, decay, cmeta, x0, w0, wfix,
+              packed, wbase)
 
         return jax.jit(call), wrows
 
@@ -1009,7 +1360,9 @@ class PallasItemGridEngine:
         wkey = wv.tobytes()
         if self._weights_for != wkey:
             fill_weights(self.plan, wv)
-            self._packs = [jnp.asarray(c.packed) for c in self.plan.colors]
+            self._packs = (jnp.asarray(self.plan.packed),
+                           jnp.asarray(self.plan.wbase))
+            self._cmeta = jnp.asarray(self.plan.cmeta)
             self._weights_for = wkey
 
     def learn(self, seed: int, burn: int, epochs: int, stepsize: float,
@@ -1041,7 +1394,8 @@ class PallasItemGridEngine:
             jnp.asarray([epochs], jnp.int32),
             jnp.asarray([stepsize], jnp.float32),
             jnp.asarray([decay], jnp.float32),
-            x2d, jnp.asarray(w0), jnp.asarray(wfix), *self._packs)
+            self._cmeta, x2d, jnp.asarray(w0), jnp.asarray(wfix),
+            *self._packs)
         return np.asarray(w_out).reshape(-1)[:plan.n_weights]
 
     def run(self, seed: int, burn: int, epochs: int,
@@ -1066,7 +1420,8 @@ class PallasItemGridEngine:
                           .astype(np.int8))
         x_out, cnt = self._call(
             jnp.asarray([seed], jnp.int32), jnp.asarray([burn], jnp.int32),
-            jnp.asarray([epochs], jnp.int32), x2d, t2d, *self._packs)
+            jnp.asarray([epochs], jnp.int32), self._cmeta, x2d, t2d,
+            *self._packs)
         x_flat = np.asarray(x_out).reshape(-1)[plan.perm]
         cnt = np.asarray(cnt).astype(np.int32).reshape(plan.kmax, plan.vp)
         counts = cnt[:, plan.perm].T.copy()            # (V, K)

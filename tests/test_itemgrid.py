@@ -52,26 +52,30 @@ def _random_bool_graph(seed, n_vars=24, n_factors=40, amax=4):
 
 def _replay_potentials(plan, weight_value, x_orig):
     """Replay the kernel's data path in numpy+jnp: unpack blocks, gather
-    through windows, evaluate with _eval_all, apply the vmap slot
+    through tiled windows, evaluate with _eval_all, apply the vmap slot
     semantics. Returns {vid: [pot_k for k in range(kmax)]}."""
     from numbskull_tpu.ops.itemgrid_pallas import _Layout, _eval_all
 
     K = plan.kmax
+    A = plan.A
+    L = _Layout(plan.D, plan.A)
     x_new = np.zeros(plan.vp, np.int64)
     x_new[plan.perm] = x_orig
     inv = np.full(plan.vp, -1, np.int64)
     inv[plan.perm] = np.arange(plan.n_vars)
     out = {}
-    for c in plan.colors:
-        D, A = c.D, c.A
-        L = _Layout(D, A)
-        for rb in range(c.num_rb):
-            pk = c.packed[rb]
+    for ci in range(plan.cmeta.shape[0]):
+        rb_off, num_rb, row0r, nt, d_c = (int(x) for x in
+                                          plan.cmeta[ci, :5])
+        win_len = nt * plan.trw * 128
+        for rbi in range(num_rb):
+            grb = rb_off + rbi
+            pk = plan.packed[grb]
             rowmeta = pk[L.rowmeta].astype(np.int64)
             card = rowmeta & 0xFF
             dense = (rowmeta >> 8) == 0
             pots = [np.zeros(RB) for _ in range(K)]
-            for d in range(D):
+            for d in range(d_c):
                 fta = pk[L.fta + d].astype(np.int64)
                 ftype = jnp.asarray((fta & 0xFF) - 1,
                                     jnp.int32).reshape(1, RB)
@@ -90,19 +94,19 @@ def _replay_potentials(plan, weight_value, x_orig):
                 for k in range(K):
                     vals = []
                     for a in range(A):
-                        base = int(c.wrow[rb, d * A + a]) * 128
-                        win = x_new[base:base + c.Wc]
+                        base = int(plan.wbase[grb, d * A + a]) * 128
+                        win = x_new[base:base + win_len]
                         g = win[offs[a]]
                         sub = (sbits & (1 << a)) != 0
                         vals.append(jnp.asarray(
                             np.where(sub, k, g), jnp.int32).reshape(1, RB))
-                    e = np.asarray(_eval_all(c.present, ftype, arity,
+                    e = np.asarray(_eval_all(plan.present, ftype, arity,
                                              vals, eqs, crds,
                                              A)).reshape(RB)
                     ok = np.where(dense, k < card, (k == d1) | (k == d2))
                     pots[k] = pots[k] + np.where(ok, wgt * e, 0.0)
             for lane in range(RB):
-                vid = inv[c.start + rb * RB + lane]
+                vid = inv[row0r * 128 + rbi * RB + lane]
                 if vid >= 0:
                     out[int(vid)] = [pots[k][lane] for k in range(K)]
     return out
@@ -229,8 +233,9 @@ def test_itemgrid_categorical_potentials_match_golden(seed):
 
 def test_rcm_reorder_rescues_shuffled_ising():
     """A relabeled (shuffled-vid) lattice has no natural locality; the
-    RCM fallback must recover bounded windows with exact potentials."""
-    n = 24
+    RCM fallback must recover single-tile windows with exact potentials.
+    192x192 = 36864 vars > one 16K gather tile, so locality is real."""
+    n = 192
     w, v, f, fm, dm, e = ising_grid(n, n, weight=0.3)
     rng = np.random.default_rng(0)
     pi = rng.permutation(n * n)
@@ -239,11 +244,11 @@ def test_rcm_reorder_rescues_shuffled_ising():
     cg = compile_graph(w, v, f, fm2, domain_mask=dm)
     plan, reason = plan_item_grid(cg)
     assert plan is not None, reason
-    assert all(c.Wc <= 8192 for c in plan.colors)
+    assert (plan.cmeta[:, 3] == 1).all()   # RCM -> one tile per window
     fill_weights(plan, w["initialValue"])
     x = rng.integers(0, 2, cg.n_vars)
     got = _replay_potentials(plan, w["initialValue"], x)
-    for vid in range(0, cg.n_vars, 7):
+    for vid in range(0, cg.n_vars, 311):
         for k in (0, 1):
             want = golden.potential(v, f, fm2, w["initialValue"], vid, k,
                                     x)
@@ -503,3 +508,50 @@ def test_itemgrid_tpu_marginals_match_xla_engine():
     gm = ge.marginals(st, 800)[:, 1]
     assert abs(marg.mean() - gm.mean()) < 0.02
     assert np.abs(np.sort(marg) - np.sort(gm)).mean() < 0.02
+
+
+def test_loop_stats_eval_matches_unrolled():
+    """The data-driven stats-loop evaluator (high-arity path) must equal
+    the unrolled _eval_all producer for random mixed inputs across all
+    factor types and arities up to 12."""
+    import jax
+
+    from numbskull_tpu.ops.itemgrid_pallas import _eval_all, _loop_stats
+    from numbskull_tpu.ops.factor_semantics import finalize
+
+    rng = np.random.default_rng(5)
+    funcs = [T.FUNC_IMPLY_NATURAL, T.FUNC_OR, T.FUNC_EQUAL, T.FUNC_AND,
+             T.FUNC_LINEAR, T.FUNC_RATIO, T.FUNC_LOGICAL,
+             T.FUNC_IMPLY_MLN, T.FUNC_AND_CAT, T.FUNC_OR_CAT,
+             T.FUNC_EQUAL_CAT_CONST, T.FUNC_IMPLY_NATURAL_CAT,
+             T.FUNC_IMPLY_MLN_CAT, T.FUNC_DP_GEN_CLASS_PRIOR,
+             T.FUNC_DP_GEN_LF_PROPENSITY, T.FUNC_DP_GEN_LF_ACCURACY,
+             T.FUNC_DP_GEN_DEP_SIMILAR, T.FUNC_DP_GEN_DEP_EXCLUSIVE,
+             T.FACTORS["UFO"]]
+    A = 12
+    N = 64
+    present = tuple(sorted(funcs))
+    ftype = jnp.asarray(rng.choice(funcs, (1, N)), jnp.int32)
+    arity = jnp.asarray(rng.integers(1, A + 1, (1, N)), jnp.int32)
+    gvals = rng.integers(0, 3, (A, 1, N)).astype(np.int32)
+    eqs = rng.integers(0, 3, (A, 1, N)).astype(np.int32)
+    cards = rng.integers(2, 4, (A, 1, N)).astype(np.int32)
+    subm = rng.random((A, 1, N)) < 0.2
+    k = jnp.int32(1)
+    vals_sub = [jnp.asarray(np.where(subm[a], 1, gvals[a]), jnp.int32)
+                for a in range(A)]
+    want = np.asarray(_eval_all(
+        present, ftype, arity, vals_sub,
+        [jnp.asarray(eqs[a]) for a in range(A)],
+        [jnp.asarray(cards[a]) for a in range(A)], A))
+
+    sts = _loop_stats(
+        A, arity,
+        read_val=lambda a: jnp.asarray(gvals)[a],
+        read_eq=lambda a: jnp.asarray(eqs)[a],
+        read_card=lambda a: jnp.asarray(cards)[a],
+        read_sub=lambda a: jnp.asarray(subm)[a],
+        subvals=[k])
+    got = np.asarray(finalize(present, ftype, sts[0]))
+    assert np.allclose(got, want, atol=1e-5), \
+        np.argwhere(~np.isclose(got, want, atol=1e-5))
