@@ -1,12 +1,16 @@
 """Degree-scaling experiment: throughput vs factor degree.
 
-Analog of the reference's intro-degree experiment
-(reference: salt/src/experiment_intro_degree.py:9-88 — 1.26M vars,
-degree 1..50, partition schemes, TSV output), re-targeted at the TPU
-engine: voting graphs of controlled degree through the general
-work-item engine, TSV of wall time and updates/s.
+The reference's flagship scaling experiment
+(reference: salt/src/experiment_intro_degree.py:9-88 — 1.26M variables,
+degree 1..50, copies = n_vars/degree disjoint voting groups of one
+proposition + degree voters under a single AND factor;
+experiments/intro/generate.py), re-targeted at the TPU engines: each
+degree runs through the auto engine dispatch (the fused Pallas itemgrid
+kernel when the graph is in its envelope — degree+1 colors, arity
+degree+1 — else the XLA work-item engine), TSV of compile time, epoch
+wall time, and variable updates/s.
 
-Usage: python experiments/degree_sweep.py [out.tsv] [n_vars] [n_factors]
+Usage: python experiments/degree_sweep.py [out.tsv] [n_vars] [epochs]
 """
 
 from __future__ import annotations
@@ -18,30 +22,49 @@ import jax
 import numpy as np
 
 from numbskull_tpu.compile import compile_graph
-from numbskull_tpu.models import voting_model
+from numbskull_tpu.models import voting_grouped
 from numbskull_tpu.ops import GibbsEngine
 
 
-def run(out_path="degree_sweep.tsv", n_vars=8192, n_factors=2048,
-        epochs=10, degrees=(1, 2, 5, 10, 20)):
-    rows = ["degree\tn_colors\tcompile_s\tepoch_ms\tupdates_per_s"]
+def run(out_path="degree_sweep.tsv", n_vars=1_260_000, epochs=20,
+        degrees=(1, 2, 5, 10, 20, 35, 50)):
+    rows = ["degree\tn_vars\tn_colors\tengine\tcompile_s\tepoch_ms\t"
+            "updates_per_s"]
     for degree in degrees:
-        args = voting_model(n_vars, n_factors, degree, weight=0.1, seed=1)
+        args = voting_grouped(n_vars, degree, weight=0.3, seed=1)
         w, v, f, fm, dm, e = args
+        V = len(v)
         t0 = time.perf_counter()
         cg = compile_graph(w, v, f, fm, domain_mask=dm)
         compile_s = time.perf_counter() - t0
-        eng = GibbsEngine(cg)
-        st = eng.init_state()
-        st = eng.inference(st, jax.random.PRNGKey(0), epochs=2)
-        np.asarray(st.count)
-        t0 = time.perf_counter()
-        st = eng.inference(st, jax.random.PRNGKey(1), epochs=epochs)
-        np.asarray(st.count)
-        dt = time.perf_counter() - t0
-        ups = n_vars * epochs / dt
-        rows.append(f"{degree}\t{cg.n_colors}\t{compile_s:.2f}\t"
-                    f"{1e3 * dt / epochs:.2f}\t{ups:.0f}")
+
+        engine = "xla"
+        dt = None
+        if jax.default_backend() == "tpu":
+            try:
+                from numbskull_tpu.ops.itemgrid_pallas import \
+                    PallasItemGridEngine
+                eng = PallasItemGridEngine(cg)
+                eng.run(seed=0, burn=0, epochs=2)
+                t0 = time.perf_counter()
+                eng.run(seed=1, burn=0, epochs=epochs)
+                dt = time.perf_counter() - t0
+                engine = "itemgrid"
+            except ValueError as err:
+                print("degree %d: itemgrid fallback (%s)" % (degree, err),
+                      flush=True)
+        if dt is None:
+            eng = GibbsEngine(cg)
+            st = eng.init_state()
+            st = eng.inference(st, jax.random.PRNGKey(0), epochs=2)
+            np.asarray(st.count)
+            t0 = time.perf_counter()
+            st = eng.inference(st, jax.random.PRNGKey(1), epochs=epochs)
+            np.asarray(st.count)
+            dt = time.perf_counter() - t0
+        ups = V * epochs / dt
+        rows.append(f"{degree}\t{V}\t{cg.n_colors}\t{engine}\t"
+                    f"{compile_s:.2f}\t{1e3 * dt / epochs:.2f}\t{ups:.0f}")
         print(rows[-1], flush=True)
     with open(out_path, "w") as fh:
         fh.write("\n".join(rows) + "\n")

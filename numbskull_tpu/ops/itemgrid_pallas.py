@@ -134,15 +134,21 @@ def _rcm_rank(n_vars: int, edges_u: np.ndarray,
     return rcm_rank(n_vars, edges_u, edges_v)
 
 
-def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True):
+def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True,
+                   n_shards: int = 1):
     """Compile a CompiledGraph into the kernel's layout.
 
     Returns (ItemGridPlan, None) or (None, reason) when the graph is
     outside the kernel envelope (caller falls back to the XLA engine).
     Tries the natural variable order first; if a window overflows, tries
     again with a reverse-Cuthill–McKee bandwidth-reducing order.
+
+    ``n_shards``: pad every color to a multiple of n_shards row blocks
+    so the multi-chip engine can split each color evenly (every device
+    owns the same number of blocks per color).
     """
-    plan, reason = _plan_ranked(cg, sample_evidence, None)
+    plan, reason = _plan_ranked(cg, sample_evidence, None,
+                                n_shards=n_shards)
     if plan is not None and int(plan.cmeta[:, 3].max()) <= 1:
         return plan, None        # natural order already single-tile
     if plan is None and "window span" not in (reason or ""):
@@ -161,7 +167,8 @@ def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True):
     eu = np.concatenate(eu) if eu else np.zeros(0, np.int64)
     ev = np.concatenate(ev) if ev else np.zeros(0, np.int64)
     rank = _rcm_rank(cg.n_vars, eu, ev)
-    plan2, _ = _plan_ranked(cg, sample_evidence, rank)
+    plan2, _ = _plan_ranked(cg, sample_evidence, rank,
+                            n_shards=n_shards)
     if plan2 is None:
         return (plan, None) if plan is not None else (None, reason)
     if plan is None:
@@ -174,7 +181,8 @@ def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True):
     return (plan2, None) if cost(plan2) < cost(plan) else (plan, None)
 
 
-def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank):
+def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
+                 n_shards: int = 1):
     kmax = int(np.asarray(cg.var_card).max()) if cg.n_vars else 1
     if kmax > K_MAX_SUP:
         return None, "cardinality %d > %d" % (kmax, K_MAX_SUP)
@@ -190,7 +198,7 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank):
     starts, vp = [], 0
     for p in cg.plans:
         starts.append(vp)
-        vp += _ceil(int(p.cv_valid.sum()), RB)
+        vp += _ceil(int(p.cv_valid.sum()), RB * n_shards)
     vp = _ceil(vp, 2048)   # int16 count slabs need 16-sublane alignment
     if vp > V_MAX:
         return None, "graph too large for VMEM (%d padded vars)" % vp
@@ -288,7 +296,7 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank):
     L = _Layout(Dg, Ag)
     DA = Dg * Ag
 
-    total_rb = sum(_ceil(max(nr, 1), RB) // RB
+    total_rb = sum(_ceil(max(nr, 1), RB * n_shards) // RB
                    for (_, _, _, nr, _) in color_items)
     DAp = _ceil(DA, 128)     # DMA slices need 128-lane alignment
     packed_all = np.zeros((max(total_rb, 1), L.rows, RB), np.int32)
@@ -298,7 +306,7 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank):
 
     rb_cursor = 0
     for ci, (p, start, ro, n_rows, D_c) in enumerate(color_items):
-        R = _ceil(max(n_rows, 1), RB)
+        R = _ceil(max(n_rows, 1), RB * n_shards)
         num_rb = R // RB
         inv_ro = np.empty(n_rows, np.int64)
         inv_ro[ro] = np.arange(n_rows)
@@ -586,10 +594,39 @@ def _uniform(shape):
         jnp.float32(1.0 / (1 << 24))
 
 
-def _draw(pots, card, kmax):
+def _uniform_sw(seed, salt, shape):
+    """Software counter-hash uniforms (splitmix-style avalanche).
+
+    The Pallas TPU interpreter's prng_random_bits returns zeros, which
+    collapses every draw to value 0; interpret-mode runs (CPU tests,
+    incl. the multi-chip exchange tests) use this stateless hash of
+    (seed, per-draw salt, position) instead. Hardware runs keep the
+    TPU PRNG."""
+    i0 = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    i1 = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = (i0 * jnp.uint32(0x9E3779B9) ^ i1 * jnp.uint32(0x85EBCA6B) ^
+         (seed.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35)) ^
+         (salt.astype(jnp.uint32) * jnp.uint32(0x27D4EB2F)))
+    x = (x ^ (x >> 15)) * jnp.uint32(0x2C1B3C6D)
+    x = (x ^ (x >> 12)) * jnp.uint32(0x297A2D39)
+    x = x ^ (x >> 15)
+    return (x >> 8).astype(jnp.int32).astype(jnp.float32) * \
+        jnp.float32(1.0 / (1 << 24))
+
+
+def _make_uniform(sw_prng: bool, seed):
+    """uniform(salt, shape) drawing from the hardware PRNG (salt
+    ignored — the stream is stateful) or the software hash."""
+    if sw_prng:
+        return lambda salt, shape: _uniform_sw(seed, salt, shape)
+    return lambda salt, shape: _uniform(shape)
+
+
+def _draw(pots, card, kmax, u01):
     """Masked inverse-CDF draw over k < card from unnormalized
     log-potentials (reference inference.py:36-52; ops/sample.py parity).
-    pots: list of kmax (1, RB); card: (1, RB). Returns (1, RB) int32."""
+    pots: list of kmax (1, RB); card: (1, RB); u01: (1, RB) uniforms.
+    Returns (1, RB) int32."""
     m = pots[0]
     for k in range(1, kmax):
         m = jnp.where((jnp.int32(k) < card) & (pots[k] > m), pots[k], m)
@@ -598,7 +635,7 @@ def _draw(pots, card, kmax):
     total = zs[0]
     for k in range(1, kmax):
         total = total + zs[k]
-    u = _uniform(zs[0].shape) * total
+    u = u01 * total
     csum = jnp.zeros_like(total)
     val = jnp.zeros_like(card)
     for k in range(kmax):
@@ -770,7 +807,60 @@ def _term_pots(term, present, Ag, kmax, card, dense, chain, pots):
 # --------------------------------------------------------------------------
 # kernels
 
-def _make_kernel(plan: ItemGridPlan):
+def _exchange_color(x_out, cmeta_ref, gmeta_ref, ci, my, n_g, rbl,
+                    ssem, rsems):
+    """Per-color halo exchange: broadcast this device's updated row
+    blocks to every peer over the interconnect, then wait for every
+    peer's blocks. Receiving a peer's color-c rows doubles as the
+    barrier: a peer only sends after its color-c window reads and
+    updates are done, so no device can race ahead into color c+1 while
+    another still reads color c state. (Reference analog: the per-epoch
+    boundary-variable shipping of salt/src/messages.py:1253-1319 — here
+    it is per-color, on-chip, and exact rather than one epoch stale.)"""
+    nb = cmeta_ref[ci, 1]
+    row0 = cmeta_ref[ci, 2]
+
+    def peer_body(s, _):
+        peer = jax.lax.rem(my + 1 + s, n_g)
+
+        def blk(b, _):
+            src = x_out.at[pl.ds(row0 + b * rbl, rbl)]
+            pltpu.make_async_remote_copy(
+                src_ref=src, dst_ref=src, send_sem=ssem,
+                recv_sem=rsems.at[my], device_id=peer,
+                device_id_type=pltpu.DeviceIdType.LOGICAL).start()
+            return 0
+
+        jax.lax.fori_loop(0, nb, blk, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_g - 1, peer_body, 0)
+
+    def swait(i, _):
+        ref = x_out.at[pl.ds(row0, rbl)]
+        pltpu.make_async_copy(ref, ref, ssem).wait()
+        return 0
+
+    jax.lax.fori_loop(0, nb * (n_g - 1), swait, 0)
+
+    def rwait(s, _):
+        peer = jax.lax.rem(my + 1 + s, n_g)
+        prow0 = gmeta_ref[ci, peer, 0]
+        pnb = gmeta_ref[ci, peer, 1]
+
+        def blk(b, _):
+            dst = x_out.at[pl.ds(prow0 + b * rbl, rbl)]
+            pltpu.make_async_copy(dst, dst, rsems.at[peer]).wait()
+            return 0
+
+        jax.lax.fori_loop(0, pnb, blk, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_g - 1, rwait, 0)
+
+
+def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
+                 n_shards: int = 1):
     vp = plan.vp
     kmax = plan.kmax
     vpr = vp // 128
@@ -788,10 +878,22 @@ def _make_kernel(plan: ItemGridPlan):
     unroll_d = plan.D <= 8
     unroll_a = plan.A <= 8          # high arity -> stats loops
 
-    def kernel(seed_ref, burn_ref, epochs_ref, cmeta_ref, x_in, tally_in,
-               pack_hbm, wb_hbm, x_out, count_out,
-               pack_scr, wb_scr, av_scr, sem, wsem):
-        pltpu.prng_seed(seed_ref[0])
+    mc = n_shards > 1
+
+    def kernel(*refs):
+        if mc:
+            (seed_ref, burn_ref, epochs_ref, myid_ref, cmeta_ref,
+             gmeta_ref, x_in, tally_in, pack_hbm, wb_hbm, x_out,
+             count_out, pack_scr, wb_scr, av_scr, sem, wsem, ssem,
+             rsems) = refs
+            my = myid_ref[0]
+        else:
+            (seed_ref, burn_ref, epochs_ref, cmeta_ref, x_in, tally_in,
+             pack_hbm, wb_hbm, x_out, count_out,
+             pack_scr, wb_scr, av_scr, sem, wsem) = refs
+            my = 0
+        pltpu.prng_seed(seed_ref[0] + my)
+        uniform = _make_uniform(sw_prng, seed_ref[0] * 977 + my)
         # chunked init + tally: full-(vp)-array ops stage through vector
         # registers and spill tens of MB at multi-million-variable sizes
         CH = 4096
@@ -821,7 +923,7 @@ def _make_kernel(plan: ItemGridPlan):
             pltpu.make_async_copy(wb_hbm.at[grb], wb_scr.at[slot],
                                   wsem.at[slot]).wait()
 
-        def color_body(ci, _):
+        def color_body(ci, epoch_i):
             # the per-color schedule is DATA (an SMEM table), so this
             # single body serves any number of colors
             rb_off = cmeta_ref[ci, 0]
@@ -831,7 +933,7 @@ def _make_kernel(plan: ItemGridPlan):
             d_c = cmeta_ref[ci, 4]
             start_dma(rb_off, 0)        # warm up the double buffer
 
-            def rb_body(rb, _):
+            def rb_body(rb, salt_base):
                 slot = rb % 2
 
                 @pl.when(rb + 1 < num_rb)
@@ -884,19 +986,24 @@ def _make_kernel(plan: ItemGridPlan):
                         pots = d_body(d, pots)
                 else:
                     pots = jax.lax.fori_loop(0, d_c, d_body, pots)
-                new = _draw(list(pots), card, kmax)
+                new = _draw(list(pots), card, kmax,
+                            uniform(salt_base * 65536 + rb, (1, RB)))
                 row0 = row0c + rb * rbl
                 old = x_out[pl.ds(row0, rbl), :]
                 x_out[pl.ds(row0, rbl), :] = jnp.where(
                     upd.reshape(rbl, 128) == 1,
                     new.reshape(rbl, 128), old)
-                return 0
+                return salt_base
 
-            jax.lax.fori_loop(0, num_rb, rb_body, 0)
-            return 0
+            jax.lax.fori_loop(0, num_rb, rb_body,
+                              (epoch_i * 64 + ci) * n_shards + my)
+            if mc:
+                _exchange_color(x_out, cmeta_ref, gmeta_ref, ci, my,
+                                n_shards, rbl, ssem, rsems)
+            return epoch_i
 
         def epoch_body(i, _):
-            jax.lax.fori_loop(0, C, color_body, 0)
+            jax.lax.fori_loop(0, C, color_body, i)
             mult = (i >= burn).astype(jnp.int32)
             for k in range(kmax):
                 for s, ln in _chunks(vpr):
@@ -914,7 +1021,8 @@ def _make_kernel(plan: ItemGridPlan):
     return kernel
 
 
-def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
+def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
+                       sw_prng: bool = False):
     """Dual-chain SGD fully in-kernel (reference learning.py:46-125 with
     the batched per-color semantics of ops/gibbs._color_step_learn).
 
@@ -942,6 +1050,7 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
                x_out, xe_out, w_out,
                pack_scr, wb_scr, gv_scr, gw_scr, nw_scr, sem, wsem):
         pltpu.prng_seed(seed_ref[0])
+        uniform = _make_uniform(sw_prng, seed_ref[0])
         # chunked init (full-array copies spill registers at scale)
         CH = 4096
         for s in range(0, vpr, CH):
@@ -969,7 +1078,7 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
             pltpu.make_async_copy(wb_hbm.at[grb], wb_scr.at[slot],
                                   wsem.at[slot]).wait()
 
-        def free_color(ci, _):
+        def free_color(ci, epoch_i):
             """Inference-style color step of the free chain (burn-in),
             with live weights."""
             rb_off = cmeta_ref[ci, 0]
@@ -979,7 +1088,7 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
             d_c = cmeta_ref[ci, 4]
             start_dma(rb_off, 0)
 
-            def rb_body(rb, _):
+            def rb_body(rb, salt_base):
                 slot = rb % 2
 
                 @pl.when(rb + 1 < num_rb)
@@ -1032,18 +1141,21 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
                         pots = d_body(d, pots)
                 else:
                     pots = jax.lax.fori_loop(0, d_c, d_body, pots)
-                new = _draw(list(pots), card, kmax)
+                new = _draw(list(pots), card, kmax,
+                            uniform((salt_base * 65536 + rb) ^
+                                    0x40000000, (1, RB)))
                 row0 = row0c + rb * rbl
                 old = x_out[pl.ds(row0, rbl), :]
                 x_out[pl.ds(row0, rbl), :] = jnp.where(
                     upd.reshape(rbl, 128) == 1,
                     new.reshape(rbl, 128), old)
-                return 0
+                return salt_base
 
-            jax.lax.fori_loop(0, num_rb, rb_body, 0)
-            return 0
+            jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * 64 + ci)
+            return epoch_i
 
-        def learn_color(ci, step):
+        def learn_color(ci, carry):
+            step, epoch_i = carry
             rb_off = cmeta_ref[ci, 0]
             num_rb = cmeta_ref[ci, 1]
             row0c = cmeta_ref[ci, 2]
@@ -1053,7 +1165,7 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
             nw_scr[:] = jnp.zeros((wrows, 128), jnp.float32)
             start_dma(rb_off, 0)
 
-            def rb_body(rb, _):
+            def rb_body(rb, salt_base):
                 slot = rb % 2
 
                 @pl.when(rb + 1 < num_rb)
@@ -1134,8 +1246,11 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
                 else:
                     pots_p, pots_e = jax.lax.fori_loop(
                         0, d_c, d_pots, (zero, zero))
-                e_samp = _draw(list(pots_e), card, kmax)
-                p_samp = _draw(list(pots_p), card, kmax)
+                e_samp = _draw(list(pots_e), card, kmax,
+                               uniform((salt_base * 65536 + rb) ^
+                                       0x55555555, (1, RB)))
+                p_samp = _draw(list(pots_p), card, kmax,
+                               uniform(salt_base * 65536 + rb, (1, RB)))
 
                 row0 = row0c + rb * rbl
                 x_rows = x_out[pl.ds(row0, rbl), :].reshape(1, RB)
@@ -1200,9 +1315,9 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
                         d_grad(d, 0)
                 else:
                     jax.lax.fori_loop(0, d_c, d_grad, 0)
-                return 0
+                return salt_base
 
-            jax.lax.fori_loop(0, num_rb, rb_body, 0)
+            jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * 64 + ci)
 
             # apply the update (reference learning.py:111-125 semantics,
             # batched as in ops/gibbs._color_step_learn)
@@ -1219,14 +1334,15 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
                 l1d = lp.reg_param * step * lp.truncation
                 w_tr = jnp.where(w_new > 0, jnp.maximum(0.0, w_new - l1d),
                                  jnp.minimum(0.0, w_new + l1d))
-                u = _uniform((wrows, 128))
+                u = uniform((epoch_i * 64 + ci) ^ 0x33333333,
+                            (wrows, 128))
                 w_new = jnp.where(u < 1.0 / lp.truncation, w_tr, w_new)
             else:
                 w_new = w - step * gw
             w_out[:] = jnp.where(touched, w_new, w)
 
         def burn_body(i, _):
-            jax.lax.fori_loop(0, C, free_color, 0)
+            jax.lax.fori_loop(0, C, free_color, i)
             return 0
 
         jax.lax.fori_loop(0, burn_ref[0], burn_body, 0)
@@ -1235,11 +1351,11 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int):
             step = step0_ref[0] * jnp.exp(
                 i.astype(jnp.float32) * jnp.log(decay_ref[0]))
 
-            def cstep(ci, _):
-                learn_color(ci, step)
-                return 0
+            def cstep(ci, carry):
+                learn_color(ci, carry)
+                return carry
 
-            jax.lax.fori_loop(0, C, cstep, 0)
+            jax.lax.fori_loop(0, C, cstep, (step, i + (1 << 16)))
             return 0
 
         jax.lax.fori_loop(0, epochs_ref[0], epoch_body, 0)
@@ -1270,7 +1386,7 @@ class PallasItemGridEngine:
 
     def _build_call(self):
         plan = self.plan
-        kernel = _make_kernel(plan)
+        kernel = _make_kernel(plan, sw_prng=bool(self.interpret))
         vp, kmax = plan.vp, plan.kmax
         L = _Layout(plan.D, plan.A)
         DA = plan.D * plan.A
@@ -1317,7 +1433,8 @@ class PallasItemGridEngine:
         wrows = max(_ceil(-(-plan.n_weights // 128), 8), 8)
         if plan.n_weights > wrows * 128:
             raise ValueError("itemgrid learn: too many weights")
-        kernel = _make_learn_kernel(plan, lp, wrows)
+        kernel = _make_learn_kernel(plan, lp, wrows,
+                                    sw_prng=bool(self.interpret))
 
         in_specs = (
             [pl.BlockSpec(memory_space=pltpu.SMEM)] * 6 +  # scalars+meta
@@ -1426,6 +1543,163 @@ class PallasItemGridEngine:
         cnt = np.asarray(cnt).astype(np.int32).reshape(plan.kmax, plan.vp)
         counts = cnt[:, plan.perm].T.copy()            # (V, K)
         return x_flat, counts
+
+    def marginals(self, counts: np.ndarray, epochs: int) -> np.ndarray:
+        return counts.astype(np.float64) / float(max(epochs, 1))
+
+
+def shard_schedule(plan: ItemGridPlan, n_g: int):
+    """Split a plan into per-device packed stacks + schedules.
+
+    Each color's row blocks divide evenly over the devices (the planner
+    padded colors to n_shards*RB rows), so every device owns the same
+    number of blocks per color: cmeta_mc[d] indexes the device's own
+    packed stack; gmeta lists every device's (row base, block count)
+    per color for the receive waits of the halo exchange."""
+    C = plan.cmeta.shape[0]
+    rbl = RB // 128
+    cmeta_mc = np.zeros((n_g, C, 8), np.int32)
+    gmeta = np.zeros((C, n_g, 2), np.int32)
+    sel = [[] for _ in range(n_g)]
+    for ci in range(C):
+        rb_off, num_rb, row0r, nt, d_c = (int(x) for x in
+                                          plan.cmeta[ci, :5])
+        assert num_rb % n_g == 0, (num_rb, n_g)
+        nb = num_rb // n_g
+        for d in range(n_g):
+            local_off = len(sel[d])
+            sel[d].extend(range(rb_off + d * nb, rb_off + (d + 1) * nb))
+            cmeta_mc[d, ci] = (local_off, nb, row0r + d * nb * rbl, nt,
+                               d_c, 0, 0, 0)
+            gmeta[ci, d] = (row0r + d * nb * rbl, nb)
+    packed_mc = np.stack([plan.packed[s] for s in sel])
+    wbase_mc = np.stack([plan.wbase[s] for s in sel])
+    return packed_mc, wbase_mc, cmeta_mc, gmeta
+
+
+class MultiChipItemGridEngine:
+    """Graph-sharded itemgrid inference over a 1-D device mesh.
+
+    Each device owns an equal share of every color's row blocks; after
+    updating its blocks for a color it broadcasts them to every peer
+    over the interconnect and waits for theirs (see _exchange_color) —
+    exact synchronous chromatic Gibbs at any device count, with the
+    fused kernel's epoch loop (and the exchange) entirely on-device.
+    Scales compute and item-table HBM over devices; the value array is
+    replicated in each device's VMEM (capacity scaling beyond VMEM is
+    the HBM-resident engine's job).
+
+    Reference analog: the salt master/minion per-epoch variable shipping
+    (salt/src/messages.py:1253-1319), made per-color, on-chip, and
+    exact. Raises ValueError when the graph is outside the kernel
+    envelope.
+    """
+
+    def __init__(self, cg: CompiledGraph, devices=None,
+                 sample_evidence: bool = True, interpret: bool = False):
+        devices = list(devices if devices is not None else jax.devices())
+        self.n_g = len(devices)
+        plan, reason = plan_item_grid(cg, sample_evidence,
+                                      n_shards=self.n_g)
+        if plan is None:
+            raise ValueError("itemgrid kernel unsupported: " + reason)
+        self.cg = cg
+        self.plan = plan
+        self.interpret = interpret
+        self.mesh = jax.sharding.Mesh(np.asarray(devices), ("graph",))
+        self._weights_for = None
+        self._call = None
+
+    def _build_call(self):
+        plan = self.plan
+        n_g = self.n_g
+        kernel = _make_kernel(plan, sw_prng=bool(self.interpret),
+                              n_shards=n_g)
+        L = _Layout(plan.D, plan.A)
+        DA = plan.D * plan.A
+        vp, kmax = plan.vp, plan.kmax
+
+        in_specs = (
+            [pl.BlockSpec(memory_space=pltpu.SMEM)] * 6 +  # scalars+meta
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 +  # x, tally
+            [pl.BlockSpec(memory_space=pltpu.ANY)] * 2     # packed, wbase
+        )
+        out_specs = (pl.BlockSpec(memory_space=pltpu.VMEM),
+                     pl.BlockSpec(memory_space=pltpu.VMEM))
+        scratch = [pltpu.VMEM((2, L.rows, RB), jnp.int32),
+                   pltpu.SMEM((2, _ceil(DA, 128)), jnp.int32),
+                   pltpu.VMEM((max(plan.A, 1), RB), jnp.int32),
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA(()),       # send sem
+                   pltpu.SemaphoreType.DMA((n_g,))]   # per-peer recv
+
+        def dev_fn(seed, burn, epochs, cmeta_d, gmeta, x0, tally,
+                   packed_d, wbase_d):
+            myid = jax.lax.axis_index("graph").astype(jnp.int32).reshape(
+                (1,))
+            return pl.pallas_call(
+                kernel,
+                out_shape=(
+                    jax.ShapeDtypeStruct((vp // 128, 128), jnp.int32),
+                    jax.ShapeDtypeStruct((kmax * vp // 128, 128),
+                                         jnp.int16)),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+                compiler_params=pltpu.CompilerParams(
+                    has_side_effects=True, collective_id=13,
+                    vmem_limit_bytes=127 * 1024 * 1024),
+                input_output_aliases={6: 0},   # x0 buffer IS x_out
+                interpret=(pltpu.InterpretParams()
+                           if self.interpret else False),
+            )(seed, burn, epochs, myid, cmeta_d[0], gmeta, x0, tally,
+              packed_d[0], wbase_d[0])
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        G = "graph"
+        sm = shard_map(
+            dev_fn, mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(G), P(), P(), P(), P(G), P(G)),
+            out_specs=(P(), P()), check_vma=False)
+        return jax.jit(sm)
+
+    def _ensure_packs(self, wv: np.ndarray):
+        wkey = wv.tobytes()
+        if self._weights_for != wkey:
+            fill_weights(self.plan, wv)
+            packed_mc, wbase_mc, cmeta_mc, gmeta = shard_schedule(
+                self.plan, self.n_g)
+            self._packs = (jnp.asarray(packed_mc), jnp.asarray(wbase_mc))
+            self._cmeta_mc = jnp.asarray(cmeta_mc)
+            self._gmeta = jnp.asarray(gmeta)
+            self._weights_for = wkey
+
+    def run(self, seed: int, burn: int, epochs: int,
+            weight_value=None, x0=None):
+        """Run burn + epochs sharded sweeps; returns (values (V,),
+        counts (V, K)) in ORIGINAL variable order."""
+        assert epochs <= 30000
+        plan = self.plan
+        wv = np.asarray(self.cg.weight_init if weight_value is None
+                        else weight_value, np.float32)
+        self._ensure_packs(wv)
+        if self._call is None:
+            self._call = self._build_call()
+        init = plan.init_new.copy()
+        if x0 is not None:
+            init[plan.perm] = np.asarray(x0, np.int32)
+        x2d = jnp.asarray(init.reshape(plan.vp // 128, 128))
+        t2d = jnp.asarray(plan.tally_new.reshape(plan.vp // 128, 128)
+                          .astype(np.int8))
+        x_out, cnt = self._call(
+            jnp.asarray([seed], jnp.int32), jnp.asarray([burn], jnp.int32),
+            jnp.asarray([epochs], jnp.int32), self._cmeta_mc, self._gmeta,
+            x2d, t2d, *self._packs)
+        x_flat = np.asarray(x_out).reshape(-1)[plan.perm]
+        cnt = np.asarray(cnt).astype(np.int32).reshape(plan.kmax, plan.vp)
+        return x_flat, cnt[:, plan.perm].T.copy()
 
     def marginals(self, counts: np.ndarray, epochs: int) -> np.ndarray:
         return counts.astype(np.float64) / float(max(epochs, 1))

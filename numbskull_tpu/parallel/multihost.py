@@ -32,8 +32,13 @@ from numbskull_tpu.parallel.mesh import make_mesh
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
-    """Initialize jax.distributed; all-None uses TPU pod env discovery."""
-    if jax.process_count() > 1:
+    """Initialize jax.distributed; all-None uses TPU pod env discovery.
+
+    Must run before anything touches the XLA backend (so this function
+    checks the distributed client directly rather than calling
+    jax.process_count, which would initialise it)."""
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
     kwargs = {}
     if coordinator_address is not None:

@@ -555,3 +555,37 @@ def test_loop_stats_eval_matches_unrolled():
     got = np.asarray(finalize(present, ftype, sts[0]))
     assert np.allclose(got, want, atol=1e-5), \
         np.argwhere(~np.isclose(got, want, atol=1e-5))
+
+
+def test_itemgrid_interpret_coin_exact_marginals():
+    """Full kernel in interpret mode (software counter-hash PRNG) on
+    CPU: marginals match the closed-form coin joint. This is the
+    non-hardware-gated end-to-end kernel test."""
+    from numbskull_tpu.models import coin_exact_marginal, coin_model
+    from numbskull_tpu.ops.itemgrid_pallas import PallasItemGridEngine
+
+    a, b, c = 0.3, -0.2, 0.4
+    w, v, f, fm, dm, e = coin_model(50, a, b, c, evidence=False,
+                                    weight_init=(a, b, c), fixed=True)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm)
+    eng = PallasItemGridEngine(cg, interpret=True)
+    x, cnt = eng.run(seed=0, burn=50, epochs=1500)
+    m = cnt / 1500
+    ex = coin_exact_marginal(a, b, c)
+    assert m[0::2, 1].mean() == pytest.approx(ex[2] + ex[3], abs=0.03)
+    assert m[1::2, 1].mean() == pytest.approx(ex[1] + ex[3], abs=0.03)
+
+
+def test_itemgrid_interpret_learning_recovers_direction():
+    from numbskull_tpu.models import coin_model
+    from numbskull_tpu.ops.gibbs import LearnParams
+    from numbskull_tpu.ops.itemgrid_pallas import PallasItemGridEngine
+
+    w, v, f, fm, dm, e = coin_model(300, 0.8, -0.5, 0.4, evidence=True,
+                                    weight_init=(0, 0, 0), fixed=False,
+                                    seed=3)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm)
+    eng = PallasItemGridEngine(cg, interpret=True)
+    wv = eng.learn(seed=0, burn=5, epochs=60, stepsize=0.1, decay=0.99,
+                   lp=LearnParams(regularization=2, reg_param=1e-4))
+    assert wv[0] > 0.3 and wv[1] < -0.15 and wv[2] > 0.1
