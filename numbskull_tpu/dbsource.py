@@ -87,10 +87,19 @@ def _columns(cur, table: str):
 
 
 def _split_pt(keys):
-    """partition_key strings → (class char array, ufo bool array)."""
+    """partition_key strings → (class char array, ufo bool array,
+    partition-id int array; -1 when the key carries no digits).
+
+    Key grammar (reference): class char, optional 'u' (UFO-eligible),
+    optional trailing digits = partition id."""
     pt = np.array([(k or " ")[0] for k in keys], dtype="U1")
     ufo = np.array([len(k or "") > 1 and k[1] == "u" for k in keys], bool)
-    return pt, ufo
+    pid = np.full(len(keys), -1, np.int64)
+    for i, k in enumerate(keys):
+        digits = "".join(ch for ch in (k or "") if ch.isdigit())
+        if digits:
+            pid[i] = int(digits)
+    return pt, ufo, pid
 
 
 def partition_filter(role: str, partition_id: int | None = None) -> str:
@@ -147,9 +156,10 @@ def get_variables(cur, views, sql_filter: str = "1=1"):
         variable[i]["dataType"] = int(dtype)
         variable[i]["cardinality"] = int(card)
         keys.append(pk)
-    var_pt, var_ufo = _split_pt(keys)
+    var_pt, var_ufo, var_pid = _split_pt(keys)
     perm = vid.argsort()
-    return vid[perm], variable[perm], var_pt[perm], var_ufo[perm]
+    return (vid[perm], variable[perm], var_pt[perm], var_ufo[perm],
+            var_pid[perm])
 
 
 def get_factors(cur, views, sql_filter: str = "1=1"):
@@ -195,11 +205,12 @@ def get_factors(cur, views, sql_filter: str = "1=1"):
             fmap[off + j]["vid"] = gv
             fmap[off + j]["dense_equal_to"] = 0
         off += arity
-    factor_pt, factor_ufo = _split_pt(pts)
-    return fid, factor, factor_pt, factor_ufo, fmap
+    factor_pt, factor_ufo, factor_pid = _split_pt(pts)
+    return fid, factor, factor_pt, factor_ufo, factor_pid, fmap
 
 
-def get_fg_data(cur, sql_filter: str = "1=1", is_master: bool = True):
+def get_fg_data(cur, sql_filter: str = "1=1", is_master: bool = True,
+                mark_roles: bool = True):
     """Load a (partition of a) factor graph from the database.
 
     Returns ``(weight, variable, factor, fmap, domain_mask, edges, meta)``
@@ -211,9 +222,9 @@ def get_fg_data(cur, sql_filter: str = "1=1", is_master: bool = True):
     """
     factor_views, variable_views, weight_views = get_views(cur)
     weight = get_weights(cur, weight_views)          # weights replicate
-    vid, variable, var_pt, var_ufo = get_variables(cur, variable_views,
-                                                   sql_filter)
-    fid, factor, factor_pt, factor_ufo, fmap = get_factors(
+    (vid, variable, var_pt, var_ufo, var_pid) = get_variables(
+        cur, variable_views, sql_filter)
+    (fid, factor, factor_pt, factor_ufo, factor_pid, fmap) = get_factors(
         cur, factor_views, sql_filter)
 
     # global -> local vid remap via the sorted vid array
@@ -224,14 +235,16 @@ def get_fg_data(cur, sql_filter: str = "1=1", is_master: bool = True):
     fmap = fmap.copy()
     fmap["vid"] = local
 
-    not_owned = "D" if is_master else "B"
-    variable = variable.copy()
-    variable["isEvidence"] = np.where(
-        var_pt == not_owned, np.int8(4), variable["isEvidence"])
+    if mark_roles:
+        not_owned = "D" if is_master else "B"
+        variable = variable.copy()
+        variable["isEvidence"] = np.where(
+            var_pt == not_owned, np.int8(4), variable["isEvidence"])
 
     domain_mask = np.zeros(len(variable), bool)
     meta = dict(vid=vid, fid=fid, var_pt=var_pt, var_ufo=var_ufo,
-                factor_pt=factor_pt, factor_ufo=factor_ufo)
+                var_pid=var_pid, factor_pt=factor_pt,
+                factor_ufo=factor_ufo, factor_pid=factor_pid)
     return weight, variable, factor, fmap, domain_mask, len(fmap), meta
 
 
@@ -285,3 +298,63 @@ def write_graph_to_db(cur, app: str, weights, variables, factors, fmap,
                 "INSERT INTO %s VALUES (%s)" % (tbl, ph),
                 (*vids, int(factors[i]["weightId"]),
                  float(factors[i]["featureValue"]), factor_keys[i], i))
+
+
+# --- DB partition metadata -> distributed engine -----------------------------
+
+def partition_from_keys(var_pt: np.ndarray,
+                        var_pid: np.ndarray) -> np.ndarray:
+    """Variable partition from partition keys: master-class keys (A/B/H)
+    map to part 0, minion-class keys (C/D/E/F/G) to part pid+1 — the
+    reference's ownership convention (numbskull_master.py:329-343,
+    numbskull_minion.py:167-185) expressed as a part vector."""
+    master = np.isin(var_pt, ("A", "B", "H"))
+    pid = np.where(var_pid < 0, 0, var_pid)
+    raw = np.where(master, 0, pid + 1).astype(np.int64)
+    # densify: minion pids need not be contiguous (master stays first)
+    _, dense = np.unique(raw, return_inverse=True)
+    return dense.astype(np.int64)
+
+
+def bsp_from_db(cur, mode: str | None = None, itemgrid: bool = False,
+                seed: int = 0, interpret: bool = False):
+    """Load a FULL keyed graph and build a partitioned BSP engine from
+    its partition metadata — the reference's DB -> partition ->
+    distributed-engine path (numbskull_master.py:327-346 load_all_fg)
+    without Postgres-specific plumbing.
+
+    ``mode=None`` picks automatically from the UFO flags: when every
+    straddling factor is marked UFO-eligible, boundary traffic uses
+    per-value potential messages (the UFO/PF generalization); otherwise
+    ghost values ship (the reference's default exchange).
+
+    Returns (engine, part, meta). ``itemgrid=True`` builds
+    BSPItemGridInference (fused kernels per part) instead of the XLA
+    BSPEngine.
+    """
+    from numbskull_tpu.parallel.bsp import (
+        BSPEngine, BSPItemGridInference, factor_owner,
+    )
+
+    # full-graph load, no role marking (ownership comes from part)
+    (weight, variable, factor, fmap, domain_mask, edges,
+     meta) = get_fg_data(cur, "1=1", mark_roles=False)
+    part = partition_from_keys(meta["var_pt"], meta["var_pid"])
+    if mode is None:
+        owner = factor_owner(factor, fmap, part)
+        fvid = fmap["vid"].astype(np.int64)
+        arity = factor["arity"].astype(np.int64)
+        edge_fid = np.repeat(np.arange(len(factor)), arity)
+        straddles = np.zeros(len(factor), bool)
+        np.logical_or.at(straddles, edge_fid,
+                         part[fvid] != owner[edge_fid])
+        ufo_ok = meta["factor_ufo"] | ~straddles
+        mode = "messages" if ufo_ok.all() else "values"
+    if itemgrid:
+        eng = BSPItemGridInference(weight, variable, factor, fmap, part,
+                                   mode=mode, domain_mask=domain_mask,
+                                   seed=seed, interpret=interpret)
+    else:
+        eng = BSPEngine(weight, variable, factor, fmap, part, mode=mode,
+                        domain_mask=domain_mask, seed=seed)
+    return eng, part, meta

@@ -860,7 +860,7 @@ def _exchange_color(x_out, cmeta_ref, gmeta_ref, ci, my, n_g, rbl,
 
 
 def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
-                 n_shards: int = 1):
+                 n_shards: int = 1, has_ext: bool = False):
     vp = plan.vp
     kmax = plan.kmax
     vpr = vp // 128
@@ -881,17 +881,25 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
     mc = n_shards > 1
 
     def kernel(*refs):
+        refs = list(refs)
         if mc:
             (seed_ref, burn_ref, epochs_ref, myid_ref, cmeta_ref,
-             gmeta_ref, x_in, tally_in, pack_hbm, wb_hbm, x_out,
-             count_out, pack_scr, wb_scr, av_scr, sem, wsem, ssem,
-             rsems) = refs
+             gmeta_ref) = refs[:6]
+            refs = refs[6:]
             my = myid_ref[0]
         else:
-            (seed_ref, burn_ref, epochs_ref, cmeta_ref, x_in, tally_in,
-             pack_hbm, wb_hbm, x_out, count_out,
-             pack_scr, wb_scr, av_scr, sem, wsem) = refs
+            seed_ref, burn_ref, epochs_ref, cmeta_ref = refs[:4]
+            refs = refs[4:]
             my = 0
+        x_in, tally_in = refs[:2]
+        refs = refs[2:]
+        ext_in = None
+        if has_ext:
+            ext_in = refs.pop(0)   # (kmax*vpr, 128) f32 potentials
+        (pack_hbm, wb_hbm, x_out, count_out,
+         pack_scr, wb_scr, av_scr, sem, wsem) = refs[:9]
+        if mc:
+            ssem, rsems = refs[9:11]
         pltpu.prng_seed(seed_ref[0] + my)
         uniform = _make_uniform(sw_prng, seed_ref[0] * 977 + my)
         # chunked init + tally: full-(vp)-array ops stage through vector
@@ -986,9 +994,16 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
                         pots = d_body(d, pots)
                 else:
                     pots = jax.lax.fori_loop(0, d_c, d_body, pots)
+                row0 = row0c + rb * rbl
+                if has_ext:
+                    # external per-(row, value) potentials: incoming
+                    # boundary messages in partitioned execution
+                    pots = tuple(
+                        pots[k] + ext_in[pl.ds(k * vpr + row0, rbl),
+                                         :].reshape(1, RB)
+                        for k in range(kmax))
                 new = _draw(list(pots), card, kmax,
                             uniform(salt_base * 65536 + rb, (1, RB)))
-                row0 = row0c + rb * rbl
                 old = x_out[pl.ds(row0, rbl), :]
                 x_out[pl.ds(row0, rbl), :] = jnp.where(
                     upd.reshape(rbl, 128) == 1,
@@ -1022,7 +1037,7 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
 
 
 def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
-                       sw_prng: bool = False):
+                       sw_prng: bool = False, has_ext: bool = False):
     """Dual-chain SGD fully in-kernel (reference learning.py:46-125 with
     the batched per-color semantics of ops/gibbs._color_step_learn).
 
@@ -1045,10 +1060,17 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
     unroll_d = plan.D <= 8
     unroll_a = plan.A <= 8          # high arity -> stats loops
 
-    def kernel(seed_ref, burn_ref, epochs_ref, step0_ref, decay_ref,
-               cmeta_ref, x_in, w_in, wfix, pack_hbm, wb_hbm,
-               x_out, xe_out, w_out,
-               pack_scr, wb_scr, gv_scr, gw_scr, nw_scr, sem, wsem):
+    def kernel(*refs):
+        refs = list(refs)
+        (seed_ref, burn_ref, epochs_ref, step0_ref, decay_ref,
+         cmeta_ref, x_in, xe_in, w_in, wfix) = refs[:10]
+        refs = refs[10:]
+        ext_p_in = ext_e_in = None
+        if has_ext:
+            ext_p_in = refs.pop(0)
+            ext_e_in = refs.pop(0)
+        (pack_hbm, wb_hbm, x_out, xe_out, w_out,
+         pack_scr, wb_scr, gv_scr, gw_scr, nw_scr, sem, wsem) = refs
         pltpu.prng_seed(seed_ref[0])
         uniform = _make_uniform(sw_prng, seed_ref[0])
         # chunked init (full-array copies spill registers at scale)
@@ -1056,7 +1078,7 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
         for s in range(0, vpr, CH):
             ln = min(CH, vpr - s)
             x_out[pl.ds(s, ln), :] = x_in[pl.ds(s, ln), :]
-            xe_out[pl.ds(s, ln), :] = x_in[pl.ds(s, ln), :]
+            xe_out[pl.ds(s, ln), :] = xe_in[pl.ds(s, ln), :]
         w_out[:] = w_in[:]
 
         sub_iota = jax.lax.broadcasted_iota(jnp.int32, (trw, RB), 0)
@@ -1141,10 +1163,15 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
                         pots = d_body(d, pots)
                 else:
                     pots = jax.lax.fori_loop(0, d_c, d_body, pots)
+                row0 = row0c + rb * rbl
+                if has_ext:
+                    pots = tuple(
+                        pots[k] + ext_p_in[pl.ds(k * vpr + row0, rbl),
+                                           :].reshape(1, RB)
+                        for k in range(kmax))
                 new = _draw(list(pots), card, kmax,
                             uniform((salt_base * 65536 + rb) ^
                                     0x40000000, (1, RB)))
-                row0 = row0c + rb * rbl
                 old = x_out[pl.ds(row0, rbl), :]
                 x_out[pl.ds(row0, rbl), :] = jnp.where(
                     upd.reshape(rbl, 128) == 1,
@@ -1246,6 +1273,16 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
                 else:
                     pots_p, pots_e = jax.lax.fori_loop(
                         0, d_c, d_pots, (zero, zero))
+                if has_ext:
+                    r0x = row0c + rb * rbl
+                    pots_p = tuple(
+                        pots_p[k] + ext_p_in[pl.ds(k * vpr + r0x, rbl),
+                                             :].reshape(1, RB)
+                        for k in range(kmax))
+                    pots_e = tuple(
+                        pots_e[k] + ext_e_in[pl.ds(k * vpr + r0x, rbl),
+                                             :].reshape(1, RB)
+                        for k in range(kmax))
                 e_samp = _draw(list(pots_e), card, kmax,
                                uniform((salt_base * 65536 + rb) ^
                                        0x55555555, (1, RB)))
@@ -1383,17 +1420,20 @@ class PallasItemGridEngine:
         self.interpret = interpret
         self._weights_for = None
         self._call = None
+        self._call_ext = None
 
-    def _build_call(self):
+    def _build_call(self, has_ext: bool = False):
         plan = self.plan
-        kernel = _make_kernel(plan, sw_prng=bool(self.interpret))
+        kernel = _make_kernel(plan, sw_prng=bool(self.interpret),
+                              has_ext=has_ext)
         vp, kmax = plan.vp, plan.kmax
         L = _Layout(plan.D, plan.A)
         DA = plan.D * plan.A
 
         in_specs = (
             [pl.BlockSpec(memory_space=pltpu.SMEM)] * 4 +  # seed/b/e/meta
-            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 +  # x, tally
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] *
+            (3 if has_ext else 2) +                        # x, tally[, ext]
             [pl.BlockSpec(memory_space=pltpu.ANY)] * 2     # packed, wbase
         )
         out_specs = (pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1405,7 +1445,12 @@ class PallasItemGridEngine:
                    pltpu.SemaphoreType.DMA((2,))]
 
         @jax.jit
-        def call(seed, burn, epochs, cmeta, x0, tally, packed, wbase):
+        def call(seed, burn, epochs, cmeta, x0, tally, packed, wbase,
+                 ext=None):
+            args = [seed, burn, epochs, cmeta, x0, tally]
+            if has_ext:
+                args.append(ext)
+            args += [packed, wbase]
             return pl.pallas_call(
                 kernel,
                 out_shape=(
@@ -1421,24 +1466,27 @@ class PallasItemGridEngine:
                 input_output_aliases={4: 0},   # x0 buffer IS x_out
                 interpret=(pltpu.InterpretParams()
                            if self.interpret else False),
-            )(seed, burn, epochs, cmeta, x0, tally, packed, wbase)
+            )(*args)
 
         return call
 
-    def _build_learn_call(self, lp):
+    def _build_learn_call(self, lp, has_ext: bool = False):
         plan = self.plan
         vp = plan.vp
+        kmax = plan.kmax
         L = _Layout(plan.D, plan.A)
         DA = plan.D * plan.A
         wrows = max(_ceil(-(-plan.n_weights // 128), 8), 8)
         if plan.n_weights > wrows * 128:
             raise ValueError("itemgrid learn: too many weights")
         kernel = _make_learn_kernel(plan, lp, wrows,
-                                    sw_prng=bool(self.interpret))
+                                    sw_prng=bool(self.interpret),
+                                    has_ext=has_ext)
 
         in_specs = (
             [pl.BlockSpec(memory_space=pltpu.SMEM)] * 6 +  # scalars+meta
-            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3 +  # x0,w0,wfix
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] *
+            (6 if has_ext else 4) +              # x0,xe0,w0,wfix[,extp,exte]
             [pl.BlockSpec(memory_space=pltpu.ANY)] * 2     # packed, wbase
         )
         out_specs = tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1451,8 +1499,13 @@ class PallasItemGridEngine:
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA((2,))]
 
-        def call(seed, burn, epochs, step0, decay, cmeta, x0, w0, wfix,
-                 packed, wbase):
+        def call(seed, burn, epochs, step0, decay, cmeta, x0, xe0, w0,
+                 wfix, packed, wbase, ext_p=None, ext_e=None):
+            args = [seed, burn, epochs, step0, decay, cmeta, x0, xe0,
+                    w0, wfix]
+            if has_ext:
+                args += [ext_p, ext_e]
+            args += [packed, wbase]
             return pl.pallas_call(
                 kernel,
                 out_shape=(
@@ -1465,11 +1518,10 @@ class PallasItemGridEngine:
                 compiler_params=pltpu.CompilerParams(
                     has_side_effects=True,
                     vmem_limit_bytes=127 * 1024 * 1024),
-                input_output_aliases={6: 0},   # x0 buffer IS x_out
+                input_output_aliases={6: 0, 7: 1},  # chains alias outputs
                 interpret=(pltpu.InterpretParams()
                            if self.interpret else False),
-            )(seed, burn, epochs, step0, decay, cmeta, x0, w0, wfix,
-              packed, wbase)
+            )(*args)
 
         return jax.jit(call), wrows
 
@@ -1483,8 +1535,17 @@ class PallasItemGridEngine:
             self._weights_for = wkey
 
     def learn(self, seed: int, burn: int, epochs: int, stepsize: float,
-              decay: float = 1.0, lp=None, weight_value=None):
-        """In-kernel dual-chain SGD; returns learned weights (W,) f32.
+              decay: float = 1.0, lp=None, weight_value=None,
+              x0=None, xe0=None, ext_pot=None, ext_pot_evid=None,
+              return_state: bool = False):
+        """In-kernel dual-chain SGD; returns learned weights (W,) f32,
+        or (weights, x, xe) when ``return_state`` (both chains in
+        ORIGINAL variable order — chunked/partitioned runs pass them
+        back via x0/xe0 to continue the chains).
+
+        ``ext_pot``/``ext_pot_evid``: optional (V, K) external per-value
+        potentials for the free/clamped chain (incoming boundary
+        messages in partitioned execution).
 
         Matches ops/gibbs.GibbsEngine.learn semantics; the plan must be
         built with sample_evidence=True (constructor default) so the
@@ -1496,29 +1557,57 @@ class PallasItemGridEngine:
         wv = np.asarray(self.cg.weight_init if weight_value is None
                         else weight_value, np.float32)
         self._ensure_packs(wv)
-        key = (lp,)
+        has_ext = ext_pot is not None
+        key = (lp, has_ext)
         if getattr(self, "_learn_for", None) != key:
-            self._learn_call, self._wrows = self._build_learn_call(lp)
+            self._learn_call, self._wrows = self._build_learn_call(
+                lp, has_ext)
             self._learn_for = key
         w0 = np.zeros((self._wrows, 128), np.float32)
         w0.reshape(-1)[:len(wv)] = wv
         wfix = np.zeros((self._wrows, 128), np.int32)
         wfix.reshape(-1)[:len(wv)] = np.asarray(self.cg.weight_fixed,
                                                 np.int32)
-        x2d = jnp.asarray(plan.init_new.reshape(plan.vp // 128, 128))
-        x_out, xe_out, w_out = self._learn_call(
-            jnp.asarray([seed], jnp.int32), jnp.asarray([burn], jnp.int32),
-            jnp.asarray([epochs], jnp.int32),
-            jnp.asarray([stepsize], jnp.float32),
-            jnp.asarray([decay], jnp.float32),
-            self._cmeta, x2d, jnp.asarray(w0), jnp.asarray(wfix),
-            *self._packs)
-        return np.asarray(w_out).reshape(-1)[:plan.n_weights]
+
+        def chain2d(vals):
+            init = plan.init_new.copy()
+            if vals is not None:
+                init[plan.perm] = np.asarray(vals, np.int32)
+            return jnp.asarray(init.reshape(plan.vp // 128, 128))
+
+        args = [jnp.asarray([seed], jnp.int32),
+                jnp.asarray([burn], jnp.int32),
+                jnp.asarray([epochs], jnp.int32),
+                jnp.asarray([stepsize], jnp.float32),
+                jnp.asarray([decay], jnp.float32),
+                self._cmeta, chain2d(x0), chain2d(xe0),
+                jnp.asarray(w0), jnp.asarray(wfix), *self._packs]
+        if has_ext:
+            def ext2d(ep):
+                ext = np.zeros((plan.kmax, plan.vp), np.float32)
+                if ep is not None:
+                    ep = np.asarray(ep, np.float32)
+                    K = min(plan.kmax, ep.shape[1])
+                    ext[:K, plan.perm] = ep[:, :K].T
+                return jnp.asarray(
+                    ext.reshape(plan.kmax * plan.vp // 128, 128))
+            args += [ext2d(ext_pot), ext2d(ext_pot_evid)]
+        x_out, xe_out, w_out = self._learn_call(*args)
+        w = np.asarray(w_out).reshape(-1)[:plan.n_weights]
+        if not return_state:
+            return w
+        x = np.asarray(x_out).reshape(-1)[plan.perm]
+        xe = np.asarray(xe_out).reshape(-1)[plan.perm]
+        return w, x, xe
 
     def run(self, seed: int, burn: int, epochs: int,
-            weight_value=None, x0=None):
+            weight_value=None, x0=None, ext_pot=None):
         """Run burn + epochs sweeps; returns (values (V,), counts (V, K))
-        in ORIGINAL variable order."""
+        in ORIGINAL variable order.
+
+        ``ext_pot``: optional (V, K) external per-value potentials added
+        to every variable's conditional — the receiver side of boundary
+        potential messages in partitioned execution."""
         assert epochs <= 30000, \
             "int16 in-kernel tallies cap one run at 30000 epochs; " \
             "chain multiple runs (x0=previous values) for more"
@@ -1526,8 +1615,10 @@ class PallasItemGridEngine:
         wv = np.asarray(self.cg.weight_init if weight_value is None
                         else weight_value, np.float32)
         self._ensure_packs(wv)
-        if self._call is None:
-            self._call = self._build_call()
+        has_ext = ext_pot is not None
+        if self._call is None or self._call_ext != has_ext:
+            self._call = self._build_call(has_ext)
+            self._call_ext = has_ext
 
         init = plan.init_new.copy()
         if x0 is not None:
@@ -1535,10 +1626,18 @@ class PallasItemGridEngine:
         x2d = jnp.asarray(init.reshape(plan.vp // 128, 128))
         t2d = jnp.asarray(plan.tally_new.reshape(plan.vp // 128, 128)
                           .astype(np.int8))
+        kw = {}
+        if has_ext:
+            ext = np.zeros((plan.kmax, plan.vp), np.float32)
+            ep = np.asarray(ext_pot, np.float32)
+            K = min(plan.kmax, ep.shape[1])
+            ext[:K, plan.perm] = ep[:, :K].T
+            kw["ext"] = jnp.asarray(
+                ext.reshape(plan.kmax * plan.vp // 128, 128))
         x_out, cnt = self._call(
             jnp.asarray([seed], jnp.int32), jnp.asarray([burn], jnp.int32),
             jnp.asarray([epochs], jnp.int32), self._cmeta, x2d, t2d,
-            *self._packs)
+            *self._packs, **kw)
         x_flat = np.asarray(x_out).reshape(-1)[plan.perm]
         cnt = np.asarray(cnt).astype(np.int32).reshape(plan.kmax, plan.vp)
         counts = cnt[:, plan.perm].T.copy()            # (V, K)

@@ -370,18 +370,30 @@ class BSPEngine:
 
 
 class BSPItemGridInference:
-    """Bulk-synchronous partitioned inference with Pallas itemgrid local
-    engines: the reference's cluster semantics (stale halos, per-sync
-    value exchange) at fused-kernel speed. TPU-only (hardware PRNG);
-    values mode only (straddling factors replicated on every part that
-    owns one of their variables). Host arrays mediate the exchange — on
-    a real deployment each part is one host and the exchange is the DCN
-    hop."""
+    """Bulk-synchronous partitioned inference AND learning with Pallas
+    itemgrid local engines: the reference's cluster semantics (stale
+    halos, per-sync exchange) at fused-kernel speed. Host arrays mediate
+    the exchange — on a real deployment each part is one host and the
+    exchange is the DCN hop.
+
+    Modes (as BSPEngine):
+    - ``values``: straddling factors replicated on every part touching
+      them; ghost values refresh at syncs. Inference only (a replicated
+      factor would double-count gradients).
+    - ``messages``: every factor lives on its owner part; parts receive
+      per-value boundary potential messages instead (the UFO/PF
+      generalization), fed to the kernel as external potentials.
+      Supports learning — each factor's gradient is counted exactly
+      once.
+    """
 
     def __init__(self, weights, variables, factors, fmap,
-                 part: np.ndarray, domain_mask=None, seed: int = 0):
+                 part: np.ndarray, mode: str = "values",
+                 domain_mask=None, seed: int = 0, interpret: bool = False):
         from numbskull_tpu.ops.itemgrid_pallas import PallasItemGridEngine
 
+        assert mode in ("values", "messages")
+        self.mode = mode
         part = np.asarray(part, np.int64)
         self.part = part
         self.n_parts = int(part.max()) + 1 if len(part) else 1
@@ -392,50 +404,126 @@ class BSPItemGridInference:
         fvid = fmap["vid"].astype(np.int64)
         edge_fid = np.repeat(np.arange(F, dtype=np.int64), arity)
         edge_part = part[fvid]
+        owner = factor_owner(factors, fmap, part)
 
         self.engines = []
         self.owned = []
+        self.msg_plans = []
         init = variables["initialValue"].astype(np.int64)
         self._values = init.copy()
+        self._values_evid = init.copy()
+        self._weights = np.asarray(weights["initialValue"], np.float32)
         for p in range(self.n_parts):
             owned_vars = part == p
             self.owned.append(owned_vars)
-            touches = np.zeros(F, bool)
-            np.logical_or.at(touches, edge_fid, edge_part == p)
-            skip = np.flatnonzero(~touches).astype(np.int64)
+            if mode == "values":
+                touches = np.zeros(F, bool)
+                np.logical_or.at(touches, edge_fid, edge_part == p)
+                skip = np.flatnonzero(~touches).astype(np.int64)
+            else:
+                skip = np.flatnonzero(owner != p).astype(np.int64)
             v = variables.copy()
             v["isEvidence"] = np.where(owned_vars, variables["isEvidence"],
                                        np.int8(4))
             cg = compile_graph(weights, v, factors, fmap,
                                factors_to_skip=skip,
                                domain_mask=domain_mask, seed=seed)
-            self.engines.append(PallasItemGridEngine(cg))
+            self.engines.append(PallasItemGridEngine(
+                cg, interpret=interpret))
+            if mode == "messages":
+                owned_fids = np.flatnonzero(owner == p).astype(np.int64)
+                self.msg_plans.append(_build_message_plan(
+                    variables, factors, fmap, owned_fids,
+                    target_mask=~owned_vars, n_vars=self.n_vars))
+            else:
+                self.msg_plans.append(None)
         self.kmax = max(e.plan.kmax for e in self.engines)
         self._counts = np.zeros((self.n_vars, self.kmax), np.int64)
 
+    def _messages(self, values: np.ndarray):
+        """(V, K) summed incoming boundary potential messages computed
+        from a global chain snapshot; None in values mode."""
+        if self.mode != "messages":
+            return None
+        ext = np.zeros((self.n_vars, self.kmax), np.float32)
+        vv = jnp.asarray(values.astype(np.int32))
+        wv = jnp.asarray(self._weights)
+        for mp in self.msg_plans:
+            if mp is None:
+                continue
+            m = np.asarray(color_potentials(mp.pd, self.kmax, mp.present,
+                                            vv, wv))
+            tgt = np.asarray(mp.scatter_vid)
+            keep = tgt < self.n_vars
+            np.add.at(ext, tgt[keep], m[:len(tgt)][keep])
+        return ext
+
     def inference(self, seed: int, epochs: int, burn: int = 0,
                   sync_every: int = 1):
-        """Burn-in then tallying epochs; owned values exchange at every
-        sync (reference numbskull_master.py:151-227 semantics)."""
+        """Burn-in then tallying epochs; owned values (and messages in
+        messages mode) exchange at every sync (reference
+        numbskull_master.py:151-227 semantics)."""
         step = 0
         for phase, n in (("burn", burn), ("epoch", epochs)):
             done = 0
             while done < n:
                 k = min(sync_every, n - done)
+                ext = self._messages(self._values)
+                new_vals = self._values.copy()
                 for p, eng in enumerate(self.engines):
                     vals, counts = eng.run(
                         seed + 7919 * step + p,
                         burn=k if phase == "burn" else 0,
                         epochs=0 if phase == "burn" else k,
-                        x0=self._values)
+                        x0=self._values,
+                        weight_value=self._weights,
+                        ext_pot=ext)
                     own = self.owned[p]
-                    self._values[own] = vals[own]
+                    new_vals[own] = vals[own]
                     if phase == "epoch":
                         K = counts.shape[1]
                         self._counts[own, :K] += counts[own, :K]
+                self._values = new_vals
                 done += k
                 step += 1
         return self._values
+
+    def learn(self, seed: int, epochs: int, stepsize: float,
+              decay: float = 1.0, burn: int = 0, lp=None):
+        """Distributed in-kernel SGD (messages mode): per-sync local
+        epoch with boundary messages for both chains, weight deltas
+        summed across parts and re-broadcast (the reference's
+        parameter-server reduction, numbskull_master.py:223-224).
+        Returns the learned weights."""
+        assert self.mode == "messages", \
+            "BSP itemgrid learning requires messages mode (a values-" \
+            "mode replicated factor would double-count gradients)"
+        if burn:
+            self.inference(seed ^ 0x5EED, epochs=0, burn=burn)
+            self._values_evid = self._values.copy()
+        for e in range(epochs):
+            ext = self._messages(self._values)
+            ext_e = self._messages(self._values_evid)
+            step = stepsize * (decay ** e)
+            w_global = self._weights.copy()
+            dw = np.zeros_like(w_global)
+            new_v = self._values.copy()
+            new_ve = self._values_evid.copy()
+            for p, eng in enumerate(self.engines):
+                w, x, xe = eng.learn(
+                    seed + 104729 * e + p, burn=0, epochs=1,
+                    stepsize=step, decay=1.0, lp=lp,
+                    weight_value=w_global,
+                    x0=self._values, xe0=self._values_evid,
+                    ext_pot=ext, ext_pot_evid=ext_e,
+                    return_state=True)
+                dw += w - w_global
+                own = self.owned[p]
+                new_v[own] = x[own]
+                new_ve[own] = xe[own]
+            self._weights = w_global + dw
+            self._values, self._values_evid = new_v, new_ve
+        return self._weights
 
     def marginals(self, epochs: int) -> np.ndarray:
         return self._counts.astype(np.float64) / float(max(epochs, 1))

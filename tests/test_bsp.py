@@ -201,3 +201,55 @@ def test_traffic_accounting():
     # per-sync messages are bounded by (targets x kmax), independent of
     # factor arity — the compression PF/UFO were invented for
     assert tm["message_floats_per_sync"] <= 2 * len(v) * em.kmax
+
+
+def test_bsp_itemgrid_messages_inference_interpret():
+    """BSPItemGridInference in messages mode on the interpret-mode
+    kernel (CPU): marginal means track the exact coin joint and the
+    message machinery produces per-sync boundary potentials."""
+    from numbskull_tpu.models import coin_exact_marginal, coin_model
+    from numbskull_tpu.parallel.bsp import BSPItemGridInference
+
+    a, b, c = 0.4, -0.3, 0.5
+    w, v, f, fm, dm, e = coin_model(40, a, b, c, evidence=False,
+                                    weight_init=(a, b, c), fixed=True)
+    # split each coin pair across parts: every pair factor straddles
+    part = (np.arange(len(v)) % 2).astype(np.int64)
+    eng = BSPItemGridInference(w, v, f, fm, part, mode="messages",
+                               interpret=True)
+    ext = eng._messages(eng._values)
+    assert ext is not None and ext.shape == (len(v), 2)
+    assert np.abs(ext).sum() > 0       # straddling factors -> messages
+    eng.inference(seed=0, epochs=60, burn=10, sync_every=10)
+    m = eng.marginals(60)
+    ex = coin_exact_marginal(a, b, c)
+    # stale-halo BSP with sparse syncs: loose statistical agreement
+    assert abs(m[0::2, 1].mean() - (ex[2] + ex[3])) < 0.15
+    assert abs(m[1::2, 1].mean() - (ex[1] + ex[3])) < 0.15
+
+
+def test_bsp_itemgrid_messages_learning_interpret():
+    """In-kernel BSP learning across 2 parts in messages mode: weight
+    deltas sum at the coordinator and move toward the generating
+    weights (each factor's gradient counted exactly once)."""
+    from numbskull_tpu.models import coin_model
+    from numbskull_tpu.ops.gibbs import LearnParams
+    from numbskull_tpu.parallel.bsp import BSPItemGridInference
+
+    w, v, f, fm, dm, e = coin_model(300, 0.8, -0.5, 0.4, evidence=True,
+                                    weight_init=(0.0, 0.0, 0.0),
+                                    fixed=False, seed=3)
+    part = (np.arange(len(v)) % 2).astype(np.int64)
+    eng = BSPItemGridInference(w, v, f, fm, part, mode="messages",
+                               interpret=True)
+    got = eng.learn(seed=0, epochs=25, stepsize=0.15, decay=0.98,
+                    lp=LearnParams(regularization=2, reg_param=1e-4))
+    assert got[0] > 0.3
+    assert got[1] < -0.05
+    assert got[2] > 0.02
+
+    # values mode refuses learning (gradients would double-count)
+    eng2 = BSPItemGridInference(w, v, f, fm, part, mode="values",
+                                interpret=True)
+    with pytest.raises(AssertionError):
+        eng2.learn(seed=0, epochs=1, stepsize=0.1)
