@@ -74,6 +74,10 @@ def _ceil(a, m):
     return -(-a // m) * m
 
 
+def _ceil_np(a, m):
+    return -(-a // m) * m
+
+
 class _Layout:
     """Packed-block row layout (all int32; floats bitcast)."""
 
@@ -135,7 +139,7 @@ def _rcm_rank(n_vars: int, edges_u: np.ndarray,
 
 
 def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True,
-                   n_shards: int = 1):
+                   n_shards: int = 1, vmax: int | None = None):
     """Compile a CompiledGraph into the kernel's layout.
 
     Returns (ItemGridPlan, None) or (None, reason) when the graph is
@@ -148,7 +152,7 @@ def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True,
     owns the same number of blocks per color).
     """
     plan, reason = _plan_ranked(cg, sample_evidence, None,
-                                n_shards=n_shards)
+                                n_shards=n_shards, vmax=vmax)
     if plan is not None and int(plan.cmeta[:, 3].max()) <= 1:
         return plan, None        # natural order already single-tile
     if plan is None and "window span" not in (reason or ""):
@@ -168,7 +172,7 @@ def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True,
     ev = np.concatenate(ev) if ev else np.zeros(0, np.int64)
     rank = _rcm_rank(cg.n_vars, eu, ev)
     plan2, _ = _plan_ranked(cg, sample_evidence, rank,
-                            n_shards=n_shards)
+                            n_shards=n_shards, vmax=vmax)
     if plan2 is None:
         return (plan, None) if plan is not None else (None, reason)
     if plan is None:
@@ -182,7 +186,7 @@ def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True,
 
 
 def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
-                 n_shards: int = 1):
+                 n_shards: int = 1, vmax: int | None = None):
     kmax = int(np.asarray(cg.var_card).max()) if cg.n_vars else 1
     if kmax > K_MAX_SUP:
         return None, "cardinality %d > %d" % (kmax, K_MAX_SUP)
@@ -200,8 +204,9 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
         starts.append(vp)
         vp += _ceil(int(p.cv_valid.sum()), RB * n_shards)
     vp = _ceil(vp, 2048)   # int16 count slabs need 16-sublane alignment
-    if vp > V_MAX:
-        return None, "graph too large for VMEM (%d padded vars)" % vp
+    vcap = V_MAX if vmax is None else vmax
+    if vp > vcap:
+        return None, "graph too large (%d padded vars > %d)" % (vp, vcap)
     perm = np.full(cg.n_vars, -1, np.int64)
     row_orders = []
     for p, s in zip(cg.plans, starts):
@@ -250,8 +255,9 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
     else:
         trw = min(TRW, need_rows)
         vp = _ceil(vp, trw * 128)
-        if vp > V_MAX:
-            return None, "graph too large for VMEM (%d padded vars)" % vp
+        if vp > vcap:
+            return None, "graph too large (%d padded vars > %d)" % (vp,
+                                                                    vcap)
 
     init_new = np.zeros(vp, np.int32)
     tally_new = np.zeros(vp, np.int32)
@@ -298,7 +304,9 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
 
     total_rb = sum(_ceil(max(nr, 1), RB * n_shards) // RB
                    for (_, _, _, nr, _) in color_items)
-    DAp = _ceil(DA, 128)     # DMA slices need 128-lane alignment
+    DAp = _ceil(DA + 2, 128)  # DMA slices need 128-lane alignment;
+    #                           lanes DA/DA+1 carry the per-block HBM
+    #                           value-slab base row and row count
     packed_all = np.zeros((max(total_rb, 1), L.rows, RB), np.int32)
     wbase_all = np.zeros((max(total_rb, 1), DAp), np.int32)
     gwid_all = np.zeros((max(total_rb, 1), Dg, RB), np.int32)
@@ -455,6 +463,13 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
         br = (base // 128).reshape(num_rb, D, A).astype(np.int32)
         for d in range(D):
             wbase_all[sl, d * Ag:d * Ag + A] = br[:, d]
+        # per-block value slab (HBM-resident mode): the smallest row
+        # range covering every slot's full window
+        win_r = win // 128
+        slab_lo = (br.reshape(num_rb, -1).min(axis=1) // 8) * 8
+        slab_hi = br.reshape(num_rb, -1).max(axis=1) + win_r
+        wbase_all[sl, DA] = slab_lo
+        wbase_all[sl, DA + 1] = _ceil_np(slab_hi - slab_lo, 8)
         gwid_all[sl, :D] = \
             g_wid.reshape(num_rb, RB, D).transpose(0, 2, 1)
 
@@ -1799,6 +1814,379 @@ class MultiChipItemGridEngine:
         x_flat = np.asarray(x_out).reshape(-1)[plan.perm]
         cnt = np.asarray(cnt).astype(np.int32).reshape(plan.kmax, plan.vp)
         return x_flat, cnt[:, plan.perm].T.copy()
+
+    def marginals(self, counts: np.ndarray, epochs: int) -> np.ndarray:
+        return counts.astype(np.float64) / float(max(epochs, 1))
+
+
+V_HBM_MAX = 256 << 20    # HBM-resident mode variable cap (values 4B +
+#                          int16 tallies live in HBM; VMEM holds only
+#                          per-block slabs)
+SR_MAX = 1024            # max value-slab rows per block (128K values)
+
+
+def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False):
+    """HBM-resident inference kernel: the value array and tallies live
+    in HBM; each row block DMAs in the smallest value slab covering all
+    its windows (planner-computed, double-buffered with the item
+    tables), computes, and stores its updated rows straight back.
+    Chromatic independence makes the store-back race-free within a
+    color (windows never contain same-color rows); store completions
+    are awaited at each color end so the next color's slab reads see
+    them. Tallies stream chunk-wise at each epoch end.
+
+    This removes the VMEM residency cap: 33M+ variables on one chip
+    (BASELINE config 5's scale), bounded by HBM instead.
+    """
+    vp = plan.vp
+    kmax = plan.kmax
+    vpr = vp // 128
+    trw = plan.trw
+    L = _Layout(plan.D, plan.A)
+    Ag = plan.A
+    DA = plan.D * plan.A
+    C = plan.cmeta.shape[0]
+    present = plan.present
+    rbl = RB // 128
+    single_tile = int(plan.cmeta[:, 3].max()) <= 1 if plan.cmeta.size \
+        else True
+    unroll_d = plan.D <= 8
+    unroll_a = plan.A <= 8
+    TCH = 512               # tally stream chunk rows
+
+    n_full = vpr // TCH
+    tail = vpr % TCH          # static; vpr is a multiple of 16
+    zn_full = (kmax * vpr) // TCH
+    ztail = (kmax * vpr) % TCH
+
+    def kernel(seed_ref, burn_ref, epochs_ref, cmeta_ref,
+               tally_hbm, pack_hbm, wb_hbm, x_in_hbm, x_hbm, count_hbm,
+               pack_scr, wb_scr, av_scr, slab_scr, row_scr, cnt_scr,
+               tly_scr, sem, wsem, ssem, stsem, csem):
+        # x_in_hbm is ALIASED to x_hbm (same buffer); all access goes
+        # through the output ref
+        del x_in_hbm
+        pltpu.prng_seed(seed_ref[0])
+        uniform = _make_uniform(sw_prng, seed_ref[0] * 977)
+
+        # zero the HBM tallies chunk by chunk through a VMEM buffer
+        cnt_scr[...] = jnp.zeros((TCH, 128), jnp.int16)
+
+        def zput(r0, n):
+            pltpu.make_async_copy(
+                cnt_scr.at[pl.ds(0, n)],
+                count_hbm.at[pl.ds(r0, n)], csem).start()
+            pltpu.make_async_copy(
+                cnt_scr.at[pl.ds(0, n)],
+                count_hbm.at[pl.ds(r0, n)], csem).wait()
+
+        def zbody(s, _):
+            zput(s * TCH, TCH)
+            return 0
+
+        jax.lax.fori_loop(0, zn_full, zbody, 0)
+        if ztail:
+            zput(zn_full * TCH, ztail)
+
+        burn = burn_ref[0]
+        total = burn + epochs_ref[0]
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (trw, RB), 0)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (128, RB), 0)
+
+        def start_dma(grb, slot):
+            pltpu.make_async_copy(pack_hbm.at[grb], pack_scr.at[slot],
+                                  sem.at[slot]).start()
+            pltpu.make_async_copy(wb_hbm.at[grb], wb_scr.at[slot],
+                                  wsem.at[slot]).start()
+
+        def wait_dma(grb, slot):
+            pltpu.make_async_copy(pack_hbm.at[grb], pack_scr.at[slot],
+                                  sem.at[slot]).wait()
+            pltpu.make_async_copy(wb_hbm.at[grb], wb_scr.at[slot],
+                                  wsem.at[slot]).wait()
+
+        def _sbase(raw):
+            # the static slab height may exceed this block's span near
+            # the array end; sliding the base down keeps the DMA in
+            # bounds and window offsets (base_r - sbase) stay exact
+            return jnp.minimum(raw, vpr - sr)
+
+        def start_slab(slot, raw):
+            pltpu.make_async_copy(x_hbm.at[pl.ds(_sbase(raw), sr)],
+                                  slab_scr.at[slot], ssem.at[slot]).start()
+
+        def wait_slab(slot, raw):
+            pltpu.make_async_copy(x_hbm.at[pl.ds(_sbase(raw), sr)],
+                                  slab_scr.at[slot], ssem.at[slot]).wait()
+
+        def color_body(ci, epoch_i):
+            rb_off = cmeta_ref[ci, 0]
+            num_rb = cmeta_ref[ci, 1]
+            row0c = cmeta_ref[ci, 2]
+            nt = cmeta_ref[ci, 3]
+            d_c = cmeta_ref[ci, 4]
+            start_dma(rb_off, 0)
+            wait_dma(rb_off, 0)          # need wb for the slab base
+            start_slab(0, wb_scr[0, DA])
+
+            def rb_body(rb, salt_base):
+                slot = rb % 2
+
+                @pl.when(rb + 1 < num_rb)
+                def _():
+                    nslot = (rb + 1) % 2
+                    start_dma(rb_off + rb + 1, nslot)
+                    wait_dma(rb_off + rb + 1, nslot)
+                    start_slab(nslot, wb_scr[nslot, DA])
+
+                wait_slab(slot, wb_scr[slot, DA])
+                pk = pack_scr.at[slot]
+                wb = wb_scr.at[slot]
+                slab = slab_scr.at[slot]
+                sbase = _sbase(wb[DA])
+
+                def gat(base_r, off):
+                    return _gather_tiled(slab, base_r - sbase, off,
+                                         None if single_tile else nt,
+                                         trw, sub_iota, lane_iota)
+
+                upd = pk[L.upd:L.upd + 1, :]
+                rowmeta = pk[L.rowmeta:L.rowmeta + 1, :]
+                card = rowmeta & 0xFF
+                dense = (rowmeta >> 8) == 0
+
+                def d_body(d, pots):
+                    if unroll_a:
+                        term = _slot_decode(pk, wb, L, Ag, d, [gat])
+                        return _term_pots(term, present, Ag, kmax, card,
+                                          dense, 0, pots)
+                    fta = pk[pl.ds(L.fta + d, 1), :]
+                    ftype = (fta & 0xFF) - 1
+                    ar = fta >> 8
+                    w = pltpu.bitcast(pk[pl.ds(L.wbake + d, 1), :],
+                                      jnp.float32)
+                    dd = pk[pl.ds(L.dd + d, 1), :]
+                    d1, d2 = dd & 0xFF, dd >> 8
+                    _slot_gather_stage(pk, wb, L, Ag, d, gat, av_scr, 0)
+                    es = _slot_eval_loop(
+                        pk, L, Ag, d, av_scr, 0, present, ftype, ar,
+                        [jnp.int32(k) for k in range(kmax)])
+                    out = []
+                    for k in range(kmax):
+                        ok = ((dense & (jnp.int32(k) < card)) |
+                              ((~dense) & ((jnp.int32(k) == d1) |
+                                           (jnp.int32(k) == d2))))
+                        out.append(pots[k] +
+                                   ok.astype(jnp.float32) * w * es[k])
+                    return tuple(out)
+
+                pots = tuple(jnp.zeros((1, RB), jnp.float32)
+                             for _ in range(kmax))
+                if unroll_d:
+                    for d in range(plan.D):
+                        pots = d_body(d, pots)
+                else:
+                    pots = jax.lax.fori_loop(0, d_c, d_body, pots)
+                new = _draw(list(pots), card, kmax,
+                            uniform(salt_base * 65536 + rb, (1, RB)))
+                row0 = row0c + rb * rbl
+                # old values of own rows: read from HBM via a tiny DMA
+                pltpu.make_async_copy(x_hbm.at[pl.ds(row0, rbl)],
+                                      row_scr.at[slot], stsem.at[slot]
+                                      ).start()
+                pltpu.make_async_copy(x_hbm.at[pl.ds(row0, rbl)],
+                                      row_scr.at[slot], stsem.at[slot]
+                                      ).wait()
+                old = row_scr[slot]
+                row_scr[slot] = jnp.where(
+                    upd.reshape(rbl, 128) == 1,
+                    new.reshape(rbl, 128), old)
+                # store back (await before this slot's buffer is reused)
+                pltpu.make_async_copy(row_scr.at[slot],
+                                      x_hbm.at[pl.ds(row0, rbl)],
+                                      stsem.at[slot]).start()
+                pltpu.make_async_copy(row_scr.at[slot],
+                                      x_hbm.at[pl.ds(row0, rbl)],
+                                      stsem.at[slot]).wait()
+                return salt_base
+
+            jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * 64 + ci)
+            return epoch_i
+
+        def epoch_body(i, _):
+            jax.lax.fori_loop(0, C, color_body, i)
+            mult = (i >= burn).astype(jnp.int32)
+
+            # stream tallies: x chunk + tally-mask chunk -> counts RMW
+            def tchunk(r0, n):
+                pltpu.make_async_copy(x_hbm.at[pl.ds(r0, n)],
+                                      slab_scr.at[0, pl.ds(0, n)],
+                                      ssem.at[0]).start()
+                pltpu.make_async_copy(x_hbm.at[pl.ds(r0, n)],
+                                      slab_scr.at[0, pl.ds(0, n)],
+                                      ssem.at[0]).wait()
+                pltpu.make_async_copy(tally_hbm.at[pl.ds(r0, n)],
+                                      tly_scr.at[pl.ds(0, n)],
+                                      stsem.at[0]).start()
+                pltpu.make_async_copy(tally_hbm.at[pl.ds(r0, n)],
+                                      tly_scr.at[pl.ds(0, n)],
+                                      stsem.at[0]).wait()
+                xs = slab_scr[0, pl.ds(0, n)]
+                tm = tly_scr[pl.ds(0, n), :].astype(jnp.int32) * mult
+                for k in range(kmax):
+                    pltpu.make_async_copy(
+                        count_hbm.at[pl.ds(k * vpr + r0, n)],
+                        cnt_scr.at[pl.ds(0, n)], csem).start()
+                    pltpu.make_async_copy(
+                        count_hbm.at[pl.ds(k * vpr + r0, n)],
+                        cnt_scr.at[pl.ds(0, n)], csem).wait()
+                    hit = (xs == k).astype(jnp.int32) * tm
+                    cnt_scr[pl.ds(0, n), :] = \
+                        cnt_scr[pl.ds(0, n), :] + hit.astype(jnp.int16)
+                    pltpu.make_async_copy(
+                        cnt_scr.at[pl.ds(0, n)],
+                        count_hbm.at[pl.ds(k * vpr + r0, n)],
+                        csem).start()
+                    pltpu.make_async_copy(
+                        cnt_scr.at[pl.ds(0, n)],
+                        count_hbm.at[pl.ds(k * vpr + r0, n)],
+                        csem).wait()
+
+            def tbody(s, _):
+                tchunk(s * TCH, TCH)
+                return 0
+
+            jax.lax.fori_loop(0, n_full, tbody, 0)
+            if tail:
+                tchunk(n_full * TCH, tail)
+            return 0
+
+        jax.lax.fori_loop(0, total, epoch_body, 0)
+
+    return kernel
+
+
+class HbmItemGridEngine:
+    """HBM-resident fused inference engine: the itemgrid kernel with the
+    value array and tallies in HBM, covering graphs beyond the VMEM cap
+    (33M+ variables on one chip; BASELINE config 5's scale before
+    sharding). Inference only; learning at this scale composes via the
+    partitioned engines. Raises ValueError when the graph is outside
+    the envelope (locality is REQUIRED: every block's windows must fit
+    a bounded value slab — RCM provides this for mesh-like graphs)."""
+
+    def __init__(self, cg: CompiledGraph, sample_evidence: bool = True,
+                 interpret: bool = False):
+        plan, reason = plan_item_grid(cg, sample_evidence,
+                                      vmax=V_HBM_MAX)
+        if plan is None:
+            raise ValueError("itemgrid kernel unsupported: " + reason)
+        DA = plan.D * plan.A
+        sr = int(plan.wbase[:, DA + 1].max()) if plan.wbase.size else 8
+        sr = max(_ceil(sr, 8), 8)
+        # the tally stream reuses the slab buffer in chunks of 512 rows
+        sr = max(sr, 512)
+        if sr > SR_MAX:
+            raise ValueError(
+                "itemgrid kernel unsupported: value slab %d rows > %d "
+                "(graph lacks locality for HBM-resident mode)" %
+                (sr, SR_MAX))
+        if plan.vp // 128 < sr:
+            raise ValueError(
+                "itemgrid kernel unsupported: graph fits VMEM "
+                "(%d vars) — use PallasItemGridEngine" % plan.vp)
+        self.cg = cg
+        self.plan = plan
+        self.sr = sr
+        self.interpret = interpret
+        self._weights_for = None
+        self._call = None
+
+    def _build_call(self):
+        plan = self.plan
+        kernel = _make_kernel_hbm(plan, self.sr,
+                                  sw_prng=bool(self.interpret))
+        vp, kmax = plan.vp, plan.kmax
+        L = _Layout(plan.D, plan.A)
+        DA = plan.D * plan.A
+        TCH = 512
+
+        in_specs = (
+            [pl.BlockSpec(memory_space=pltpu.SMEM)] * 4 +  # seed/b/e/meta
+            [pl.BlockSpec(memory_space=pltpu.ANY)] * 4     # tally/pk/wb/x
+        )
+        out_specs = (pl.BlockSpec(memory_space=pltpu.ANY),
+                     pl.BlockSpec(memory_space=pltpu.ANY))
+        scratch = [pltpu.VMEM((2, L.rows, RB), jnp.int32),
+                   pltpu.SMEM((2, _ceil(DA + 2, 128)), jnp.int32),
+                   pltpu.VMEM((max(plan.A, 1), RB), jnp.int32),
+                   pltpu.VMEM((2, self.sr, 128), jnp.int32),   # slabs
+                   pltpu.VMEM((2, RB // 128, 128), jnp.int32),  # own rows
+                   pltpu.VMEM((TCH, 128), jnp.int16),          # counts
+                   pltpu.VMEM((TCH, 128), jnp.int8),           # tally
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA(())]
+
+        @jax.jit
+        def call(seed, burn, epochs, cmeta, tally, packed, wbase, x0):
+            x_out, counts = pl.pallas_call(
+                kernel,
+                out_shape=(
+                    jax.ShapeDtypeStruct((vp // 128, 128), jnp.int32),
+                    jax.ShapeDtypeStruct((kmax * vp // 128, 128),
+                                         jnp.int16)),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+                compiler_params=pltpu.CompilerParams(
+                    has_side_effects=True,
+                    vmem_limit_bytes=127 * 1024 * 1024),
+                input_output_aliases={7: 0},   # x0 buffer IS x_hbm
+                interpret=(pltpu.InterpretParams()
+                           if self.interpret else False),
+            )(seed, burn, epochs, cmeta, tally, packed, wbase, x0)
+            return x_out, counts
+
+        return call
+
+    def _ensure_packs(self, wv: np.ndarray):
+        wkey = wv.tobytes()
+        if self._weights_for != wkey:
+            fill_weights(self.plan, wv)
+            self._packs = (jnp.asarray(self.plan.packed),
+                           jnp.asarray(self.plan.wbase))
+            self._cmeta = jnp.asarray(self.plan.cmeta)
+            self._weights_for = wkey
+
+    def run(self, seed: int, burn: int, epochs: int,
+            weight_value=None, x0=None):
+        """Run burn + epochs sweeps; returns (values (V,), counts (V, K))
+        in ORIGINAL variable order. The value buffer is donated through
+        the call, so the final values come back with the counts."""
+        assert epochs <= 30000
+        plan = self.plan
+        wv = np.asarray(self.cg.weight_init if weight_value is None
+                        else weight_value, np.float32)
+        self._ensure_packs(wv)
+        if self._call is None:
+            self._call = self._build_call()
+        init = plan.init_new.copy()
+        if x0 is not None:
+            init[plan.perm] = np.asarray(x0, np.int32)
+        x2d = jnp.asarray(init.reshape(plan.vp // 128, 128))
+        t2d = jnp.asarray(plan.tally_new.reshape(plan.vp // 128, 128)
+                          .astype(np.int8))
+        x_out, cnt = self._call(
+            jnp.asarray([seed], jnp.int32), jnp.asarray([burn], jnp.int32),
+            jnp.asarray([epochs], jnp.int32), self._cmeta, t2d,
+            *self._packs, x2d)
+        cnt = np.asarray(cnt).astype(np.int32).reshape(plan.kmax, plan.vp)
+        counts = cnt[:, plan.perm].T.copy()
+        x_flat = np.asarray(x_out).reshape(-1)[plan.perm]
+        return x_flat, counts
 
     def marginals(self, counts: np.ndarray, epochs: int) -> np.ndarray:
         return counts.astype(np.float64) / float(max(epochs, 1))

@@ -589,3 +589,34 @@ def test_itemgrid_interpret_learning_recovers_direction():
     wv = eng.learn(seed=0, burn=5, epochs=60, stepsize=0.1, decay=0.99,
                    lp=LearnParams(regularization=2, reg_param=1e-4))
     assert wv[0] > 0.3 and wv[1] < -0.15 and wv[2] > 0.1
+
+
+def test_hbm_engine_bit_identical_to_vmem_interpret():
+    """The HBM-resident engine (values + tallies in HBM, per-block value
+    slabs DMA'd in, rows stored straight back, streamed tallies) is
+    BIT-IDENTICAL to the VMEM engine on the same software PRNG stream —
+    the memory plumbing changes, the sampling does not."""
+    from numbskull_tpu.ops.itemgrid_pallas import (
+        HbmItemGridEngine, PallasItemGridEngine,
+    )
+
+    n, m = 160, 512        # 81920 vars: above the HBM engine's floor
+    w, v, f, fm, dm, e = ising_grid(n, m, weight=0.35)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm,
+                       color_hint=ising_color_hint(n, m))
+    hbm = HbmItemGridEngine(cg, interpret=True)
+    x1, c1 = hbm.run(seed=3, burn=2, epochs=8)
+    vm = PallasItemGridEngine(cg, interpret=True)
+    x2, c2 = vm.run(seed=3, burn=2, epochs=8)
+    assert (c1 == c2).all()
+    assert (x1 == x2).all()
+
+
+def test_hbm_engine_rejects_small_and_nonlocal():
+    from numbskull_tpu.ops.itemgrid_pallas import HbmItemGridEngine
+    from numbskull_tpu.models import coin_model
+
+    w, v, f, fm, dm, e = coin_model(30, 0.3, -0.2, 0.4)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm)
+    with pytest.raises(ValueError, match="fits VMEM"):
+        HbmItemGridEngine(cg, interpret=True)
