@@ -236,14 +236,20 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
         fetch = p.it_args_valid[iv] & ~p.it_subst[iv]
         pos = perm[p.it_args_vid[iv].astype(np.int64)]
         nb = int(blk.max()) + 1
+        A_ = fetch.shape[1]
+        # span per (block, ARG position): each arg position's neighbors
+        # are coherent (different positions land in different color
+        # regions), so a block-level union would wildly overestimate and
+        # force 16K gather tiles on graphs whose true windows are ~1K
         big = np.iinfo(np.int64).max
-        blo = np.full(nb, big)
-        bhi = np.zeros(nb, np.int64)
-        sel = fetch.any(axis=1)
-        pmin = np.where(fetch, pos, big).min(axis=1)
-        pmax = np.where(fetch, pos, 0).max(axis=1)
-        np.minimum.at(blo, blk[sel], pmin[sel])
-        np.maximum.at(bhi, blk[sel], pmax[sel])
+        key = (blk[:, None] * A_ +
+               np.arange(A_)[None, :]).ravel()
+        posf = pos.ravel()
+        fm_ = fetch.ravel()
+        blo = np.full(nb * A_, big)
+        bhi = np.zeros(nb * A_, np.int64)
+        np.minimum.at(blo, key[fm_], posf[fm_])
+        np.maximum.at(bhi, key[fm_], posf[fm_])
         ok = blo != big
         if ok.any():
             worst_span = max(worst_span,
@@ -586,10 +592,14 @@ def _gather_tiled(xref, base_r, off, nt, trw, sub_iota, lane_iota):
     off the fast path."""
     row = off >> 7
     loh = lane_iota == (off & 127)
+    # defensive clamp: a planner bug must yield a wrong gather, never an
+    # out-of-bounds slice (OOB VMEM access wedges the device)
+    hi = xref.shape[0] - trw
 
     def tile(t, acc):
-        win = xref[pl.ds(base_r + t * trw, trw), :].astype(jnp.float32)
-        roh = (sub_iota == (row - t * trw)).astype(jnp.float32)
+        start = jnp.clip(base_r + t * trw, 0, hi)
+        win = xref[pl.ds(start, trw), :].astype(jnp.float32)
+        roh = (sub_iota == (row + (base_r - start))).astype(jnp.float32)
         rs = jax.lax.dot_general(
             win, roh, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)         # (128, RB)
