@@ -98,7 +98,7 @@ arguments = [
                  "learning.py:111-125)"}),
     (("--engine",),
         {"metavar": "ENGINE", "dest": "engine", "default": "auto",
-         "type": str, "choices": ("auto", "xla", "itemgrid"),
+         "type": str, "choices": ("auto", "xla", "itemgrid", "hbm"),
          "help": "compute engine: 'auto' picks the fused Pallas itemgrid "
                  "kernel on TPU for supported (boolean) graphs and falls "
                  "back to the XLA engine otherwise"}),
@@ -261,8 +261,9 @@ class FactorGraph:
         """The fused Pallas engine when eligible, else None (XLA path).
 
         Eligible = TPU backend (the kernel needs the hardware PRNG) and a
-        graph inside the itemgrid envelope (boolean vars, boolean factor
-        functions, bounded degree/window; see ops/itemgrid_pallas)."""
+        graph inside the itemgrid envelope (see ops/itemgrid_pallas).
+        Dispatch chain: VMEM-resident kernel -> HBM-resident kernel
+        (graphs beyond the VMEM cap; inference only) -> XLA engine."""
         if self.engine_mode == "xla":
             return None
         if sample_evidence in self._itemgrid:
@@ -272,14 +273,22 @@ class FactorGraph:
         # needs the hardware PRNG, and other accelerators (gpu/metal)
         # would fail at lowering, not at plan time
         on_tpu = jax.default_backend() == "tpu"
-        if on_tpu or self.engine_mode == "itemgrid":
-            try:
-                from numbskull_tpu.ops.itemgrid_pallas import \
-                    PallasItemGridEngine
-                eng = PallasItemGridEngine(
-                    self.cg, sample_evidence=sample_evidence)
-            except ValueError:
-                eng = None
+        if on_tpu or self.engine_mode in ("itemgrid", "hbm"):
+            from numbskull_tpu.ops.itemgrid_pallas import (
+                HbmItemGridEngine, PallasItemGridEngine,
+            )
+            if self.engine_mode != "hbm":
+                try:
+                    eng = PallasItemGridEngine(
+                        self.cg, sample_evidence=sample_evidence)
+                except ValueError:
+                    eng = None
+            if eng is None and self.engine_mode != "itemgrid":
+                try:
+                    eng = HbmItemGridEngine(
+                        self.cg, sample_evidence=sample_evidence)
+                except ValueError:
+                    eng = None
         self._itemgrid[sample_evidence] = eng
         return eng
 
@@ -388,6 +397,8 @@ class FactorGraph:
                          grad_agg=grad_agg)
         with Timer() as t:
             ig = self._maybe_itemgrid(True)
+            if ig is not None and not hasattr(ig, "learn"):
+                ig = None          # HBM engine is inference-only
             if ig is not None:
                 wv = ig.learn(
                     self._next_seed(), burnin_epochs, epochs,
