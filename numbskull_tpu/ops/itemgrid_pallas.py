@@ -407,7 +407,8 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
         hi = np.zeros((num_rb, D, A), np.int64)
         np.minimum.at(lo, blk, np.where(g_fetch, g_off, big))
         np.maximum.at(hi, blk, np.where(g_fetch, g_off, 0))
-        lo = np.where(lo == big, 0, lo)
+        has = lo != big          # slots with any fetched arg
+        lo = np.where(has, lo, 0)
         base = (lo // 128) * 128
         span = np.maximum(hi + 1 - base, 1)
         tile_v = trw * 128
@@ -470,12 +471,20 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
         for d in range(D):
             wbase_all[sl, d * Ag:d * Ag + A] = br[:, d]
         # per-block value slab (HBM-resident mode): the smallest row
-        # range covering every slot's full window
+        # range covering every FETCHED slot's full window (unfetched
+        # slots carry base 0 for the VMEM kernel and must not drag the
+        # slab to the array start)
         win_r = win // 128
-        slab_lo = (br.reshape(num_rb, -1).min(axis=1) // 8) * 8
-        slab_hi = br.reshape(num_rb, -1).max(axis=1) + win_r
+        br2 = br.reshape(num_rb, -1)
+        has2 = has.reshape(num_rb, -1)
+        big32 = np.int32(2 ** 30)
+        slab_lo = np.where(has2, br2, big32).min(axis=1)
+        slab_lo = np.where(slab_lo == big32, 0, slab_lo)
+        slab_lo = (slab_lo // 8) * 8
+        slab_hi = np.where(has2, br2, 0).max(axis=1) + win_r
         wbase_all[sl, DA] = slab_lo
-        wbase_all[sl, DA + 1] = _ceil_np(slab_hi - slab_lo, 8)
+        wbase_all[sl, DA + 1] = _ceil_np(np.maximum(
+            slab_hi - slab_lo, 8), 8)
         gwid_all[sl, :D] = \
             g_wid.reshape(num_rb, RB, D).transpose(0, 2, 1)
 
