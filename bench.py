@@ -124,6 +124,24 @@ def _bench_itemgrid(n: int, epochs: int):
     return n * n * epochs / dt, mean
 
 
+def _bench_voting(n_vars: int, degree: int, epochs: int):
+    """The reference's flagship degree experiment family (grouped
+    voting: n_vars//degree disjoint AND factors of arity degree+1;
+    salt/src/experiment_intro_degree.py) through the fused kernel —
+    the graphs the reference needed a multi-machine cluster for."""
+    from numbskull_tpu.compile import compile_graph
+    from numbskull_tpu.models import voting_grouped
+    from numbskull_tpu.ops.itemgrid_pallas import PallasItemGridEngine
+
+    w, v, f, fm, dm, e = voting_grouped(n_vars, degree, weight=0.3)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm)
+    eng = PallasItemGridEngine(cg)
+    eng.run(seed=0, burn=0, epochs=2)
+    t0 = time.perf_counter()
+    eng.run(seed=1, burn=0, epochs=epochs)
+    return len(v) * epochs / (time.perf_counter() - t0)
+
+
 def _bench_learning(copies: int, epochs: int):
     """Weight-learn epochs/s on the coin model: in-kernel dual-chain SGD
     (Pallas itemgrid learn; reference analog: learnthread,
@@ -183,6 +201,7 @@ def main():
     xla_ups = _bench_xla_grid(2048, 200)
     gen_ups = _bench_general(256, 50)
     auto_ups, auto_itemgrid = _bench_auto(256, 400)
+    voting_ups = _bench_voting(200_000, 10, 200)
 
     healthy = (0.2 < mean < 0.8) and (0.2 < item_mean < 0.8)
     result = {
@@ -200,6 +219,7 @@ def main():
         "general_engine_ups_256": round(auto_ups, 1),
         "general_engine_used_itemgrid": auto_itemgrid,
         "xla_oracle_ups_256": round(gen_ups, 1),
+        "itemgrid_voting_deg10_ups": round(voting_ups, 1),
         "learn_steps_per_s_40k_vars": round(learn_sps, 2),
         "learn_var_updates_per_s": round(learn_vups, 1),
         "learn_recovers_weights": learn_ok,

@@ -19,7 +19,8 @@ import numpy as np
 
 from numbskull_tpu.compile import compile_graph
 from numbskull_tpu.models import (
-    coin_model, ising_color_hint, ising_grid, lf_model, voting_model,
+    coin_model, ising_color_hint, ising_grid, lf_model, voting_grouped,
+    voting_model,
 )
 
 
@@ -60,7 +61,11 @@ def run(out_path="engine_tradeoff.tsv"):
     w, v, f, fm, dm, e = lf_model(0.3, [0.9, 0.5], copies=2000, seed=0)
     cases.append(("lf_categorical", (w, v, f, fm, dm), None))
     w, v, f, fm, dm, e = voting_model(16384, 8192, 10, weight=0.1, seed=1)
-    cases.append(("voting_deg10", (w, v, f, fm, dm), None))
+    cases.append(("voting_rand_deg10", (w, v, f, fm, dm), None))
+    for deg in (10, 50):
+        w, v, f, fm, dm, e = voting_grouped(200_000, deg, weight=0.3)
+        cases.append(("voting_grouped_deg%d" % deg, (w, v, f, fm, dm),
+                      None))
 
     rows = ["graph\tn_vars\tn_colors\txla_ups\titemgrid_ups\tnote"]
     for name, (w, v, f, fm, dm), hint in cases:

@@ -112,7 +112,12 @@ class ItemGridPlan:
     degree, or window span."""
 
     packed: np.ndarray      # (total_rb, layout.rows, RB) int32
-    wbase: np.ndarray       # (total_rb, D*A) int32 window starts / 128
+    wbase: np.ndarray       # (total_rb, 8, W) int32 block metadata:
+    #                         flat entry j=(d*A+a) at [j//W, j%W] is the
+    #                         slot's window start row; entries DA/DA+1
+    #                         are the HBM value-slab base row and count.
+    #                         3-D because HBM slices must be (8, 128k)-
+    #                         tile aligned
     cmeta: np.ndarray       # (C, 8) int32 per-color schedule:
     #                         [rb_off, num_rb, row0r, n_tiles, D_c, 0..]
     D: int                  # layout slots per row (max over colors)
@@ -310,11 +315,10 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
 
     total_rb = sum(_ceil(max(nr, 1), RB * n_shards) // RB
                    for (_, _, _, nr, _) in color_items)
-    DAp = _ceil(DA + 2, 128)  # DMA slices need 128-lane alignment;
-    #                           lanes DA/DA+1 carry the per-block HBM
-    #                           value-slab base row and row count
+    Wb = _ceil(-(-(DA + 2) // 8), 128)   # (8, Wb) tile-aligned blocks
     packed_all = np.zeros((max(total_rb, 1), L.rows, RB), np.int32)
-    wbase_all = np.zeros((max(total_rb, 1), DAp), np.int32)
+    wbase_all = np.zeros((max(total_rb, 1), 8, Wb), np.int32)
+    wbase_flat = wbase_all.reshape(max(total_rb, 1), -1)
     gwid_all = np.zeros((max(total_rb, 1), Dg, RB), np.int32)
     cmeta = np.zeros((max(len(color_items), 1), 8), np.int32)
 
@@ -469,7 +473,7 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
 
         br = (base // 128).reshape(num_rb, D, A).astype(np.int32)
         for d in range(D):
-            wbase_all[sl, d * Ag:d * Ag + A] = br[:, d]
+            wbase_flat[sl, d * Ag:d * Ag + A] = br[:, d]
         # per-block value slab (HBM-resident mode): the smallest row
         # range covering every FETCHED slot's full window (unfetched
         # slots carry base 0 for the VMEM kernel and must not drag the
@@ -482,8 +486,8 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
         slab_lo = np.where(slab_lo == big32, 0, slab_lo)
         slab_lo = (slab_lo // 8) * 8
         slab_hi = np.where(has2, br2, 0).max(axis=1) + win_r
-        wbase_all[sl, DA] = slab_lo
-        wbase_all[sl, DA + 1] = _ceil_np(np.maximum(
+        wbase_flat[sl, DA] = slab_lo
+        wbase_flat[sl, DA + 1] = _ceil_np(np.maximum(
             slab_hi - slab_lo, 8), 8)
         gwid_all[sl, :D] = \
             g_wid.reshape(num_rb, RB, D).transpose(0, 2, 1)
@@ -755,6 +759,15 @@ def _loop_stats(Ag, arity, read_val, read_eq, read_card, read_sub,
     return res
 
 
+def _wb_view(wb_scr, slot, W):
+    """1-D view over a (slots, 8, W) SMEM window-base block: entry j
+    lives at [slot, j // W, j % W]."""
+    class _V:
+        def __getitem__(self, j):
+            return wb_scr[slot, j // W, j % W]
+    return _V()
+
+
 def _slot_gather_stage(pk, wb, L, Ag, d, gat, av_scr, row_base):
     """Gather all Ag args of slot d into av_scr rows [row_base + a)."""
     def a_body(a, _):
@@ -901,6 +914,7 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
     trw = plan.trw
     L = _Layout(plan.D, plan.A)
     Ag = plan.A
+    DA = plan.D * plan.A
     C = plan.cmeta.shape[0]
     present = plan.present
     rbl = RB // 128
@@ -911,6 +925,7 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
         else True
     unroll_d = plan.D <= 8
     unroll_a = plan.A <= 8          # high arity -> stats loops
+    Wb = _ceil(-(-(DA + 2) // 8), 128)
 
     mc = n_shards > 1
 
@@ -984,7 +999,7 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
 
                 wait_dma(rb_off + rb, slot)
                 pk = pack_scr.at[slot]
-                wb = wb_scr.at[slot]
+                wb = _wb_view(wb_scr, slot, Wb)
 
                 def gat(base_r, off):
                     return _gather_tiled(x_out, base_r, off,
@@ -1093,6 +1108,7 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
         else True
     unroll_d = plan.D <= 8
     unroll_a = plan.A <= 8          # high arity -> stats loops
+    Wb = _ceil(-(-(DA + 2) // 8), 128)
 
     def kernel(*refs):
         refs = list(refs)
@@ -1153,7 +1169,7 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
 
                 wait_dma(rb_off + rb, slot)
                 pk = pack_scr.at[slot]
-                wb = wb_scr.at[slot]
+                wb = _wb_view(wb_scr, slot, Wb)
 
                 def gat(base_r, off):
                     return _gather_tiled(x_out, base_r, off,
@@ -1235,7 +1251,7 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
 
                 wait_dma(rb_off + rb, slot)
                 pk = pack_scr.at[slot]
-                wb = wb_scr.at[slot]
+                wb = _wb_view(wb_scr, slot, Wb)
 
                 def gat_p(base_r, off):
                     return _gather_tiled(x_out, base_r, off,
@@ -1473,7 +1489,8 @@ class PallasItemGridEngine:
         out_specs = (pl.BlockSpec(memory_space=pltpu.VMEM),
                      pl.BlockSpec(memory_space=pltpu.VMEM))
         scratch = [pltpu.VMEM((2, L.rows, RB), jnp.int32),  # block buf x2
-                   pltpu.SMEM((2, _ceil(DA, 128)), jnp.int32),   # win bases
+                   pltpu.SMEM((2, 8, _ceil(-(-(DA + 2) // 8), 128)),
+                              jnp.int32),              # win bases
                    pltpu.VMEM((max(plan.A, 1), RB), jnp.int32),  # staged
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA((2,))]
@@ -1526,7 +1543,8 @@ class PallasItemGridEngine:
         out_specs = tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                           for _ in range(3))
         scratch = [pltpu.VMEM((2, L.rows, RB), jnp.int32),  # block buf x2
-                   pltpu.SMEM((2, _ceil(DA, 128)), jnp.int32),   # win bases
+                   pltpu.SMEM((2, 8, _ceil(-(-(DA + 2) // 8), 128)),
+                              jnp.int32),              # win bases
                    pltpu.VMEM((2 * DA, RB), jnp.int32),     # staged gathers
                    pltpu.VMEM((wrows, 128), jnp.float32),   # gw
                    pltpu.VMEM((wrows, 128), jnp.float32),   # nw
@@ -1760,7 +1778,8 @@ class MultiChipItemGridEngine:
         out_specs = (pl.BlockSpec(memory_space=pltpu.VMEM),
                      pl.BlockSpec(memory_space=pltpu.VMEM))
         scratch = [pltpu.VMEM((2, L.rows, RB), jnp.int32),
-                   pltpu.SMEM((2, _ceil(DA, 128)), jnp.int32),
+                   pltpu.SMEM((2, 8, _ceil(-(-(DA + 2) // 8), 128)),
+                              jnp.int32),
                    pltpu.VMEM((max(plan.A, 1), RB), jnp.int32),
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA((2,)),
@@ -1871,6 +1890,7 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False):
         else True
     unroll_d = plan.D <= 8
     unroll_a = plan.A <= 8
+    Wb = _ceil(-(-(DA + 2) // 8), 128)
     TCH = 512               # tally stream chunk rows
 
     n_full = vpr // TCH
@@ -1946,7 +1966,7 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False):
             d_c = cmeta_ref[ci, 4]
             start_dma(rb_off, 0)
             wait_dma(rb_off, 0)          # need wb for the slab base
-            start_slab(0, wb_scr[0, DA])
+            start_slab(0, _wb_view(wb_scr, 0, Wb)[DA])
 
             def rb_body(rb, salt_base):
                 slot = rb % 2
@@ -1956,11 +1976,11 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False):
                     nslot = (rb + 1) % 2
                     start_dma(rb_off + rb + 1, nslot)
                     wait_dma(rb_off + rb + 1, nslot)
-                    start_slab(nslot, wb_scr[nslot, DA])
+                    start_slab(nslot, _wb_view(wb_scr, nslot, Wb)[DA])
 
-                wait_slab(slot, wb_scr[slot, DA])
+                wait_slab(slot, _wb_view(wb_scr, slot, Wb)[DA])
                 pk = pack_scr.at[slot]
-                wb = wb_scr.at[slot]
+                wb = _wb_view(wb_scr, slot, Wb)
                 slab = slab_scr.at[slot]
                 sbase = _sbase(wb[DA])
 
@@ -2101,7 +2121,8 @@ class HbmItemGridEngine:
         if plan is None:
             raise ValueError("itemgrid kernel unsupported: " + reason)
         DA = plan.D * plan.A
-        sr = int(plan.wbase[:, DA + 1].max()) if plan.wbase.size else 8
+        wbf = plan.wbase.reshape(plan.wbase.shape[0], -1)
+        sr = int(wbf[:, DA + 1].max()) if plan.wbase.size else 8
         sr = max(_ceil(sr, 8), 8)
         # the tally stream reuses the slab buffer in chunks of 512 rows
         sr = max(sr, 512)
@@ -2137,7 +2158,8 @@ class HbmItemGridEngine:
         out_specs = (pl.BlockSpec(memory_space=pltpu.ANY),
                      pl.BlockSpec(memory_space=pltpu.ANY))
         scratch = [pltpu.VMEM((2, L.rows, RB), jnp.int32),
-                   pltpu.SMEM((2, _ceil(DA + 2, 128)), jnp.int32),
+                   pltpu.SMEM((2, 8, _ceil(-(-(DA + 2) // 8), 128)),
+                              jnp.int32),
                    pltpu.VMEM((max(plan.A, 1), RB), jnp.int32),
                    pltpu.VMEM((2, self.sr, 128), jnp.int32),   # slabs
                    pltpu.VMEM((2, RB // 128, 128), jnp.int32),  # own rows

@@ -94,7 +94,9 @@ def _replay_potentials(plan, weight_value, x_orig):
                 for k in range(K):
                     vals = []
                     for a in range(A):
-                        base = int(plan.wbase[grb, d * A + a]) * 128
+                        wbf = plan.wbase.reshape(
+                            plan.wbase.shape[0], -1)
+                        base = int(wbf[grb, d * A + a]) * 128
                         win = x_new[base:base + win_len]
                         g = win[offs[a]]
                         sub = (sbits & (1 << a)) != 0
