@@ -622,3 +622,51 @@ def test_hbm_engine_rejects_small_and_nonlocal():
     cg = compile_graph(w, v, f, fm, domain_mask=dm)
     with pytest.raises(ValueError, match="fits VMEM"):
         HbmItemGridEngine(cg, interpret=True)
+
+
+@pytest.mark.skipif("tpu" not in str(jax.devices()[0]).lower()
+                    and "axon" not in jax.default_backend().lower(),
+                    reason="itemgrid kernel needs TPU hardware PRNG")
+def test_itemgrid_tpu_grouped_voting_matches_xla():
+    """The reference's degree-experiment graph family (grouped voting,
+    51 colors at degree 50) through the fused kernel on hardware:
+    marginals match the XLA engine."""
+    from numbskull_tpu.models import voting_grouped
+    from numbskull_tpu.ops import GibbsEngine
+    from numbskull_tpu.ops.itemgrid_pallas import PallasItemGridEngine
+
+    w, v, f, fm, dm, e = voting_grouped(3000, 10, weight=0.4)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm)
+    assert cg.n_colors == 11
+    eng = PallasItemGridEngine(cg)
+    x, cnt = eng.run(seed=0, burn=100, epochs=2000)
+    ge = GibbsEngine(cg)
+    st = ge.init_state()
+    st = ge.inference(st, jax.random.PRNGKey(0), epochs=2000, burn=100)
+    gm = ge.marginals(st, 2000)[:, 1]
+    km = cnt[:, 1] / 2000
+    assert abs(km.mean() - gm.mean()) < 0.02
+    assert np.abs(np.sort(km) - np.sort(gm)).mean() < 0.02
+
+
+@pytest.mark.skipif("tpu" not in str(jax.devices()[0]).lower()
+                    and "axon" not in jax.default_backend().lower(),
+                    reason="itemgrid kernel needs TPU hardware PRNG")
+def test_hbm_engine_tpu_matches_vmem():
+    """HBM-resident engine vs VMEM engine on hardware (independent
+    hardware-PRNG streams; statistical agreement)."""
+    from numbskull_tpu.ops.itemgrid_pallas import (
+        HbmItemGridEngine, PallasItemGridEngine,
+    )
+
+    n, m = 160, 512
+    w, v, f, fm, dm, e = ising_grid(n, m, weight=0.35)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm,
+                       color_hint=ising_color_hint(n, m))
+    hbm = HbmItemGridEngine(cg)
+    x1, c1 = hbm.run(seed=4, burn=50, epochs=500)
+    vm = PallasItemGridEngine(cg)
+    x2, c2 = vm.run(seed=3, burn=50, epochs=500)
+    m1, m2 = c1[:, 1] / 500, c2[:, 1] / 500
+    assert abs(m1.mean() - m2.mean()) < 0.01
+    assert np.abs(np.sort(m1) - np.sort(m2)).mean() < 0.01
