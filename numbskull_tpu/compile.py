@@ -376,8 +376,13 @@ def cc_labels(n: int, u: np.ndarray, w: np.ndarray) -> np.ndarray:
     try:
         from scipy.sparse import coo_matrix
         from scipy.sparse.csgraph import connected_components
-        g = coo_matrix((np.ones(len(u), np.int8), (u, w)), shape=(n, n))
-        _, labels = connected_components(g, directed=False)
+        idt = np.int32 if n < 2 ** 31 else np.int64
+        g = coo_matrix((np.ones(len(u), np.int8),
+                        (u.astype(idt), w.astype(idt))), shape=(n, n))
+        # weak connectivity on the directed graph equals undirected
+        # components and skips scipy's explicit symmetrization pass
+        _, labels = connected_components(g, directed=True,
+                                         connection="weak")
         return labels.astype(np.int64)
     except ImportError:      # pragma: no cover - scipy is baked in
         pass
