@@ -154,3 +154,25 @@ def test_lf_model_compiles():
     cg = compile_graph(*args[:4], domain_mask=args[4])
     assert cg.kmax == 3
     assert cg.n_colors == 2  # y vs its LF neighbors
+
+
+def test_voting_grouped_structure_and_coloring():
+    """The reference's intro-degree family (copies = n_vars//degree
+    disjoint groups, one AND factor of arity degree+1): greedy-in-RCM
+    coloring uses exactly degree+1 colors aligned across groups, and
+    the itemgrid plan is single-slot (every variable in exactly one
+    factor)."""
+    from numbskull_tpu.models import voting_grouped
+    from numbskull_tpu.ops.itemgrid_pallas import plan_item_grid
+
+    w, v, f, fm, dm, e = voting_grouped(3000, 7, weight=0.3)
+    assert len(f) == 3000 // 7
+    assert (f["arity"] == 8).all()
+    cg = compile_graph(w, v, f, fm, domain_mask=dm)
+    assert cg.n_colors == 8
+    # disjoint groups: each group's 8 vars get 8 distinct colors
+    colors = cg.color_of.reshape(-1, 8)
+    assert all(len(set(row)) == 8 for row in colors[:5])
+    plan, reason = plan_item_grid(cg)
+    assert plan is not None, reason
+    assert plan.D == 1 and plan.A == 8
