@@ -69,6 +69,21 @@ COLOR_MAX = 64       # the color sweep is a data-driven loop over an
 #                      SMEM schedule — more colors cost sweep steps,
 #                      not code size or scratch
 
+# ---- affine fast-path envelope (see _affine_color_info) -------------
+SB = 8               # blocks per superblock: affine gathers run as ONE
+#                      (SB*8, 128) lane-roll per (slot, arg) — measured
+#                      58 Gvals/s vs 2.4 for the f32 one-hot matmul
+AFF_D_MAX = 8        # slots per row on the affine path (packed_a
+#                      scratch is (SB, (5*D+3)*8, 128) doubled)
+AFF_DA_MAX = 64      # slot*arg limit (amet schedule row width)
+AFF_NONE = np.int32(2 ** 31 - 1)   # amet sentinel: no fetched arg
+AFF_GUARD = 66 * 128  # value-array tail guard so clamped superblock
+#                      rolls stay in bounds ((SB*8+1)-row reads)
+# factor functions whose value is derivable from boolean counting
+# stats (n_zero over all/body args) + head/v0/v1/v2 — everything
+# except FUNC_UFO's positional select (factor_semantics.finalize)
+AFF_FUNCS = frozenset(T.FACTORS.values()) - {T.FUNC_UFO}
+
 
 def _ceil(a, m):
     return -(-a // m) * m
@@ -132,6 +147,18 @@ class ItemGridPlan:
     g_wid: np.ndarray = None   # (total_rb, D, RB) weight ids (for baking)
     n_weights: int = 0
     trw: int = TRW          # gather tile rows (vp//128 for small graphs)
+    # ---- affine fast path (None/empty when no color qualifies) ----
+    packed_a: np.ndarray = None   # (total_rb_a, (5*Da+3)*8, 128) int32
+    #                               compact per-block slabs for affine
+    #                               colors; logical row l = sublanes
+    #                               [8l, 8l+8): per slot d: fta, wbake,
+    #                               sbits, wid, fv; then upd, upd_e, lrn
+    amet: np.ndarray = None       # (C, AFF_DA_MAX) int32 per-color
+    #                               affine offsets: flat j = d*A + a ->
+    #                               pos(arg) - local_row; AFF_NONE when
+    #                               the arg is never fetched
+    g_wid_a: np.ndarray = None    # (total_rb_a, Da, RB) wids (baking)
+    aff_D: int = 0                # slot width of the affine layout
 
 
 def _rcm_rank(n_vars: int, edges_u: np.ndarray,
@@ -188,6 +215,95 @@ def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True,
                     np.maximum(p.cmeta[:, 4], 1)).sum())
 
     return (plan2, None) if cost(plan2) < cost(plan) else (plan, None)
+
+
+_BIG64 = np.int64(1) << 60
+
+
+def _slot_assignment(rows_l: np.ndarray, delta: np.ndarray,
+                     has_fetch: np.ndarray, n_rows: int):
+    """Item -> (order, slot, D_c) for one color.
+
+    Default: items sorted per row by their min fetched position, slot =
+    rank within the row (window-coherent slots). When the color's items
+    cluster on FEW distinct (position - row) deltas, slots are keyed by
+    DELTA VALUE instead: every item with delta u goes to the slot for u,
+    rows missing a delta leave that slot as NOOP padding. Then a slot's
+    fetched min-positions are exactly row + delta — the affine fast
+    path's precondition — and rows with missing items (lattice
+    boundaries) no longer shift their remaining items across slots.
+
+    ``rows_l``: (I,) local row index; ``delta``: (I,) min fetched
+    position minus local row (_BIG64 when the item fetches nothing).
+    """
+    order = np.lexsort((delta, rows_l))
+    r_sorted = rows_l[order]
+    counts = np.bincount(rows_l, minlength=n_rows) if len(rows_l) else \
+        np.zeros(n_rows, np.int64)
+    row_base = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    rank_slot = np.arange(len(order)) - row_base[r_sorted]
+    D_rank = max(int(counts.max()) if len(counts) else 1, 1)
+
+    d_sorted = delta[order]
+    fet = has_fetch[order]
+    uniq = np.unique(d_sorted[fet])
+    if len(uniq) == 0:
+        return order, rank_slot, D_rank
+    # no-fetch items keep rank order in slots after the delta classes
+    nf_counts = np.bincount(r_sorted[~fet], minlength=n_rows) \
+        if (~fet).any() else np.zeros(n_rows, np.int64)
+    D_clu = len(uniq) + int(nf_counts.max())
+    if D_clu > min(D_MAX, max(2 * D_rank, D_rank + 4), AFF_D_MAX):
+        return order, rank_slot, D_rank
+    slot = np.empty(len(order), np.int64)
+    slot[fet] = np.searchsorted(uniq, d_sorted[fet])
+    if (~fet).any():
+        nf_base = np.concatenate(([0], np.cumsum(nf_counts)[:-1]))
+        nf_pos = np.arange((~fet).sum()) - nf_base[r_sorted[~fet]]
+        slot[~fet] = len(uniq) + nf_pos
+    # two same-row items with equal delta would collide in one slot
+    key = r_sorted * np.int64(D_clu + 1) + slot
+    if len(np.unique(key)) != len(key):
+        return order, rank_slot, D_rank
+    return order, slot, D_clu
+
+
+def _affine_color_info(g_ftype, g_arity, g_off, g_fetch, g_subst,
+                       g_eq, g_acard, rowmeta_card, rowmeta_dtype,
+                       n_rows, Ag):
+    """Affine fast-path qualification for one color.
+
+    Returns (ok, c_abs (D, A) int64 with AFF_NONE for never-fetched
+    slots). Qualifies when every fetched (slot, arg) offset is exactly
+    ``local_row + const`` and the color is purely boolean-dense (cards
+    2, eq 0, dtype 0) over factor functions derivable from counting
+    stats (AFF_FUNCS) — the kernel then swaps the one-hot gather
+    matmuls for lane rolls and evaluates all candidates from one shared
+    stats pass."""
+    R, D, A = g_off.shape
+    valid = g_ftype >= 0
+    if not valid.any():
+        return False, None
+    if D > AFF_D_MAX or D * Ag > AFF_DA_MAX:
+        return False, None
+    pres = np.unique(g_ftype[valid])
+    if any(int(t) not in AFF_FUNCS for t in pres):
+        return False, None
+    if (rowmeta_card[:n_rows] != 2).any() or \
+            (rowmeta_dtype[:n_rows] != 0).any():
+        return False, None
+    amask = g_fetch | g_subst
+    if (g_eq[amask] != 0).any() or (g_acard[amask] != 2).any():
+        return False, None
+    ri = np.arange(R)[:, None, None]
+    delta = g_off - ri
+    dmin = np.where(g_fetch, delta, _BIG64).min(axis=0)
+    dmax = np.where(g_fetch, delta, -_BIG64).max(axis=0)
+    nofetch = dmin == _BIG64
+    if not (nofetch | (dmin == dmax)).all():
+        return False, None
+    c_abs = np.where(nofetch, np.int64(AFF_NONE), dmin)
+    return True, c_abs
 
 
 def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
@@ -295,16 +411,30 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
             return None, "arity > %d" % A_MAX
         present_all |= pres
 
-        counts = np.bincount(rows, minlength=n_rows) if len(rows) else \
-            np.zeros(n_rows, np.int64)
-        D_c = max(int(counts.max()) if len(counts) else 1, 1)
+        # item -> slot map (delta clustering when cheap; see
+        # _slot_assignment)
+        inv_ro = np.empty(n_rows, np.int64)
+        inv_ro[ro] = np.arange(n_rows)
+        rows_l = inv_ro[rows]
+        fetch = p.it_args_valid[it_valid] & ~p.it_subst[it_valid]
+        pos = np.where(fetch, perm[p.it_args_vid[it_valid].astype(
+            np.int64)], _BIG64)
+        item_key = pos.min(axis=1) if len(rows) else \
+            np.zeros(0, np.int64)
+        has_fetch = item_key != _BIG64
+        delta = np.where(has_fetch, item_key - rows_l, _BIG64)
+        order, slot, D_c = _slot_assignment(rows_l, delta, has_fetch,
+                                            n_rows)
+        D_c = max(D_c, 1)
         if D_c > D_MAX:
             return None, "max row degree %d > %d" % (D_c, D_MAX)
+        amax_c = max(int(arity.max()) if len(arity) else 1, 1)
         A_c = max(min(int(p.it_args_vid.shape[1]) if len(rows) else 1,
                       A_MAX), 1)
         Dg = max(Dg, D_c)
         Ag = max(Ag, A_c)
-        color_items.append((p, start, ro, n_rows, D_c))
+        color_items.append((p, start, ro, n_rows, D_c, order, slot,
+                            amax_c))
 
     present_all.discard(T.FUNC_NOOP)
     present = tuple(sorted(present_all))
@@ -314,7 +444,7 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
     DA = Dg * Ag
 
     total_rb = sum(_ceil(max(nr, 1), RB * n_shards) // RB
-                   for (_, _, _, nr, _) in color_items)
+                   for (_, _, _, nr, _, _, _, _) in color_items)
     Wb = _ceil(-(-(DA + 2) // 8), 128)   # (8, Wb) tile-aligned blocks
     packed_all = np.zeros((max(total_rb, 1), L.rows, RB), np.int32)
     wbase_all = np.zeros((max(total_rb, 1), 8, Wb), np.int32)
@@ -322,8 +452,11 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
     gwid_all = np.zeros((max(total_rb, 1), Dg, RB), np.int32)
     cmeta = np.zeros((max(len(color_items), 1), 8), np.int32)
 
+    aff_colors = {}          # ci -> (c_abs (D, A), packed_a blocks,
+    #                               g_wid blocks)
     rb_cursor = 0
-    for ci, (p, start, ro, n_rows, D_c) in enumerate(color_items):
+    for ci, (p, start, ro, n_rows, D_c, order, slot_map,
+             amax_c) in enumerate(color_items):
         R = _ceil(max(n_rows, 1), RB * n_shards)
         num_rb = R // RB
         inv_ro = np.empty(n_rows, np.int64)
@@ -364,15 +497,11 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
         g_subst = np.zeros((R, D, A), bool)
         g_fetch = np.zeros((R, D, A), bool)
         if len(rows):
-            # order items within each row by their smallest fetched-arg
-            # position, so slot d is COHERENT across a block's rows and
-            # each (block, slot, arg) window covers one contiguous region
-            subst_all = pad_args(p.it_subst[it_valid], False)
-            fetch_all = avalid & ~subst_all
-            pos_all = np.where(fetch_all, perm[avid], np.iinfo(
-                np.int64).max)
-            item_key = pos_all.min(axis=1)
-            order = np.lexsort((item_key, inv_ro[rows]))
+            # items land in the slots assigned in the first pass (delta
+            # clustering when cheap, else per-row rank by smallest
+            # fetched position) — either way slot d is COHERENT across
+            # a block's rows and each (block, slot, arg) window covers
+            # one contiguous region
             rows = rows[order]
             ftype = ftype[order]
             arity = arity[order]
@@ -381,22 +510,32 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
             avalid = avalid[order]
             it_idx = np.flatnonzero(it_valid)[order]
             nr = inv_ro[rows]
-            slot = np.arange(len(rows)) - np.concatenate(
-                ([0], np.cumsum(np.bincount(nr, minlength=n_rows))[:-1])
-            )[nr]
+            slot = slot_map
+            subst_all = pad_args(p.it_subst[it_valid], False)[order]
             g_ftype[nr, slot] = ftype
             g_arity[nr, slot] = arity
             g_wid[nr, slot] = wid
             g_fv[nr, slot] = p.it_fv[it_idx].astype(np.float32)
             g_dd[nr, slot] = (p.it_d1[it_idx].astype(np.int64) |
                               (p.it_d2[it_idx].astype(np.int64) << 8))
-            subst = subst_all[order]
+            subst = subst_all
             fetch = avalid & ~subst
             g_off[nr, slot, :] = np.where(fetch, perm[avid], 0)
             g_eq[nr, slot, :] = pad_args(p.it_args_eq[it_idx], 0)
             g_acard[nr, slot, :] = pad_args(p.it_args_card[it_idx], 1)
             g_subst[nr, slot, :] = subst
             g_fetch[nr, slot, :] = fetch
+
+        # affine fast-path qualification (uses ABSOLUTE offsets; must
+        # run before g_off becomes window-relative)
+        rowcard_c = np.ones(R, np.int64)
+        rowdt_c = np.zeros(R, np.int64)
+        vids_ranked_pre = p.cv_vid[p.cv_valid].astype(np.int64)[ro]
+        rowcard_c[:n_rows] = cards[vids_ranked_pre]
+        rowdt_c[:n_rows] = dtypes[vids_ranked_pre]
+        aff_ok, aff_c = _affine_color_info(
+            g_ftype, g_arity, g_off, g_fetch, g_subst, g_eq, g_acard,
+            rowcard_c, rowdt_c, n_rows, A)
 
         # per-(block, item-slot, arg-slot) windows over genuinely fetched
         # ids: a block's neighbors may scatter across several color
@@ -487,19 +626,81 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
         slab_lo = (slab_lo // 8) * 8
         slab_hi = np.where(has2, br2, 0).max(axis=1) + win_r
         wbase_flat[sl, DA] = slab_lo
+        # +16 rows of slack for the affine path's (9-row) roll reads
+        # past a tight window end (harmless for the one-hot path)
         wbase_flat[sl, DA + 1] = _ceil_np(np.maximum(
-            slab_hi - slab_lo, 8), 8)
+            slab_hi - slab_lo, 8) + (16 if aff_ok else 0), 8)
         gwid_all[sl, :D] = \
             g_wid.reshape(num_rb, RB, D).transpose(0, 2, 1)
 
-        cmeta[ci] = (rb_cursor, num_rb, start // 128, nt, D_c, 0, 0, 0)
+        cmeta[ci] = (rb_cursor, num_rb, start // 128, nt, D_c, 0, 0,
+                     amax_c)
+        if aff_ok:
+            aff_colors[ci] = dict(
+                c_abs=aff_c, num_rb=num_rb, D_c=D_c,
+                ftype=g_ftype, arity=g_arity, subst=g_subst,
+                wid=g_wid, fv=g_fv,
+                upd=upd_new[start:start + R].astype(np.int64),
+                upd_e=(valid_c & (isev_c == 0)).astype(np.int64),
+                lrn=(valid_c & (isev_c == 1)).astype(np.int64))
         rb_cursor += num_rb
+
+    # ---- affine fast-path assembly: compact (8, 128)-slab blocks ----
+    packed_a = amet_all = gwid_a = None
+    aff_D = 0
+    if aff_colors:
+        aff_D = max(d["D_c"] for d in aff_colors.values())
+        M = 5 * aff_D + 3
+        total_rb_a = sum(d["num_rb"] for d in aff_colors.values())
+        packed_a = np.zeros((total_rb_a, M * 8, 128), np.int32)
+        gwid_a = np.zeros((total_rb_a, aff_D, RB), np.int32)
+        amet_all = np.full((max(len(color_items), 1), AFF_DA_MAX),
+                           AFF_NONE, np.int32)
+        cur = 0
+        for ci in sorted(aff_colors):
+            d = aff_colors[ci]
+            num_rb, D_c = d["num_rb"], d["D_c"]
+            blk = packed_a[cur:cur + num_rb]
+
+            def aput(lrow, grid, blk=blk, num_rb=num_rb):
+                blk[:, 8 * lrow:8 * lrow + 8, :] = \
+                    np.asarray(grid, np.int32).reshape(num_rb, 8, 128)
+
+            for dd in range(D_c):
+                aput(5 * dd, (d["ftype"][:, dd] + 1) |
+                     (d["arity"][:, dd] << 8))
+                # 5*dd+1 (wbake) stays zero until fill_weights
+                sbits_d = (d["subst"][:, dd, :].astype(np.int64) <<
+                           np.arange(Ag, dtype=np.int64)).sum(-1)
+                aput(5 * dd + 2, sbits_d)
+                aput(5 * dd + 3, d["wid"][:, dd])
+                aput(5 * dd + 4, np.ascontiguousarray(
+                    d["fv"][:, dd].astype(np.float32)).view(np.int32))
+                gwid_a[cur:cur + num_rb, dd] = \
+                    d["wid"][:, dd].reshape(num_rb, RB)
+                amet_all[ci, dd * Ag:dd * Ag + Ag] = \
+                    np.clip(d["c_abs"][dd], -(2 ** 31) + 1, AFF_NONE)
+            aput(5 * aff_D, d["upd"])
+            aput(5 * aff_D + 1, d["upd_e"])
+            aput(5 * aff_D + 2, d["lrn"])
+            cmeta[ci, 5] = 1
+            cmeta[ci, 6] = cur
+            cur += num_rb
+        # tail guard so clamped superblock rolls stay in bounds
+        vp_g = _ceil(vp + AFF_GUARD, 2048)
+        init_new = np.concatenate([init_new,
+                                   np.zeros(vp_g - vp, np.int32)])
+        tally_new = np.concatenate([tally_new,
+                                    np.zeros(vp_g - vp, np.int32)])
+        vp = vp_g
 
     plan = ItemGridPlan(packed=packed_all, wbase=wbase_all, cmeta=cmeta,
                         D=Dg, A=Ag, perm=perm, vp=vp,
                         n_vars=cg.n_vars, kmax=kmax, present=present,
                         init_new=init_new, tally_new=tally_new,
-                        g_wid=gwid_all, n_weights=cg.n_weights, trw=trw)
+                        g_wid=gwid_all, n_weights=cg.n_weights, trw=trw,
+                        packed_a=packed_a, amet=amet_all,
+                        g_wid_a=gwid_a, aff_D=aff_D)
     return plan, None
 
 
@@ -510,6 +711,12 @@ def fill_weights(plan: ItemGridPlan, weight_value: np.ndarray):
     L = _Layout(plan.D, plan.A)
     wslab = wv[plan.g_wid]                      # (total_rb, D, RB) f32
     plan.packed[:, L.wbake:L.wbake + plan.D] = wslab.view(np.int32)
+    if plan.packed_a is not None:
+        ws = wv[plan.g_wid_a]                   # (rb_a, aff_D, RB) f32
+        for dd in range(plan.aff_D):
+            lrow = 5 * dd + 1
+            plan.packed_a[:, 8 * lrow:8 * lrow + 8, :] = \
+                ws[:, dd].view(np.int32).reshape(-1, 8, 128)
 
 
 # --------------------------------------------------------------------------
@@ -539,7 +746,9 @@ def _eval_all(present, ftype, arity, vals, eqs, cards, A):
         at_head = jnp.int32(a) == head_pos
         head = jnp.where(at_head, vals[a], head)
         head_eq = jnp.where(at_head, eqs[a], head_eq)
-        ufo_sel = jnp.where(vals[0] - 1 == jnp.int32(a),
+        # validity mask matches _loop_stats: a malformed UFO head value
+        # beyond the arity must not read a padding slot (ADVICE r2)
+        ufo_sel = jnp.where((vals[0] - 1 == jnp.int32(a)) & avalid[a],
                             vals[a].astype(jnp.float32), ufo_sel)
     v0 = vals[0]
     st = ArgStats(
@@ -852,6 +1061,129 @@ def _term_pots(term, present, Ag, kmax, card, dense, chain, pots):
 
 
 # --------------------------------------------------------------------------
+# affine fast-path kernel helpers (shared by the VMEM and HBM kernels)
+
+def _aff_gather(av_a, x_ref, nj, amet_at, s_of, n8, l_iota):
+    """Stage all fetched (slot, arg) values for ``n8`` blocks: one
+    (n8*8, 128) lane-roll per flat slot j (measured 58 Gvals/s vs 2.4
+    for the production f32 one-hot matmul on this chip).
+
+    ``amet_at(j)`` -> affine constant c (AFF_NONE = skip); ``s_of(c)``
+    -> value-row start relative to ``x_ref``. A clamped base is
+    corrected by a sublane roll: the wrapped rows land only on rows
+    whose true position is out of bounds, i.e. rows that do not fetch
+    this slot."""
+    rows = n8 * 8
+    hi = x_ref.shape[0] - rows - 1
+
+    def g_one(j, _):
+        c = amet_at(j)
+
+        @pl.when(c != AFF_NONE)
+        def _():
+            s = s_of(c)
+            raw = s >> 7          # arithmetic shift: floor for s < 0
+            l0 = s & 127
+            # out[q][l] = x[s + 128q + l]: same-slab lanes (l < 128-l0)
+            # come from row raw+q, carried lanes from row raw+q+1. Each
+            # slab is clamped into range separately and sublane-rolled
+            # by its own clamp delta; wrapped rows land only on lanes
+            # whose true position is out of bounds (non-fetching rows).
+            ba = jnp.clip(raw, 0, hi)
+            bb = jnp.clip(raw + 1, 0, hi)
+            a1 = pltpu.roll(x_ref[pl.ds(ba, rows), :], ba - raw, 0)
+            a2 = pltpu.roll(x_ref[pl.ds(bb, rows), :], bb - raw - 1, 0)
+            av_a[pl.ds(j * SB * 8, rows), :] = \
+                jnp.where(l_iota < 128 - l0,
+                          pltpu.roll(a1, -l0, 1),
+                          pltpu.roll(a2, -l0, 1))
+        return 0
+
+    jax.lax.fori_loop(0, nj, g_one, 0)
+
+
+def _aff_block_pots(read_pk, read_av, d_c, amax_c, Ag, aff_D, present,
+                    w_of=None):
+    """Potentials for both boolean candidates of one (8, 128) block on
+    the affine path: ONE shared stats pass over the fetched arguments
+    (candidate substitution touches only subst slots, whose boolean
+    contribution is an O(1) count fixup), then the shared semantics
+    table. Parity: _term_pots/_loop_stats on the same data.
+    ``w_of``: live-weight lookup (learning); None reads baked weights.
+    """
+    zero8 = jnp.zeros((8, 128), jnp.int32)
+    full2 = jnp.full((8, 128), 2, jnp.int32)
+
+    def d_body(d, pots2):
+        fta = read_pk(5 * d)
+        ftype = (fta & 0xFF) - 1
+        arity = fta >> 8
+        if w_of is None:
+            w = pltpu.bitcast(read_pk(5 * d + 1), jnp.float32)
+        else:
+            w = w_of(read_pk(5 * d + 3))
+        sbits = read_pk(5 * d + 2)
+
+        def a_body(a, c):
+            (nz, nbz, ns, nbs, hf, hs, v0f, v0s, v1f, v1s,
+             v2f, v2s) = c
+            v = read_av(d * Ag + a)
+            sub = ((sbits >> a) & 1) != 0
+            m = a < arity
+            mb = a < arity - 1
+            fet = m & ~sub
+            nz = nz + jnp.where(fet & (v == 0), 1, 0)
+            nbz = nbz + jnp.where(mb & ~sub & (v == 0), 1, 0)
+            ns = ns + jnp.where(m & sub, 1, 0)
+            nbs = nbs + jnp.where(mb & sub, 1, 0)
+            subi = sub.astype(jnp.int32)
+            at_h = (a == arity - 1)
+            hf = jnp.where(at_h & ~sub, v, hf)
+            hs = jnp.where(at_h, subi, hs)
+            v0f = jnp.where((a == 0) & ~sub, v, v0f)
+            v0s = jnp.where(a == 0, subi, v0s)
+            v1f = jnp.where((a == 1) & ~sub, v, v1f)
+            v1s = jnp.where(a == 1, subi, v1s)
+            v2f = jnp.where((a == 2) & ~sub, v, v2f)
+            v2s = jnp.where(a == 2, subi, v2s)
+            return (nz, nbz, ns, nbs, hf, hs, v0f, v0s, v1f, v1s,
+                    v2f, v2s)
+
+        (nz, nbz, ns, nbs, hf, hs, v0f, v0s, v1f, v1s, v2f, v2s) = \
+            jax.lax.fori_loop(0, amax_c, a_body,
+                              tuple(zero8 for _ in range(12)))
+        out = []
+        for k in range(2):
+            n_zero = nz + ns if k == 0 else nz
+            n_bz = nbz + nbs if k == 0 else nbz
+            kk = jnp.int32(k)
+            head = jnp.where(hs == 1, kk, hf)
+            v0 = jnp.where(v0s == 1, kk, v0f)
+            st = ArgStats(
+                n_zero=n_zero,
+                n_one=arity - n_zero,
+                n_diff0=jnp.where(v0 == 0, arity - n_zero, n_zero),
+                n_head_eq=jnp.where(head == 0, n_bz,
+                                    arity - 1 - n_bz),
+                n_body_zero=n_bz,
+                n_neq_eq=arity - n_zero,
+                n_eq_eq=n_zero,
+                n_body_neq_eq=arity - 1 - n_bz,
+                head=head, head_eq=zero8,
+                v0=v0,
+                v1=jnp.where(v1s == 1, kk, v1f),
+                v2=jnp.where(v2s == 1, kk, v2f),
+                card0=full2, card1=full2,
+                ufo_sel=jnp.float32(0))
+            e = finalize(present, ftype, st)
+            out.append(pots2[k] + w * e)
+        return tuple(out)
+
+    zf = jnp.zeros((8, 128), jnp.float32)
+    return jax.lax.fori_loop(0, d_c, d_body, (zf, zf))
+
+
+# --------------------------------------------------------------------------
 # kernels
 
 def _exchange_color(x_out, cmeta_ref, gmeta_ref, ci, my, n_g, rbl,
@@ -907,7 +1239,8 @@ def _exchange_color(x_out, cmeta_ref, gmeta_ref, ci, my, n_g, rbl,
 
 
 def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
-                 n_shards: int = 1, has_ext: bool = False):
+                 n_shards: int = 1, has_ext: bool = False,
+                 allow_aff: bool = True):
     vp = plan.vp
     kmax = plan.kmax
     vpr = vp // 128
@@ -926,6 +1259,11 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
     unroll_d = plan.D <= 8
     unroll_a = plan.A <= 8          # high arity -> stats loops
     Wb = _ceil(-(-(DA + 2) // 8), 128)
+    has_aff = allow_aff and plan.packed_a is not None and \
+        plan.cmeta.size and bool((plan.cmeta[:, 5] == 1).any())
+    has_old = (not has_aff) or bool((plan.cmeta[:, 5] == 0).any())
+    aff_D = plan.aff_D
+    M8 = (5 * aff_D + 3) * 8
 
     mc = n_shards > 1
 
@@ -940,15 +1278,23 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
             seed_ref, burn_ref, epochs_ref, cmeta_ref = refs[:4]
             refs = refs[4:]
             my = 0
+        amet_ref = refs.pop(0) if has_aff else None
         x_in, tally_in = refs[:2]
         refs = refs[2:]
         ext_in = None
         if has_ext:
             ext_in = refs.pop(0)   # (kmax*vpr, 128) f32 potentials
-        (pack_hbm, wb_hbm, x_out, count_out,
-         pack_scr, wb_scr, av_scr, sem, wsem) = refs[:9]
+        pack_hbm, wb_hbm = refs[:2]
+        refs = refs[2:]
+        pack_a_hbm = refs.pop(0) if has_aff else None
+        (x_out, count_out,
+         pack_scr, wb_scr, av_scr, sem, wsem) = refs[:7]
+        refs = refs[7:]
         if mc:
-            ssem, rsems = refs[9:11]
+            ssem, rsems = refs[:2]
+            refs = refs[2:]
+        if has_aff:
+            pack_a_scr, av_a, asem = refs[:3]
         pltpu.prng_seed(seed_ref[0] + my)
         uniform = _make_uniform(sw_prng, seed_ref[0] * 977 + my)
         # chunked init + tally: full-(vp)-array ops stage through vector
@@ -980,7 +1326,7 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
             pltpu.make_async_copy(wb_hbm.at[grb], wb_scr.at[slot],
                                   wsem.at[slot]).wait()
 
-        def color_body(ci, epoch_i):
+        def old_color_body(ci, epoch_i):
             # the per-color schedule is DATA (an SMEM table), so this
             # single body serves any number of colors
             rb_off = cmeta_ref[ci, 0]
@@ -1061,6 +1407,117 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
 
             jax.lax.fori_loop(0, num_rb, rb_body,
                               (epoch_i * 64 + ci) * n_shards + my)
+            return epoch_i
+
+        # ---- affine fast path: lane-roll gathers + shared boolean
+        # counting stats (see _affine_color_info for the envelope) ----
+        if has_aff:
+            lane_sb = jax.lax.broadcasted_iota(jnp.int32, (SB * 8, 128),
+                                               1)
+            lane_b = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            full2 = jnp.full((8, 128), 2, jnp.int32)
+
+            def a_dma(grb, slot, nb, what):
+                cp = pltpu.make_async_copy(
+                    pack_a_hbm.at[pl.ds(grb * M8, nb * M8)],
+                    pack_a_scr.at[slot, pl.ds(0, nb * M8)],
+                    asem.at[slot])
+                cp.start() if what == "start" else cp.wait()
+
+            def a_gather(ci, base_i, n8):
+                _aff_gather(av_a, x_out, cmeta_ref[ci, 4] * Ag,
+                            lambda j: amet_ref[ci, j],
+                            lambda c: c + base_i, n8,
+                            lane_sb if n8 == SB else lane_b)
+
+            def a_eval_store(ci, read_pk, read_av, row0b, salt):
+                pots = _aff_block_pots(read_pk, read_av,
+                                       cmeta_ref[ci, 4],
+                                       cmeta_ref[ci, 7], Ag, aff_D,
+                                       present)
+                if has_ext:
+                    pots = tuple(
+                        pots[k] + ext_in[pl.ds(k * vpr + row0b, rbl), :]
+                        for k in range(2))
+                new = _draw(list(pots), full2, 2,
+                            uniform(salt, (8, 128)))
+                upd = read_pk(5 * aff_D)
+                old = x_out[pl.ds(row0b, rbl), :]
+                x_out[pl.ds(row0b, rbl), :] = jnp.where(upd == 1, new,
+                                                        old)
+
+            def aff_color_body(ci, epoch_i):
+                rb_off_a = cmeta_ref[ci, 6]
+                num_rb = cmeta_ref[ci, 1]
+                row0c = cmeta_ref[ci, 2]
+                n_full = num_rb // SB
+                n_tail = num_rb - n_full * SB
+                salt0 = (epoch_i * 64 + ci) * n_shards + my
+
+                @pl.when(n_full > 0)
+                def _():
+                    a_dma(rb_off_a, 0, SB, "start")
+
+                    def sb_body(sb, _):
+                        slot = sb % 2
+
+                        @pl.when(sb + 1 < n_full)
+                        def _():
+                            a_dma(rb_off_a + (sb + 1) * SB,
+                                  (sb + 1) % 2, SB, "start")
+
+                        a_dma(rb_off_a + sb * SB, slot, SB, "wait")
+                        a_gather(ci, sb * (SB * RB), SB)
+                        pka = pack_a_scr.at[slot]
+
+                        def b_body(b, _):
+                            a_eval_store(
+                                ci,
+                                lambda lr: pka[pl.ds(b * M8 + 8 * lr,
+                                                     8), :],
+                                lambda j: av_a[pl.ds(j * SB * 8 + b * 8,
+                                                     8), :],
+                                row0c + (sb * SB + b) * rbl,
+                                salt0 * 65536 + sb * SB + b)
+                            return 0
+
+                        jax.lax.fori_loop(0, SB, b_body, 0)
+                        return 0
+
+                    jax.lax.fori_loop(0, n_full, sb_body, 0)
+
+                @pl.when(n_tail > 0)
+                def _():
+                    def tb_body(t, _):
+                        tb = n_full * SB + t
+                        a_dma(rb_off_a + tb, 0, 1, "start")
+                        a_dma(rb_off_a + tb, 0, 1, "wait")
+                        a_gather(ci, tb * RB, 1)
+                        pka = pack_a_scr.at[0]
+                        a_eval_store(
+                            ci,
+                            lambda lr: pka[pl.ds(8 * lr, 8), :],
+                            lambda j: av_a[pl.ds(j * SB * 8, 8), :],
+                            row0c + tb * rbl,
+                            salt0 * 65536 + tb)
+                        return 0
+
+                    jax.lax.fori_loop(0, n_tail, tb_body, 0)
+                return epoch_i
+
+        def color_body(ci, epoch_i):
+            if has_aff and has_old:
+                @pl.when(cmeta_ref[ci, 5] == 1)
+                def _():
+                    aff_color_body(ci, epoch_i)
+
+                @pl.when(cmeta_ref[ci, 5] == 0)
+                def _():
+                    old_color_body(ci, epoch_i)
+            elif has_aff:
+                aff_color_body(ci, epoch_i)
+            else:
+                old_color_body(ci, epoch_i)
             if mc:
                 _exchange_color(x_out, cmeta_ref, gmeta_ref, ci, my,
                                 n_shards, rbl, ssem, rsems)
@@ -1479,12 +1936,17 @@ class PallasItemGridEngine:
         vp, kmax = plan.vp, plan.kmax
         L = _Layout(plan.D, plan.A)
         DA = plan.D * plan.A
+        has_aff = plan.packed_a is not None and plan.cmeta.size and \
+            bool((plan.cmeta[:, 5] == 1).any())
+        M8 = (5 * plan.aff_D + 3) * 8
 
         in_specs = (
-            [pl.BlockSpec(memory_space=pltpu.SMEM)] * 4 +  # seed/b/e/meta
+            [pl.BlockSpec(memory_space=pltpu.SMEM)] *
+            (5 if has_aff else 4) +            # seed/b/e/cmeta[, amet]
             [pl.BlockSpec(memory_space=pltpu.VMEM)] *
             (3 if has_ext else 2) +                        # x, tally[, ext]
-            [pl.BlockSpec(memory_space=pltpu.ANY)] * 2     # packed, wbase
+            [pl.BlockSpec(memory_space=pltpu.ANY)] *
+            (3 if has_aff else 2)              # packed, wbase[, packed_a]
         )
         out_specs = (pl.BlockSpec(memory_space=pltpu.VMEM),
                      pl.BlockSpec(memory_space=pltpu.VMEM))
@@ -1494,14 +1956,25 @@ class PallasItemGridEngine:
                    pltpu.VMEM((max(plan.A, 1), RB), jnp.int32),  # staged
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA((2,))]
+        if has_aff:
+            scratch += [pltpu.VMEM((2, SB * M8, 128), jnp.int32),
+                        pltpu.VMEM((AFF_DA_MAX * SB * 8, 128),
+                                   jnp.int32),
+                        pltpu.SemaphoreType.DMA((2,))]
+        x_idx = 5 if has_aff else 4
 
         @jax.jit
         def call(seed, burn, epochs, cmeta, x0, tally, packed, wbase,
-                 ext=None):
-            args = [seed, burn, epochs, cmeta, x0, tally]
+                 ext=None, amet=None, packed_a=None):
+            args = [seed, burn, epochs, cmeta]
+            if has_aff:
+                args.append(amet)
+            args += [x0, tally]
             if has_ext:
                 args.append(ext)
             args += [packed, wbase]
+            if has_aff:
+                args.append(packed_a)
             return pl.pallas_call(
                 kernel,
                 out_shape=(
@@ -1514,7 +1987,7 @@ class PallasItemGridEngine:
                 compiler_params=pltpu.CompilerParams(
                     has_side_effects=True,
                     vmem_limit_bytes=127 * 1024 * 1024),
-                input_output_aliases={4: 0},   # x0 buffer IS x_out
+                input_output_aliases={x_idx: 0},   # x0 buffer IS x_out
                 interpret=(pltpu.InterpretParams()
                            if self.interpret else False),
             )(*args)
@@ -1584,6 +2057,12 @@ class PallasItemGridEngine:
             self._packs = (jnp.asarray(self.plan.packed),
                            jnp.asarray(self.plan.wbase))
             self._cmeta = jnp.asarray(self.plan.cmeta)
+            if self.plan.packed_a is not None:
+                self._amet = jnp.asarray(self.plan.amet)
+                self._packed_a = jnp.asarray(
+                    self.plan.packed_a.reshape(-1, 128))
+            else:
+                self._amet = self._packed_a = None
             self._weights_for = wkey
 
     def learn(self, seed: int, burn: int, epochs: int, stepsize: float,
@@ -1686,6 +2165,9 @@ class PallasItemGridEngine:
             ext[:K, plan.perm] = ep[:, :K].T
             kw["ext"] = jnp.asarray(
                 ext.reshape(plan.kmax * plan.vp // 128, 128))
+        if self._packed_a is not None:
+            kw["amet"] = self._amet
+            kw["packed_a"] = self._packed_a
         x_out, cnt = self._call(
             jnp.asarray([seed], jnp.int32), jnp.asarray([burn], jnp.int32),
             jnp.asarray([epochs], jnp.int32), self._cmeta, x2d, t2d,
@@ -1706,26 +2188,43 @@ def shard_schedule(plan: ItemGridPlan, n_g: int):
     padded colors to n_shards*RB rows), so every device owns the same
     number of blocks per color: cmeta_mc[d] indexes the device's own
     packed stack; gmeta lists every device's (row base, block count)
-    per color for the receive waits of the halo exchange."""
+    per color for the receive waits of the halo exchange. Affine
+    colors additionally get per-device packed_a slices and amet rows
+    shifted by the device's local-row offset (the affine constant is
+    relative to the color's OWN row 0; a device's row i is color row
+    dev_offset + i)."""
     C = plan.cmeta.shape[0]
     rbl = RB // 128
     cmeta_mc = np.zeros((n_g, C, 8), np.int32)
     gmeta = np.zeros((C, n_g, 2), np.int32)
     sel = [[] for _ in range(n_g)]
+    sel_a = [[] for _ in range(n_g)]
+    has_aff = plan.packed_a is not None
+    amet_mc = (np.repeat(plan.amet[None], n_g, axis=0).copy()
+               if has_aff else None)
     for ci in range(C):
-        rb_off, num_rb, row0r, nt, d_c = (int(x) for x in
-                                          plan.cmeta[ci, :5])
+        rb_off, num_rb, row0r, nt, d_c, aff, rb_off_a, amax_c = (
+            int(x) for x in plan.cmeta[ci, :8])
         assert num_rb % n_g == 0, (num_rb, n_g)
         nb = num_rb // n_g
         for d in range(n_g):
             local_off = len(sel[d])
             sel[d].extend(range(rb_off + d * nb, rb_off + (d + 1) * nb))
+            local_off_a = len(sel_a[d])
+            if aff:
+                sel_a[d].extend(range(rb_off_a + d * nb,
+                                      rb_off_a + (d + 1) * nb))
+                keep = plan.amet[ci] != AFF_NONE
+                amet_mc[d, ci, keep] = plan.amet[ci, keep] + \
+                    np.int32(d * nb * RB)
             cmeta_mc[d, ci] = (local_off, nb, row0r + d * nb * rbl, nt,
-                               d_c, 0, 0, 0)
+                               d_c, aff, local_off_a, amax_c)
             gmeta[ci, d] = (row0r + d * nb * rbl, nb)
     packed_mc = np.stack([plan.packed[s] for s in sel])
     wbase_mc = np.stack([plan.wbase[s] for s in sel])
-    return packed_mc, wbase_mc, cmeta_mc, gmeta
+    packed_a_mc = (np.stack([plan.packed_a[s] for s in sel_a])
+                   if has_aff else None)
+    return packed_mc, wbase_mc, cmeta_mc, gmeta, packed_a_mc, amet_mc
 
 
 class MultiChipItemGridEngine:
@@ -1769,11 +2268,16 @@ class MultiChipItemGridEngine:
         L = _Layout(plan.D, plan.A)
         DA = plan.D * plan.A
         vp, kmax = plan.vp, plan.kmax
+        has_aff = plan.packed_a is not None and plan.cmeta.size and \
+            bool((plan.cmeta[:, 5] == 1).any())
+        M8 = (5 * plan.aff_D + 3) * 8
 
         in_specs = (
-            [pl.BlockSpec(memory_space=pltpu.SMEM)] * 6 +  # scalars+meta
+            [pl.BlockSpec(memory_space=pltpu.SMEM)] *
+            (7 if has_aff else 6) +        # scalars+meta[, amet]
             [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 +  # x, tally
-            [pl.BlockSpec(memory_space=pltpu.ANY)] * 2     # packed, wbase
+            [pl.BlockSpec(memory_space=pltpu.ANY)] *
+            (3 if has_aff else 2)          # packed, wbase[, packed_a]
         )
         out_specs = (pl.BlockSpec(memory_space=pltpu.VMEM),
                      pl.BlockSpec(memory_space=pltpu.VMEM))
@@ -1785,11 +2289,23 @@ class MultiChipItemGridEngine:
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA(()),       # send sem
                    pltpu.SemaphoreType.DMA((n_g,))]   # per-peer recv
+        if has_aff:
+            scratch += [pltpu.VMEM((2, SB * M8, 128), jnp.int32),
+                        pltpu.VMEM((AFF_DA_MAX * SB * 8, 128),
+                                   jnp.int32),
+                        pltpu.SemaphoreType.DMA((2,))]
+        x_idx = 7 if has_aff else 6
 
         def dev_fn(seed, burn, epochs, cmeta_d, gmeta, x0, tally,
-                   packed_d, wbase_d):
+                   packed_d, wbase_d, amet_d=None, packed_a_d=None):
             myid = jax.lax.axis_index("graph").astype(jnp.int32).reshape(
                 (1,))
+            args = [seed, burn, epochs, myid, cmeta_d[0], gmeta]
+            if has_aff:
+                args.append(amet_d[0])
+            args += [x0, tally, packed_d[0], wbase_d[0]]
+            if has_aff:
+                args.append(packed_a_d[0])
             return pl.pallas_call(
                 kernel,
                 out_shape=(
@@ -1802,18 +2318,20 @@ class MultiChipItemGridEngine:
                 compiler_params=pltpu.CompilerParams(
                     has_side_effects=True, collective_id=13,
                     vmem_limit_bytes=127 * 1024 * 1024),
-                input_output_aliases={6: 0},   # x0 buffer IS x_out
+                input_output_aliases={x_idx: 0},   # x0 buffer IS x_out
                 interpret=(pltpu.InterpretParams()
                            if self.interpret else False),
-            )(seed, burn, epochs, myid, cmeta_d[0], gmeta, x0, tally,
-              packed_d[0], wbase_d[0])
+            )(*args)
 
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
         G = "graph"
+        in_sp = [P(), P(), P(), P(G), P(), P(), P(), P(G), P(G)]
+        if has_aff:
+            in_sp += [P(G), P(G)]
         sm = shard_map(
             dev_fn, mesh=self.mesh,
-            in_specs=(P(), P(), P(), P(G), P(), P(), P(), P(G), P(G)),
+            in_specs=tuple(in_sp),
             out_specs=(P(), P()), check_vma=False)
         return jax.jit(sm)
 
@@ -1821,11 +2339,17 @@ class MultiChipItemGridEngine:
         wkey = wv.tobytes()
         if self._weights_for != wkey:
             fill_weights(self.plan, wv)
-            packed_mc, wbase_mc, cmeta_mc, gmeta = shard_schedule(
-                self.plan, self.n_g)
+            (packed_mc, wbase_mc, cmeta_mc, gmeta, packed_a_mc,
+             amet_mc) = shard_schedule(self.plan, self.n_g)
             self._packs = (jnp.asarray(packed_mc), jnp.asarray(wbase_mc))
             self._cmeta_mc = jnp.asarray(cmeta_mc)
             self._gmeta = jnp.asarray(gmeta)
+            if packed_a_mc is not None:
+                self._packed_a_mc = jnp.asarray(packed_a_mc.reshape(
+                    self.n_g, -1, 128))
+                self._amet_mc = jnp.asarray(amet_mc)
+            else:
+                self._packed_a_mc = self._amet_mc = None
             self._weights_for = wkey
 
     def run(self, seed: int, burn: int, epochs: int,
@@ -1845,10 +2369,13 @@ class MultiChipItemGridEngine:
         x2d = jnp.asarray(init.reshape(plan.vp // 128, 128))
         t2d = jnp.asarray(plan.tally_new.reshape(plan.vp // 128, 128)
                           .astype(np.int8))
+        extra = []
+        if self._packed_a_mc is not None:
+            extra = [self._amet_mc, self._packed_a_mc]
         x_out, cnt = self._call(
             jnp.asarray([seed], jnp.int32), jnp.asarray([burn], jnp.int32),
             jnp.asarray([epochs], jnp.int32), self._cmeta_mc, self._gmeta,
-            x2d, t2d, *self._packs)
+            x2d, t2d, *self._packs, *extra)
         x_flat = np.asarray(x_out).reshape(-1)[plan.perm]
         cnt = np.asarray(cnt).astype(np.int32).reshape(plan.kmax, plan.vp)
         return x_flat, cnt[:, plan.perm].T.copy()
@@ -1863,7 +2390,8 @@ V_HBM_MAX = 256 << 20    # HBM-resident mode variable cap (values 4B +
 SR_MAX = 1024            # max value-slab rows per block (128K values)
 
 
-def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False):
+def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
+                     allow_aff: bool = True):
     """HBM-resident inference kernel: the value array and tallies live
     in HBM; each row block DMAs in the smallest value slab covering all
     its windows (planner-computed, double-buffered with the item
@@ -1892,16 +2420,31 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False):
     unroll_a = plan.A <= 8
     Wb = _ceil(-(-(DA + 2) // 8), 128)
     TCH = 512               # tally stream chunk rows
+    has_aff = allow_aff and plan.packed_a is not None and \
+        plan.cmeta.size and bool((plan.cmeta[:, 5] == 1).any())
+    has_old = (not has_aff) or bool((plan.cmeta[:, 5] == 0).any())
+    aff_D = plan.aff_D
+    M8 = (5 * aff_D + 3) * 8
 
     n_full = vpr // TCH
     tail = vpr % TCH          # static; vpr is a multiple of 16
     zn_full = (kmax * vpr) // TCH
     ztail = (kmax * vpr) % TCH
 
-    def kernel(seed_ref, burn_ref, epochs_ref, cmeta_ref,
-               tally_hbm, pack_hbm, wb_hbm, x_in_hbm, x_hbm, count_hbm,
-               pack_scr, wb_scr, av_scr, slab_scr, row_scr, cnt_scr,
-               tly_scr, sem, wsem, ssem, stsem, csem):
+    def kernel(*refs):
+        refs = list(refs)
+        (seed_ref, burn_ref, epochs_ref, cmeta_ref) = refs[:4]
+        refs = refs[4:]
+        amet_ref = refs.pop(0) if has_aff else None
+        (tally_hbm, pack_hbm, wb_hbm) = refs[:3]
+        refs = refs[3:]
+        pack_a_hbm = refs.pop(0) if has_aff else None
+        (x_in_hbm, x_hbm, count_hbm,
+         pack_scr, wb_scr, av_scr, slab_scr, row_scr, cnt_scr,
+         tly_scr, sem, wsem, ssem, stsem, csem) = refs[:15]
+        refs = refs[15:]
+        if has_aff:
+            pack_a_scr, av_a, asem = refs[:3]
         # x_in_hbm is ALIASED to x_hbm (same buffer); all access goes
         # through the output ref
         del x_in_hbm
@@ -1958,7 +2501,7 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False):
             pltpu.make_async_copy(x_hbm.at[pl.ds(_sbase(raw), sr)],
                                   slab_scr.at[slot], ssem.at[slot]).wait()
 
-        def color_body(ci, epoch_i):
+        def old_color_body(ci, epoch_i):
             rb_off = cmeta_ref[ci, 0]
             num_rb = cmeta_ref[ci, 1]
             row0c = cmeta_ref[ci, 2]
@@ -2050,6 +2593,101 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False):
                 return salt_base
 
             jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * 64 + ci)
+            return epoch_i
+
+        # affine fast path, per block: lane-roll gathers from the value
+        # slab + shared boolean stats; bit-identical to the VMEM
+        # kernel's affine path (same salts, shapes, and sum order)
+        if has_aff:
+            lane_b = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            full2 = jnp.full((8, 128), 2, jnp.int32)
+
+            def a_dma(grb, slot, what):
+                cp = pltpu.make_async_copy(
+                    pack_a_hbm.at[pl.ds(grb * M8, M8)],
+                    pack_a_scr.at[slot], asem.at[slot])
+                cp.start() if what == "start" else cp.wait()
+
+            def wb_dma(grb, slot, what):
+                cp = pltpu.make_async_copy(wb_hbm.at[grb],
+                                           wb_scr.at[slot],
+                                           wsem.at[slot])
+                cp.start() if what == "start" else cp.wait()
+
+            def aff_color_body(ci, epoch_i):
+                rb_off = cmeta_ref[ci, 0]        # wb blocks (old stack)
+                rb_off_a = cmeta_ref[ci, 6]
+                num_rb = cmeta_ref[ci, 1]
+                row0c = cmeta_ref[ci, 2]
+                wb_dma(rb_off, 0, "start")
+                a_dma(rb_off_a, 0, "start")
+                wb_dma(rb_off, 0, "wait")
+                start_slab(0, _wb_view(wb_scr, 0, Wb)[DA])
+
+                def rb_body(rb, salt_base):
+                    slot = rb % 2
+
+                    @pl.when(rb + 1 < num_rb)
+                    def _():
+                        nslot = (rb + 1) % 2
+                        wb_dma(rb_off + rb + 1, nslot, "start")
+                        a_dma(rb_off_a + rb + 1, nslot, "start")
+                        wb_dma(rb_off + rb + 1, nslot, "wait")
+                        start_slab(nslot, _wb_view(wb_scr, nslot,
+                                                   Wb)[DA])
+
+                    wait_slab(slot, _wb_view(wb_scr, slot, Wb)[DA])
+                    a_dma(rb_off_a + rb, slot, "wait")
+                    slab = slab_scr.at[slot]
+                    sbase = _sbase(_wb_view(wb_scr, slot, Wb)[DA])
+                    base_i = rb * RB
+                    _aff_gather(av_a, slab, cmeta_ref[ci, 4] * Ag,
+                                lambda j: amet_ref[ci, j],
+                                lambda c: c + base_i - sbase * 128,
+                                1, lane_b)
+                    pka = pack_a_scr.at[slot]
+                    pots = _aff_block_pots(
+                        lambda lr: pka[pl.ds(8 * lr, 8), :],
+                        lambda j: av_a[pl.ds(j * SB * 8, 8), :],
+                        cmeta_ref[ci, 4], cmeta_ref[ci, 7], Ag, aff_D,
+                        present)
+                    new = _draw(list(pots), full2, 2,
+                                uniform(salt_base * 65536 + rb,
+                                        (8, 128)))
+                    upd = pka[pl.ds(8 * (5 * aff_D), 8), :]
+                    row0 = row0c + rb * rbl
+                    pltpu.make_async_copy(x_hbm.at[pl.ds(row0, rbl)],
+                                          row_scr.at[slot],
+                                          stsem.at[slot]).start()
+                    pltpu.make_async_copy(x_hbm.at[pl.ds(row0, rbl)],
+                                          row_scr.at[slot],
+                                          stsem.at[slot]).wait()
+                    old = row_scr[slot]
+                    row_scr[slot] = jnp.where(upd == 1, new, old)
+                    pltpu.make_async_copy(row_scr.at[slot],
+                                          x_hbm.at[pl.ds(row0, rbl)],
+                                          stsem.at[slot]).start()
+                    pltpu.make_async_copy(row_scr.at[slot],
+                                          x_hbm.at[pl.ds(row0, rbl)],
+                                          stsem.at[slot]).wait()
+                    return salt_base
+
+                jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * 64 + ci)
+                return epoch_i
+
+        def color_body(ci, epoch_i):
+            if has_aff and has_old:
+                @pl.when(cmeta_ref[ci, 5] == 1)
+                def _():
+                    aff_color_body(ci, epoch_i)
+
+                @pl.when(cmeta_ref[ci, 5] == 0)
+                def _():
+                    old_color_body(ci, epoch_i)
+            elif has_aff:
+                aff_color_body(ci, epoch_i)
+            else:
+                old_color_body(ci, epoch_i)
             return epoch_i
 
         def epoch_body(i, _):
@@ -2150,10 +2788,15 @@ class HbmItemGridEngine:
         L = _Layout(plan.D, plan.A)
         DA = plan.D * plan.A
         TCH = 512
+        has_aff = plan.packed_a is not None and plan.cmeta.size and \
+            bool((plan.cmeta[:, 5] == 1).any())
+        M8 = (5 * plan.aff_D + 3) * 8
 
         in_specs = (
-            [pl.BlockSpec(memory_space=pltpu.SMEM)] * 4 +  # seed/b/e/meta
-            [pl.BlockSpec(memory_space=pltpu.ANY)] * 4     # tally/pk/wb/x
+            [pl.BlockSpec(memory_space=pltpu.SMEM)] *
+            (5 if has_aff else 4) +            # seed/b/e/cmeta[, amet]
+            [pl.BlockSpec(memory_space=pltpu.ANY)] *
+            (5 if has_aff else 4)       # tally/pk/wb[, pk_a]/x
         )
         out_specs = (pl.BlockSpec(memory_space=pltpu.ANY),
                      pl.BlockSpec(memory_space=pltpu.ANY))
@@ -2170,9 +2813,23 @@ class HbmItemGridEngine:
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA(())]
+        if has_aff:
+            scratch += [pltpu.VMEM((2, M8, 128), jnp.int32),
+                        pltpu.VMEM((AFF_DA_MAX * SB * 8, 128),
+                                   jnp.int32),
+                        pltpu.SemaphoreType.DMA((2,))]
+        x_idx = 9 if has_aff else 7
 
         @jax.jit
-        def call(seed, burn, epochs, cmeta, tally, packed, wbase, x0):
+        def call(seed, burn, epochs, cmeta, tally, packed, wbase, x0,
+                 amet=None, packed_a=None):
+            args = [seed, burn, epochs, cmeta]
+            if has_aff:
+                args.append(amet)
+            args += [tally, packed, wbase]
+            if has_aff:
+                args.append(packed_a)
+            args.append(x0)
             x_out, counts = pl.pallas_call(
                 kernel,
                 out_shape=(
@@ -2185,10 +2842,10 @@ class HbmItemGridEngine:
                 compiler_params=pltpu.CompilerParams(
                     has_side_effects=True,
                     vmem_limit_bytes=127 * 1024 * 1024),
-                input_output_aliases={7: 0},   # x0 buffer IS x_hbm
+                input_output_aliases={x_idx: 0},   # x0 buffer IS x_hbm
                 interpret=(pltpu.InterpretParams()
                            if self.interpret else False),
-            )(seed, burn, epochs, cmeta, tally, packed, wbase, x0)
+            )(*args)
             return x_out, counts
 
         return call
@@ -2200,6 +2857,12 @@ class HbmItemGridEngine:
             self._packs = (jnp.asarray(self.plan.packed),
                            jnp.asarray(self.plan.wbase))
             self._cmeta = jnp.asarray(self.plan.cmeta)
+            if self.plan.packed_a is not None:
+                self._amet = jnp.asarray(self.plan.amet)
+                self._packed_a = jnp.asarray(
+                    self.plan.packed_a.reshape(-1, 128))
+            else:
+                self._amet = self._packed_a = None
             self._weights_for = wkey
 
     def run(self, seed: int, burn: int, epochs: int,
@@ -2220,10 +2883,13 @@ class HbmItemGridEngine:
         x2d = jnp.asarray(init.reshape(plan.vp // 128, 128))
         t2d = jnp.asarray(plan.tally_new.reshape(plan.vp // 128, 128)
                           .astype(np.int8))
+        kw = {}
+        if self._packed_a is not None:
+            kw = dict(amet=self._amet, packed_a=self._packed_a)
         x_out, cnt = self._call(
             jnp.asarray([seed], jnp.int32), jnp.asarray([burn], jnp.int32),
             jnp.asarray([epochs], jnp.int32), self._cmeta, t2d,
-            *self._packs, x2d)
+            *self._packs, x2d, **kw)
         cnt = np.asarray(cnt).astype(np.int32).reshape(plan.kmax, plan.vp)
         counts = cnt[:, plan.perm].T.copy()
         x_flat = np.asarray(x_out).reshape(-1)[plan.perm]

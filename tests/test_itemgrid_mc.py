@@ -39,7 +39,8 @@ def test_shard_schedule_partitions_colors(n_g):
                        color_hint=ising_color_hint(20, 20))
     plan, reason = plan_item_grid(cg, n_shards=n_g)
     assert plan is not None, reason
-    packed_mc, wbase_mc, cmeta_mc, gmeta = shard_schedule(plan, n_g)
+    (packed_mc, wbase_mc, cmeta_mc, gmeta, packed_a_mc,
+     amet_mc) = shard_schedule(plan, n_g)
     rbl = RB // 128
     C = plan.cmeta.shape[0]
     for ci in range(C):
