@@ -105,11 +105,13 @@ arguments = [
     (("--checkpoint",),
         {"metavar": "CHECKPOINT_FILE", "dest": "checkpoint", "default": "",
          "type": str,
-         "help": "checkpoint inference to FILE every --checkpoint_every "
-                 "epochs and resume from it if it exists; composes with "
-                 "engine dispatch (itemgrid or XLA per chunk). Resume is "
-                 "bit-exact when the same engine is selected (XLA chunked "
-                 "runs equal uninterrupted ones exactly)"}),
+         "help": "checkpoint inference to FILE (and learning to "
+                 "FILE.learn: weights, both chains, stepsize schedule) "
+                 "every --checkpoint_every epochs and resume from it if "
+                 "it exists; composes with engine dispatch (itemgrid or "
+                 "XLA per chunk). Resume is bit-exact when the same "
+                 "engine is selected (XLA chunked runs equal "
+                 "uninterrupted ones exactly)"}),
     (("--checkpoint_every",),
         {"metavar": "N", "dest": "checkpoint_every", "default": 100,
          "type": int, "help": "epochs between checkpoints"}),
@@ -390,37 +392,82 @@ class FactorGraph:
               decay: float, regularization: int, reg_param: float,
               truncation: int, diagnostics: bool = False,
               verbose: bool = False, learn_non_evidence: bool = False,
-              grad_agg: str = "mean"):
+              grad_agg: str = "mean", checkpoint: str = "",
+              checkpoint_every: int = 100):
         lp = LearnParams(regularization=regularization, reg_param=reg_param,
                          truncation=truncation,
                          learn_non_evidence=learn_non_evidence,
                          grad_agg=grad_agg)
+        if checkpoint:
+            # chunked + checkpointed learning (weights, BOTH chains,
+            # stepsize epoch index); the reference's primary distributed
+            # workload was long learning runs with no mid-run
+            # persistence at all (factorgraph.py:190-204). Guarantee as
+            # for inference: interrupted == uninterrupted CHUNKED run.
+            from numbskull_tpu.checkpoint import (load_checkpoint,
+                                                  save_checkpoint)
+            checkpoint_every = max(int(checkpoint_every), 1)
+            done = 0
+            base_key = None
+            if os.path.exists(checkpoint):
+                self.state, base_key, meta = load_checkpoint(checkpoint)
+                done = int(meta.get("learn_epochs_done", 0))
+                metrics.add("learning.resumes")
+            if base_key is None:
+                base_key = self._next_key()
+            while done < epochs:
+                n = min(checkpoint_every, epochs - done)
+                self._learn_once(burnin_epochs if done == 0 else 0, n,
+                                 stepsize * decay ** done, decay, lp,
+                                 base_key, epoch_offset=done)
+                done += n
+                save_checkpoint(checkpoint, self.state, base_key,
+                                meta={"learn_epochs_done": done})
+        else:
+            self._learn_once(burnin_epochs, epochs, stepsize, decay, lp,
+                             self._next_key(), epoch_offset=0)
+        if diagnostics:
+            print("FACTOR %d: learning %d epochs took %.3f sec" %
+                  (self.fid, epochs, self._last_learn_s))
+            if verbose:
+                self.diagnosticsLearning()
+
+    def _learn_once(self, burnin_epochs: int, epochs: int,
+                    stepsize: float, decay: float, lp, key,
+                    epoch_offset: int):
+        """One engine-dispatched learning run with an explicit key;
+        continues both chains from the current state so chunked runs
+        compose."""
+        import dataclasses as _dc
         with Timer() as t:
             ig = self._maybe_itemgrid(True)
             if ig is not None and not hasattr(ig, "learn"):
                 ig = None          # HBM engine is inference-only
             if ig is not None:
-                wv = ig.learn(
-                    self._next_seed(), burnin_epochs, epochs,
+                seed = int(jax.random.randint(
+                    jax.random.fold_in(key, epoch_offset),
+                    (), 0, np.int32(2 ** 31 - 1)))
+                wv, x, xe = ig.learn(
+                    seed, burnin_epochs, epochs,
                     stepsize=stepsize, decay=decay, lp=lp,
-                    weight_value=np.asarray(self.state.weight_value))
-                import dataclasses as _dc
+                    weight_value=np.asarray(self.state.weight_value),
+                    x0=np.asarray(self.state.var_value),
+                    xe0=np.asarray(self.state.var_value_evid),
+                    return_state=True)
                 self.state = _dc.replace(
-                    self.state, weight_value=jnp.asarray(wv))
+                    self.state, weight_value=jnp.asarray(wv),
+                    var_value=jnp.asarray(x.astype(np.int32)),
+                    var_value_evid=jnp.asarray(xe.astype(np.int32)))
             else:
                 self.state = self.engine.learn(
-                    self.state, self._next_key(), epochs=epochs,
-                    stepsize=stepsize, decay=decay, burn=burnin_epochs,
-                    lp=lp)
+                    self.state, jax.random.fold_in(key, epoch_offset),
+                    epochs=epochs, stepsize=stepsize, decay=decay,
+                    burn=burnin_epochs, lp=lp)
             jax.block_until_ready(self.state.weight_value)
         metrics.observe("learning.run_s", t.interval)
         metrics.add("learning.epochs", epochs)
         self.learning_total_time += t.interval
-        if diagnostics:
-            print("FACTOR %d: learning %d epochs took %.3f sec" %
-                  (self.fid, epochs, t.interval))
-            if verbose:
-                self.diagnosticsLearning()
+        self._last_learn_s = t.interval
 
     # --- getters / diagnostics (reference factorgraph.py:84-123) ----------
 
@@ -644,12 +691,16 @@ class NumbSkull:
 
     def learning(self, fgID: int = 0, out: bool = True):
         fg = self.factorGraphs[fgID]
+        # learning checkpoints live beside the inference checkpoint in
+        # their own file (the two runs share the --checkpoint flag)
+        ck = self.checkpoint + ".learn" if self.checkpoint else ""
         fg.learn(self.burn_in, self.n_learning_epoch, self.stepsize,
                  self.decay, self.regularization, self.reg_param,
                  self.truncation, diagnostics=not self.quiet,
                  verbose=self.verbose,
                  learn_non_evidence=self.learn_non_evidence,
-                 grad_agg=self.grad_agg)
+                 grad_agg=self.grad_agg, checkpoint=ck,
+                 checkpoint_every=self.checkpoint_every)
         if out:
             os.makedirs(self.output_dir, exist_ok=True)
             fg.dump_weights(os.path.join(

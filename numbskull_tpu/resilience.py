@@ -64,13 +64,18 @@ def run_resilient(engine, state, key, epochs: int, ckpt_path: str,
                   chunk: int = 100, burn: int = 0,
                   max_retries: int = 3, fault_hook=None,
                   step_timeout_s: float | None = None,
-                  **engine_kwargs):
-    """Run ``engine.inference`` for ``epochs`` in checkpointed chunks.
+                  task: str = "inference", stepsize: float = 0.01,
+                  decay: float = 0.95, **engine_kwargs):
+    """Run ``engine.inference`` (or ``engine.learn`` with
+    ``task="learning"``) for ``epochs`` in checkpointed chunks.
 
     Resumes from ``ckpt_path`` if it exists (elastic restart: the process
     can die and be relaunched with the same arguments). ``fault_hook``
-    (chunk_index -> None) may raise to simulate failures. Returns the
-    final state.
+    (chunk_index -> None) may raise to simulate failures. Learning
+    chunks continue the stepsize schedule exactly: chunk c starts at
+    ``stepsize * decay**epochs_done``, matching the engine's per-epoch
+    exponential decay (reference learning loop factorgraph.py:190-204).
+    Returns the final state.
     """
     done = 0
     if os.path.exists(ckpt_path):
@@ -90,6 +95,15 @@ def run_resilient(engine, state, key, epochs: int, ckpt_path: str,
                 ck = jax.random.fold_in(key, chunk_index)
 
                 def _step():
+                    if task == "learning":
+                        out = engine.learn(
+                            state, ck, epochs=n,
+                            stepsize=stepsize * decay ** done,
+                            decay=decay,
+                            burn=burn if done == 0 else 0,
+                            **engine_kwargs)
+                        jax.block_until_ready(out.weight_value)
+                        return out
                     out = engine.inference(state, ck, epochs=n,
                                            burn=burn if done == 0 else 0,
                                            **engine_kwargs)

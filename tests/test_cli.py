@@ -59,6 +59,29 @@ def test_cli_checkpoint_resume(tmp_path):
     assert (p1 == p3).all()
 
 
+def test_cli_learning_checkpoint_resume(tmp_path):
+    """--checkpoint now also covers LEARNING (weights + both chains +
+    stepsize epoch index, persisted to <ck>.learn): an interrupted
+    learning run resumed to completion produces the same weights as an
+    uninterrupted chunked run (the reference's long learning runs had
+    no persistence at all — factorgraph.py:190-204)."""
+    out1, out3 = str(tmp_path / "a"), str(tmp_path / "c")
+    ck = str(tmp_path / "ck.npz")
+    main([REF_DIR, "-l", "120", "-i", "5", "-o", out1, "-q",
+          "--seed", "5", "--checkpoint", ck, "--checkpoint_every", "40"])
+    w1 = np.loadtxt(os.path.join(out1, "inference_result.out.weights.text"))
+    assert os.path.exists(ck + ".learn")
+    # simulated interrupt after 80 learning epochs, then resume to 120
+    ck2 = str(tmp_path / "ck2.npz")
+    main([REF_DIR, "-l", "80", "-i", "5", "-o", str(tmp_path / "x"),
+          "-q", "--seed", "5", "--checkpoint", ck2,
+          "--checkpoint_every", "40"])
+    main([REF_DIR, "-l", "120", "-i", "5", "-o", out3, "-q",
+          "--seed", "5", "--checkpoint", ck2, "--checkpoint_every", "40"])
+    w3 = np.loadtxt(os.path.join(out3, "inference_result.out.weights.text"))
+    assert (w1 == w3).all()
+
+
 def test_cli_checkpoint_every_zero_terminates(tmp_path):
     """--checkpoint_every 0 must clamp to 1, not spin forever."""
     ck = str(tmp_path / "ck.npz")

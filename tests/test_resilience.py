@@ -95,3 +95,24 @@ def test_engine_feeds_default_metrics():
     fg.inference(0, 5)
     snap = metrics.snapshot()
     assert snap["counters"]["inference.epochs"] >= 5
+
+
+def test_resilient_learning_bit_exact_after_faults(tmp_path):
+    """run_resilient(task='learning'): weight learning in checkpointed
+    chunks recovers bit-exactly from injected faults, continuing the
+    stepsize decay schedule at the chunk's absolute epoch index
+    (reference learning loop factorgraph.py:190-204 had no recovery)."""
+    eng = _engine()
+    key = jax.random.PRNGKey(11)
+
+    clean = run_resilient(eng, eng.init_state(), key, epochs=80,
+                          ckpt_path=str(tmp_path / "cl.npz"), chunk=20,
+                          task="learning", stepsize=0.05, decay=0.97)
+    faulty = run_resilient(eng, eng.init_state(), key, epochs=80,
+                           ckpt_path=str(tmp_path / "fl.npz"), chunk=20,
+                           task="learning", stepsize=0.05, decay=0.97,
+                           fault_hook=FaultInjector(fail_at=(1, 2)))
+    np.testing.assert_array_equal(np.asarray(clean.weight_value),
+                                  np.asarray(faulty.weight_value))
+    np.testing.assert_array_equal(np.asarray(clean.var_value_evid),
+                                  np.asarray(faulty.var_value_evid))
