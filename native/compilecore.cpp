@@ -257,7 +257,9 @@ int dump_rows(const char* path, int64_t n, const int64_t* a,
   char line[96];
   for (int64_t i = 0; i < n; ++i) {
     double sx = x[i] * static_cast<double>(scale);
-    long long pm = llround(sx);
+    // round-half-EVEN to match the numpy fallback's np.round (advisor
+    // r2: llround's half-away-from-zero diverged on exact .5 ties)
+    long long pm = static_cast<long long>(std::nearbyint(sx));
     const char* sign = pm < 0 ? "-" : "";
     unsigned long long ap = pm < 0 ? -static_cast<unsigned long long>(pm)
                                    : static_cast<unsigned long long>(pm);

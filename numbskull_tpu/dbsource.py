@@ -121,23 +121,29 @@ def partition_filter(role: str, partition_id: int | None = None) -> str:
 
 
 def get_weights(cur, views, sql_filter: str = "1=1") -> np.ndarray:
-    """(W,) Weight array indexed by wid (reference messages.py:264-291)."""
+    """(W,) Weight array indexed by wid (reference messages.py:264-291).
+
+    Bulk-fetched and column-vectorized: the reference used numba for
+    exactly this hotspot (messages.py:294-368); per-row Python takes
+    minutes at DeepDive production row counts."""
     rows = []
     for v in views:
         cur.execute("SELECT wid, isfixed, initval FROM %s WHERE %s"
                     % (v, sql_filter))
         rows.extend(cur.fetchall())
-    n = (max(int(r[0]) for r in rows) + 1) if rows else 0
-    weight = T.new_weights(n)
-    for wid, isfixed, initval in rows:
-        weight[int(wid)]["isFixed"] = bool(isfixed)
-        weight[int(wid)]["initialValue"] = float(initval)
+    if not rows:
+        return T.new_weights(0)
+    arr = np.asarray(rows, np.float64)
+    wid = arr[:, 0].astype(np.int64)
+    weight = T.new_weights(int(wid.max()) + 1)
+    weight["isFixed"][wid] = arr[:, 1] != 0
+    weight["initialValue"][wid] = arr[:, 2]
     return weight
 
 
 def get_variables(cur, views, sql_filter: str = "1=1"):
     """(vid, Variable, var_pt, var_ufo) sorted by global vid
-    (reference messages.py:212-252)."""
+    (reference messages.py:212-252); numeric columns bulk-vectorized."""
     rows = []
     for v in views:
         cur.execute(
@@ -146,16 +152,18 @@ def get_variables(cur, views, sql_filter: str = "1=1"):
             % (v, sql_filter))
         rows.extend(cur.fetchall())
     n = len(rows)
-    vid = np.zeros(n, np.int64)
     variable = T.new_variables(n)
-    keys = []
-    for i, (vv, role, init, dtype, card, pk) in enumerate(rows):
-        vid[i] = int(vv)
-        variable[i]["isEvidence"] = int(role)
-        variable[i]["initialValue"] = int(init)
-        variable[i]["dataType"] = int(dtype)
-        variable[i]["cardinality"] = int(card)
-        keys.append(pk)
+    if n:
+        num = np.asarray([r[:5] for r in rows], np.int64)
+        vid = num[:, 0]
+        variable["isEvidence"] = num[:, 1].astype(np.int8)
+        variable["initialValue"] = num[:, 2]
+        variable["dataType"] = num[:, 3].astype(np.int16)
+        variable["cardinality"] = num[:, 4]
+        keys = [r[5] for r in rows]
+    else:
+        vid = np.zeros(0, np.int64)
+        keys = []
     var_pt, var_ufo, var_pid = _split_pt(keys)
     perm = vid.argsort()
     return (vid[perm], variable[perm], var_pt[perm], var_ufo[perm],
@@ -165,8 +173,15 @@ def get_variables(cur, views, sql_filter: str = "1=1"):
 def get_factors(cur, views, sql_filter: str = "1=1"):
     """(fid, Factor, factor_pt, factor_ufo, fmap) with fmap carrying
     GLOBAL vids (reference messages.py:67-194). The factor function comes
-    from the view name matched against FACTORS (messages.py:157-165)."""
-    fids, recs, pts, ufos, vids_all = [], [], [], [], []
+    from the view name matched against FACTORS (messages.py:157-165).
+
+    Views may carry optional ``eq0..eq{arity-1}`` columns holding each
+    argument's dense_equal_to (categorical equal predicates); plain
+    reference-convention views (v-columns only) load with eq = 0. Rows
+    are bulk-fetched and column-vectorized."""
+    factor = T.new_factors(0)
+    fid_l, pt_l, fmap_l = [], [], []
+    fac_l = []
     for v in views:
         # longest name match wins (e.g. AND_CAT over AND); the reference
         # asserts uniqueness instead (messages.py:157-165) which its
@@ -180,32 +195,41 @@ def get_factors(cur, views, sql_filter: str = "1=1"):
         cols = _columns(cur, v)
         assert cols[-4:] == ["weight_id", "feature_value",
                              "partition_key", "fid"], cols
-        arity = len(cols) - 4
+        n_eq = sum(c.startswith("eq") for c in cols[:-4])
+        arity = len(cols) - 4 - n_eq
+        assert n_eq in (0, arity), cols
         cur.execute("SELECT %s FROM %s WHERE %s ORDER BY fid"
                     % (", ".join(cols), v, sql_filter))
-        for row in cur.fetchall():
-            fids.append(int(row[-1]))
-            pts.append(row[-2])
-            recs.append((ff, int(row[-4]), float(row[-3]), arity))
-            vids_all.append([int(x) for x in row[:arity]])
+        rows = cur.fetchall()
+        if not rows:
+            continue
+        pt_l.extend(r[-2] for r in rows)
+        num = np.asarray([r[:-2] + (r[-1],) for r in rows], np.float64)
+        m = len(rows)
+        fid_l.append(num[:, -1].astype(np.int64))
+        fac = T.new_factors(m)
+        fac["factorFunction"] = ff
+        fac["weightId"] = num[:, arity + n_eq].astype(np.int64)
+        fac["featureValue"] = num[:, arity + n_eq + 1]
+        fac["arity"] = arity
+        fac_l.append(fac)
+        fm = T.new_fmap(m * arity)
+        fm["vid"] = num[:, :arity].astype(np.int64).ravel()
+        if n_eq:
+            fm["dense_equal_to"] = \
+                num[:, arity:2 * arity].astype(np.int64).ravel()
+        fmap_l.append(fm)
 
-    n = len(recs)
-    factor = T.new_factors(n)
-    fid = np.array(fids, np.int64) if n else np.zeros(0, np.int64)
-    edges = sum(r[3] for r in recs)
-    fmap = T.new_fmap(edges)
-    off = 0
-    for i, (ff, wid, fv, arity) in enumerate(recs):
-        factor[i]["factorFunction"] = ff
-        factor[i]["weightId"] = wid
-        factor[i]["featureValue"] = fv
-        factor[i]["arity"] = arity
-        factor[i]["ftv_offset"] = off
-        for j, gv in enumerate(vids_all[i]):
-            fmap[off + j]["vid"] = gv
-            fmap[off + j]["dense_equal_to"] = 0
-        off += arity
-    factor_pt, factor_ufo, factor_pid = _split_pt(pts)
+    if not fac_l:
+        z = np.zeros(0, np.int64)
+        pt, ufo, pid = _split_pt([])
+        return z, T.new_factors(0), pt, ufo, pid, T.new_fmap(0)
+    factor = np.concatenate(fac_l)
+    fid = np.concatenate(fid_l)
+    fmap = np.concatenate(fmap_l)
+    factor["ftv_offset"] = np.concatenate(
+        ([0], np.cumsum(factor["arity"].astype(np.int64))[:-1]))
+    factor_pt, factor_ufo, factor_pid = _split_pt(pt_l)
     return fid, factor, factor_pt, factor_ufo, factor_pid, fmap
 
 
@@ -260,10 +284,11 @@ def write_graph_to_db(cur, app: str, weights, variables, factors, fmap,
     q = "%s" if "psycopg2" in type(cur).__module__ else "?"
     cur.execute("CREATE TABLE %s_weights_sharding "
                 "(wid INTEGER, isfixed INTEGER, initval REAL)" % app)
-    for i, w in enumerate(weights):
-        cur.execute("INSERT INTO %s_weights_sharding VALUES (%s)"
-                    % (app, ", ".join([q] * 3)),
-                    (i, int(w["isFixed"]), float(w["initialValue"])))
+    cur.executemany(
+        "INSERT INTO %s_weights_sharding VALUES (%s)"
+        % (app, ", ".join([q] * 3)),
+        [(i, int(w["isFixed"]), float(w["initialValue"]))
+         for i, w in enumerate(weights)])
 
     if var_keys is None:
         var_keys = ["B"] * len(variables)
@@ -271,33 +296,45 @@ def write_graph_to_db(cur, app: str, weights, variables, factors, fmap,
                 "(vid INTEGER, variable_role INTEGER, init_value INTEGER, "
                 "variable_type INTEGER, cardinality INTEGER, "
                 "partition_key TEXT)" % app)
-    for i, v in enumerate(variables):
-        cur.execute(
-            "INSERT INTO %s_variables_sharding VALUES (%s)"
-            % (app, ", ".join([q] * 6)),
-            (i, int(v["isEvidence"]), int(v["initialValue"]),
-             int(v["dataType"]), int(v["cardinality"]), var_keys[i]))
+    cur.executemany(
+        "INSERT INTO %s_variables_sharding VALUES (%s)"
+        % (app, ", ".join([q] * 6)),
+        [(i, int(v["isEvidence"]), int(v["initialValue"]),
+          int(v["dataType"]), int(v["cardinality"]), var_keys[i])
+         for i, v in enumerate(variables)])
 
     if factor_keys is None:
         factor_keys = ["B"] * len(factors)
+    eqs = fmap["dense_equal_to"].astype(np.int64)
     groups = {}
     for i, f in enumerate(factors):
         groups.setdefault((int(f["factorFunction"]), int(f["arity"])),
                           []).append(i)
     for (ff, arity), fids in groups.items():
+        # eq columns only when some argument carries a nonzero
+        # dense_equal_to (categorical equal predicates survive the DB
+        # round trip; plain boolean tables keep the reference schema)
+        offs = factors["ftv_offset"][fids].astype(np.int64)
+        span = (offs[:, None] + np.arange(arity)).ravel()
+        with_eq = bool((eqs[span] != 0).any())
         tbl = "%s_factors_%s_a%d_sharding" % (app, ffname[ff].lower(), arity)
         vcols = ", ".join("v%d INTEGER" % j for j in range(arity))
-        cur.execute("CREATE TABLE %s (%s, weight_id INTEGER, "
+        eqcols = "".join(", eq%d INTEGER" % j for j in range(arity)) \
+            if with_eq else ""
+        cur.execute("CREATE TABLE %s (%s%s, weight_id INTEGER, "
                     "feature_value REAL, partition_key TEXT, fid INTEGER)"
-                    % (tbl, vcols))
-        ph = ", ".join([q] * (arity + 4))
+                    % (tbl, vcols, eqcols))
+        ph = ", ".join([q] * (arity + (arity if with_eq else 0) + 4))
+        rows = []
         for i in fids:
             off = int(factors[i]["ftv_offset"])
             vids = [int(fmap[off + j]["vid"]) for j in range(arity)]
-            cur.execute(
-                "INSERT INTO %s VALUES (%s)" % (tbl, ph),
-                (*vids, int(factors[i]["weightId"]),
-                 float(factors[i]["featureValue"]), factor_keys[i], i))
+            eqv = [int(eqs[off + j]) for j in range(arity)] \
+                if with_eq else []
+            rows.append((*vids, *eqv, int(factors[i]["weightId"]),
+                         float(factors[i]["featureValue"]),
+                         factor_keys[i], i))
+        cur.executemany("INSERT INTO %s VALUES (%s)" % (tbl, ph), rows)
 
 
 # --- DB partition metadata -> distributed engine -----------------------------

@@ -125,6 +125,21 @@ arguments = [
          "type": int,
          "help": "cap chromatic colors; overflow vars share the last color "
                  "(hogwild-style races, like the reference's threads)"}),
+    (("--parts",),
+        {"metavar": "N", "dest": "parts", "default": 0, "type": int,
+         "help": "run the whole job PARTITIONED into N parts: choose a "
+                 "partition (DB partition keys compete against the "
+                 "cost-model menu), distributed learning with per-epoch "
+                 "weight-delta reduction, distributed inference, same "
+                 "output files — the reference's one-command cluster "
+                 "flow (salt/src/numbskull_master.py:547-584)"}),
+    (("--dist_mode",),
+        {"metavar": "MODE", "dest": "dist_mode", "default": "auto",
+         "type": str, "choices": ("auto", "values", "messages"),
+         "help": "boundary exchange for --parts: ghost values or "
+                 "per-value potential messages (the PF/UFO "
+                 "generalization); auto picks messages when every "
+                 "straddling factor is UFO-eligible"}),
 ]
 
 flags = [
@@ -276,21 +291,32 @@ class FactorGraph:
         # would fail at lowering, not at plan time
         on_tpu = jax.default_backend() == "tpu"
         if on_tpu or self.engine_mode in ("itemgrid", "hbm"):
+            import warnings
+
             from numbskull_tpu.ops.itemgrid_pallas import (
                 HbmItemGridEngine, PallasItemGridEngine,
             )
+            reasons = []
             if self.engine_mode != "hbm":
                 try:
                     eng = PallasItemGridEngine(
                         self.cg, sample_evidence=sample_evidence)
-                except ValueError:
-                    eng = None
+                except ValueError as err:
+                    reasons.append(str(err))
             if eng is None and self.engine_mode != "itemgrid":
                 try:
                     eng = HbmItemGridEngine(
                         self.cg, sample_evidence=sample_evidence)
-                except ValueError:
-                    eng = None
+                except ValueError as err:
+                    reasons.append(str(err))
+            if eng is None and self.engine_mode in ("itemgrid", "hbm"):
+                # an explicitly requested engine must not be silently
+                # ignored (advisor r2): say why it fell back to XLA
+                msg = ("--engine %s unavailable for this graph, "
+                       "falling back to the XLA engine: %s" %
+                       (self.engine_mode, "; ".join(reasons)))
+                warnings.warn(msg)
+                metrics.add("engine.fallbacks")
         self._itemgrid[sample_evidence] = eng
         return eng
 
@@ -490,16 +516,7 @@ class FactorGraph:
 
         Returns (vrep, kidx): the (variable, value-index) of every output
         slot, vectorized (no per-variable Python at multi-M-var scale)."""
-        card = np.asarray(self.cg.var_card, np.int64)
-        if not len(card):
-            z = np.zeros(0, np.int64)
-            return z, z
-        nsl = np.where(card == 2, 1, card)
-        csum = np.cumsum(nsl)
-        vrep = np.repeat(np.arange(len(card)), nsl)
-        within = np.arange(csum[-1]) - np.repeat(csum - nsl, nsl)
-        kidx = within + (card[vrep] == 2)
-        return vrep, kidx
+        return _out_layout_for(np.asarray(self.cg.var_card, np.int64))
 
     def _compress(self, counts_vk: np.ndarray) -> np.ndarray:
         """(V, K) -> flat cstart layout (binary vars: P(v=1) only)."""
@@ -526,43 +543,67 @@ class FactorGraph:
     # --- dumps (DimmWitted text format, reference factorgraph.py:210-229) --
 
     def dump_weights(self, fout: str):
-        w = self.getWeights().astype(np.float64)
-        ids = np.arange(self.cg.n_weights)
-        if _native_dump(fout, ids, None, w, 6):
-            return
-        with open(fout, "wb") as out:
-            out.write(_format_cols((ids, ("fixed", w, 6))))
+        dump_weight_text(self.getWeights()[:self.cg.n_weights], fout)
 
     def dump_probabilities(self, fout: str, epochs: int):
         """DimmWitted `vid value prob` text dump, array-formatted (a
         9.4M-var graph dumps in seconds, not minutes of Python loop)."""
-        epochs = epochs or 1
-        counts = np.asarray(self.state.count, np.float64)
-        cg = self.cg
-        vrep, kidx = self._out_layout()
-        prob = counts[vrep, kidx] / epochs
-        card = np.asarray(cg.var_card, np.int64)
-        dt = np.asarray(cg.var_dtype, np.int64)
-        vo = np.asarray(cg.vtf_offset, np.int64)
-        vmapv = np.asarray(cg.vmap_value, np.int64)
-        binary = card[vrep] == 2
-        # dense multi-valued variables: values ARE 0..card-1 (the
-        # reference's dump reads past its single vmap slot here,
-        # factorgraph.py:226-228 — a latent bug its tests never hit; we
-        # write the identity values). Categorical: the original domain
-        # value at this slot.
-        dense_val = kidx
-        if len(vmapv):
-            dom_idx = np.minimum(vo[vrep] + kidx, len(vmapv) - 1)
-            cat_val = vmapv[dom_idx]
-        else:
-            cat_val = kidx
-        value = np.where(binary, 1,
-                         np.where(dt[vrep] == 0, dense_val, cat_val))
-        if _native_dump(fout, vrep, value, prob, 3):
-            return
-        with open(fout, "wb") as out:
-            out.write(_format_cols((vrep, value, ("fixed", prob, 3))))
+        dump_marginal_text(self.cg, np.asarray(self.state.count,
+                                               np.float64), epochs, fout)
+
+
+def _out_layout_for(card: np.ndarray):
+    """Flat cstart output layout over a cardinality vector (binary
+    vars: one slot, at k=1); see FactorGraph._out_layout."""
+    if not len(card):
+        z = np.zeros(0, np.int64)
+        return z, z
+    nsl = np.where(card == 2, 1, card)
+    csum = np.cumsum(nsl)
+    vrep = np.repeat(np.arange(len(card)), nsl)
+    within = np.arange(csum[-1]) - np.repeat(csum - nsl, nsl)
+    kidx = within + (card[vrep] == 2)
+    return vrep, kidx
+
+
+def dump_marginal_text(cg, counts: np.ndarray, epochs: int, fout: str):
+    """DimmWitted `vid value prob` dump from a (V, K) count matrix
+    (shared by FactorGraph and the distributed runner)."""
+    epochs = epochs or 1
+    card = np.asarray(cg.var_card, np.int64)
+    vrep, kidx = _out_layout_for(card)
+    prob = counts[vrep, kidx] / epochs
+    dt = np.asarray(cg.var_dtype, np.int64)
+    vo = np.asarray(cg.vtf_offset, np.int64)
+    vmapv = np.asarray(cg.vmap_value, np.int64)
+    binary = card[vrep] == 2
+    # dense multi-valued variables: values ARE 0..card-1 (the
+    # reference's dump reads past its single vmap slot here,
+    # factorgraph.py:226-228 — a latent bug its tests never hit; we
+    # write the identity values). Categorical: the original domain
+    # value at this slot.
+    dense_val = kidx
+    if len(vmapv):
+        dom_idx = np.minimum(vo[vrep] + kidx, len(vmapv) - 1)
+        cat_val = vmapv[dom_idx]
+    else:
+        cat_val = kidx
+    value = np.where(binary, 1,
+                     np.where(dt[vrep] == 0, dense_val, cat_val))
+    if _native_dump(fout, vrep, value, prob, 3):
+        return
+    with open(fout, "wb") as out:
+        out.write(_format_cols((vrep, value, ("fixed", prob, 3))))
+
+
+def dump_weight_text(weights: np.ndarray, fout: str):
+    """DimmWitted `wid weight` dump."""
+    w = np.asarray(weights, np.float64)
+    ids = np.arange(len(w))
+    if _native_dump(fout, ids, None, w, 6):
+        return
+    with open(fout, "wb") as out:
+        out.write(_format_cols((ids, ("fixed", w, 6))))
 
 
 class NumbSkull:
@@ -707,6 +748,123 @@ class NumbSkull:
                 self.output_dir, "inference_result.out.weights.text"))
 
 
+def _distributed_arrays(ns: "NumbSkull"):
+    """Raw full-graph arrays + optional DB partition metadata for the
+    distributed runner."""
+    if ns.dburl:
+        from numbskull_tpu import dbsource
+        conn = dbsource.connect(ns.dburl)
+        try:
+            cur = conn.cursor()
+            (weight, variable, factor, fmap, domain_mask, _e,
+             meta) = dbsource.get_fg_data(cur, "1=1", is_master=True,
+                                          mark_roles=False)
+        finally:
+            conn.close()
+        return weight, variable, factor, fmap, domain_mask, meta
+    meta_f, weight, variable, factor, fmap, vmap, domain_mask = \
+        dataloading.load_factor_graph_files(
+            ns.directory, ns.metafile, ns.weightfile, ns.variablefile,
+            ns.factorfile, ns.domainfile)
+    return weight, variable, factor, fmap, domain_mask, None
+
+
+def run_distributed(ns: "NumbSkull", out: bool = True) -> dict:
+    """One-command partitioned learning + inference.
+
+    The reference's whole cluster flow — load, partition by cost,
+    distributed learning with per-epoch weight-delta reduction at the
+    master, distributed inference, text dumps, wall times returned —
+    as a single call (reference salt/src/numbskull_master.py:547-584;
+    scheme selection by cost numbskull_master.py:371-408). Partition
+    candidates: the DB's semantic partition keys (when present) compete
+    against connected-components packing and balanced region growing
+    under one cost model; the cheapest wins.
+    """
+    from numbskull_tpu.compile import conflict_edges
+    from numbskull_tpu.parallel.bsp import BSPEngine, factor_owner
+    from numbskull_tpu.parallel.partition import (choose_partition,
+                                                  partition_cost)
+
+    n_parts = max(int(ns.parts), 1)
+    (weight, variable, factor, fmap, domain_mask,
+     meta) = _distributed_arrays(ns)
+    edges = conflict_edges(variable, factor, fmap)
+
+    with Timer() as t_part:
+        part, report = choose_partition(len(variable), edges, n_parts)
+        if meta is not None and (np.asarray(meta["var_pid"]) >= 0).any():
+            from numbskull_tpu.dbsource import partition_from_keys
+            kp = partition_from_keys(meta["var_pt"], meta["var_pid"])
+            key_cost = partition_cost(len(variable), edges, kp,
+                                      int(kp.max()) + 1)
+            report["keys"] = key_cost
+            if key_cost < report[report["chosen"]]:
+                part, report["chosen"] = kp, "keys"
+
+    mode = ns.dist_mode
+    if mode == "auto":
+        mode = "values"
+        if meta is not None and "factor_ufo" in meta:
+            owner = factor_owner(factor, fmap, part)
+            fvid = fmap["vid"].astype(np.int64)
+            arity = factor["arity"].astype(np.int64)
+            edge_fid = np.repeat(np.arange(len(factor)), arity)
+            straddles = np.zeros(len(factor), bool)
+            np.logical_or.at(straddles, edge_fid,
+                             part[fvid] != owner[edge_fid])
+            if (meta["factor_ufo"] | ~straddles).all():
+                mode = "messages"
+
+    devices = jax.devices()
+    eng = BSPEngine(weight, variable, factor, fmap, part, mode=mode,
+                    domain_mask=domain_mask, max_colors=ns.max_colors,
+                    seed=ns.seed,
+                    devices=devices if len(devices) > 1 else None)
+    lp = LearnParams(regularization=ns.regularization,
+                     reg_param=ns.reg_param, truncation=ns.truncation,
+                     learn_non_evidence=ns.learn_non_evidence,
+                     grad_agg=ns.grad_agg)
+    key = jax.random.PRNGKey(ns.seed)
+    states = eng.init_states()
+    with Timer() as t_learn:
+        if ns.n_learning_epoch:
+            states = eng.learn(states, jax.random.fold_in(key, 0),
+                               epochs=ns.n_learning_epoch,
+                               stepsize=ns.stepsize, decay=ns.decay,
+                               burn=ns.burn_in, lp=lp)
+        jax.block_until_ready(states[0].weight_value)
+    with Timer() as t_inf:
+        states = eng.inference(states, jax.random.fold_in(key, 1),
+                               epochs=ns.n_inference_epoch,
+                               burn=ns.burn_in,
+                               sample_evidence=ns.sample_evidence)
+        jax.block_until_ready(states[0].count)
+    counts = eng.marginals(states, 1)
+    weights_out = eng.weights(states)
+    if out:
+        os.makedirs(ns.output_dir, exist_ok=True)
+        dump_weight_text(weights_out, os.path.join(
+            ns.output_dir, "inference_result.out.weights.text"))
+        dump_marginal_text(eng.engines[0].cg, counts,
+                           ns.n_inference_epoch, os.path.join(
+                               ns.output_dir, "inference_result.out.text"))
+    result = {
+        "n_parts": n_parts, "mode": mode, "partition": report["chosen"],
+        "partition_s": t_part.interval,
+        "learning_s": t_learn.interval, "inference_s": t_inf.interval,
+        "traffic": eng.sync_traffic(),
+    }
+    metrics.observe("distributed.learning_s", t_learn.interval)
+    metrics.observe("distributed.inference_s", t_inf.interval)
+    if not ns.quiet:
+        print("DISTRIBUTED %d parts (%s, %s): learning %.3f s, "
+              "inference %.3f s" %
+              (n_parts, result["partition"], mode,
+               t_learn.interval, t_inf.interval))
+    return result
+
+
 def load(argv=None) -> NumbSkull:
     """Parse CLI args, build a NumbSkull, load the graph directory."""
     if argv is None:
@@ -721,6 +879,8 @@ def load(argv=None) -> NumbSkull:
         parser.add_argument(*arg, **opts)
     args = parser.parse_args(argv)
     ns = NumbSkull(**vars(args))
+    if ns.parts and ns.parts > 1:
+        return ns      # run_distributed loads its own raw arrays
     if ns.dburl:
         ns.loadFGFromDB()
     else:
@@ -730,8 +890,11 @@ def load(argv=None) -> NumbSkull:
 
 def main(argv=None):
     ns = load(argv)
-    ns.learning()
-    ns.inference()
+    if ns.parts and ns.parts > 1:
+        run_distributed(ns)
+    else:
+        ns.learning()
+        ns.inference()
     if ns.metrics_out:
         metrics.dump(ns.metrics_out)
     return ns

@@ -18,6 +18,14 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
+import subprocess
+
+_here = os.path.dirname(os.path.abspath(__file__))
+# build the native helpers fresh so tests never exercise a stale .so
+# (binaries are gitignored; numpy fallbacks cover their absence)
+subprocess.run(["make", "-C", os.path.join(_here, "..", "native"), "-s"],
+               check=False, capture_output=True)
+
 import jax  # noqa: E402
 
 if not os.environ.get("NSX_TPU_TESTS"):

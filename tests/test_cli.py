@@ -188,3 +188,52 @@ def test_programmatic_smoke():
         ns.inference(out=False)
         counts = ns.factorGraphs[0].state.count
         assert int(np.asarray(counts).sum()) == 20 * nvars, name
+
+
+def test_cli_distributed_parts_matches_single(tmp_path):
+    """--parts N: the one-command distributed run (reference
+    numbskull_master.main parity, salt/src/numbskull_master.py:547-584)
+    on a keyed sqlite graph produces weights and marginals matching the
+    single-part run within sampling tolerance, and writes the same
+    output files."""
+    import sqlite3
+
+    from numbskull_tpu import dbsource
+    from numbskull_tpu.models import coin_model
+
+    w, v, f, fm, dm, e = coin_model(60, 0.8, -0.5, 0.4, evidence=True,
+                                    weight_init=(0.0, 0.0, 0.0),
+                                    fixed=False, seed=3)
+    var_keys = ["B" if i % 2 == 0 else "D1" for i in range(len(v))]
+    first_vid = fm["vid"][f["ftv_offset"].astype(np.int64)]
+    factor_keys = ["Du1" if f["arity"][i] == 2 else
+                   ("B" if first_vid[i] % 2 == 0 else "D1")
+                   for i in range(len(f))]
+    db = str(tmp_path / "g.db")
+    conn = sqlite3.connect(db)
+    dbsource.write_graph_to_db(conn.cursor(), "coin", w, v, f, fm,
+                               var_keys=var_keys,
+                               factor_keys=factor_keys)
+    conn.commit()
+    conn.close()
+
+    out1, out2 = str(tmp_path / "single"), str(tmp_path / "dist")
+    main(["-u", "sqlite:///" + db, "-l", "60", "-i", "200", "-b", "10",
+          "-o", out1, "-q", "--seed", "2"])
+    main(["-u", "sqlite:///" + db, "-l", "60", "-i", "200", "-b", "10",
+          "-o", out2, "-q", "--seed", "2", "--parts", "2"])
+    p1 = np.loadtxt(os.path.join(out1, "inference_result.out.text"))
+    p2 = np.loadtxt(os.path.join(out2, "inference_result.out.text"))
+    w1 = np.loadtxt(os.path.join(out1,
+                                 "inference_result.out.weights.text"))
+    w2 = np.loadtxt(os.path.join(out2,
+                                 "inference_result.out.weights.text"))
+    assert p1.shape == p2.shape
+    # same learned weight directions, marginals within MC tolerance
+    assert np.sign(w1[np.abs(w1[:, 1]) > 0.1, 1]).tolist() == \
+        np.sign(w2[np.abs(w1[:, 1]) > 0.1, 1]).tolist()
+    # non-evidence variables only: the single-part engine does not
+    # tally evidence vars (their single-part prob is 0 by convention)
+    free = p1[:, 2] > 0
+    assert free.sum() >= len(p1) // 2
+    assert np.abs(p1[free, 2] - p2[free, 2]).mean() < 0.08

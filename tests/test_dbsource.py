@@ -261,3 +261,70 @@ def test_live_postgres_round_trip():
         assert part.max() == 1
     finally:
         conn.close()
+
+
+def test_categorical_eq_round_trips_db(tmp_path):
+    """Categorical equal predicates survive the DB path: eq columns are
+    written per argument when nonzero, read back into
+    fmap.dense_equal_to, and inference marginals from the DB-loaded
+    graph match the direct graph exactly under the same seed (r2
+    VERDICT: the old loader hard-coded dense_equal_to = 0, so only
+    boolean graphs survived the DB)."""
+    import sqlite3
+
+    import jax
+
+    from numbskull_tpu import dbsource
+    from numbskull_tpu.compile import compile_graph
+    from numbskull_tpu.models import lf_model
+    from numbskull_tpu.ops import GibbsEngine
+
+    from numbskull_tpu import types as T
+
+    # card-3 categorical chain with AND_CAT equal predicates (eq 1/2)
+    n = 12
+    w = T.new_weights(2)
+    w["isFixed"] = True
+    w["initialValue"] = [0.8, -0.5]
+    v = T.new_variables(n)
+    v["isEvidence"] = 0
+    v["initialValue"] = 0
+    v["dataType"] = 1
+    v["cardinality"] = 3
+    f = T.new_factors(n - 1)
+    fm = T.new_fmap(2 * (n - 1))
+    for i in range(n - 1):
+        f[i] = (T.FUNC_AND_CAT, i % 2, 1.0, 2, 2 * i)
+        fm[2 * i] = (i, 1 + (i % 2))
+        fm[2 * i + 1] = (i + 1, 2 - (i % 2))
+    dm = None
+    assert (fm["dense_equal_to"] != 0).any()
+    conn = sqlite3.connect(str(tmp_path / "cat.db"))
+    cur = conn.cursor()
+    dbsource.write_graph_to_db(cur, "lf", w, v, f, fm)
+    conn.commit()
+
+    (w2, v2, f2, fm2, dmask2, edges2,
+     meta) = dbsource.get_fg_data(cur, "1=1", mark_roles=False)
+    conn.close()
+    # structural identity modulo factor reordering by (func, arity)
+    order = np.asarray(meta["fid"])
+    assert (f2["factorFunction"] ==
+            f["factorFunction"][order]).all()
+    want_eq, got_eq = [], []
+    for i, gi in enumerate(order):
+        a = int(f["arity"][gi])
+        o1 = int(f["ftv_offset"][gi])
+        o2 = int(f2["ftv_offset"][i])
+        want_eq.extend(fm["dense_equal_to"][o1:o1 + a].tolist())
+        got_eq.extend(fm2["dense_equal_to"][o2:o2 + a].tolist())
+    assert want_eq == got_eq
+
+    cg1 = compile_graph(w, v, f, fm, domain_mask=dm)
+    cg2 = compile_graph(w2, v2, f2, fm2, domain_mask=None)
+    e1, e2 = GibbsEngine(cg1), GibbsEngine(cg2)
+    k = jax.random.PRNGKey(0)
+    s1 = e1.inference(e1.init_state(), k, epochs=80, burn=10)
+    s2 = e2.inference(e2.init_state(), k, epochs=80, burn=10)
+    np.testing.assert_array_equal(np.asarray(s1.count),
+                                  np.asarray(s2.count))

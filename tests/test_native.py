@@ -197,3 +197,16 @@ def test_native_dump_matches_numpy_formatter(tmp_path):
     assert _native_dump(p2, a[:5], None, x[:5], 6)
     g3 = np.loadtxt(p2)
     assert np.allclose(g3[:, 1], np.round(x[:5], 6))
+    # exact half-ulp ties must round half-EVEN in both paths (advisor
+    # r2: llround's half-away-from-zero diverged from np.round here)
+    ties = np.array([0.0005, 0.0015, 0.0025, -0.0005, -0.0015, 0.5115])
+    ids = np.arange(len(ties))
+    p3 = str(tmp_path / "tie.txt")
+    assert _native_dump(p3, ids, None, ties, 3)
+    blob = _format_cols((ids, ("fixed", ties, 3)))
+    (tmp_path / "tie_np.txt").write_bytes(blob)
+    t1 = np.loadtxt(p3)
+    t2 = np.loadtxt(str(tmp_path / "tie_np.txt"))
+    assert (t1 == t2).all()
+    # spot-check the half-even results themselves
+    assert t1[:, 1].tolist() == [0.0, 0.002, 0.002, 0.0, -0.002, 0.511]
