@@ -202,6 +202,7 @@ def main():
     gen_ups = _bench_general(256, 50)
     auto_ups, auto_itemgrid = _bench_auto(256, 400)
     voting_ups = _bench_voting(200_000, 10, 200)
+    voting50_ups = _bench_voting(204_000, 50, 200)
 
     healthy = (0.2 < mean < 0.8) and (0.2 < item_mean < 0.8)
     result = {
@@ -220,6 +221,7 @@ def main():
         "general_engine_used_itemgrid": auto_itemgrid,
         "xla_oracle_ups_256": round(gen_ups, 1),
         "itemgrid_voting_deg10_ups": round(voting_ups, 1),
+        "itemgrid_voting_deg50_ups": round(voting50_ups, 1),
         "learn_steps_per_s_40k_vars": round(learn_sps, 2),
         "learn_var_updates_per_s": round(learn_vups, 1),
         "learn_recovers_weights": learn_ok,

@@ -1102,17 +1102,48 @@ def _aff_gather(av_a, x_ref, nj, amet_at, s_of, n8, l_iota):
     jax.lax.fori_loop(0, nj, g_one, 0)
 
 
+def _draw2(p0, p1, u01):
+    """Boolean draw with ONE transcendental: new = [u < sigma(p1-p0)]
+    (u*(1+exp(p0-p1)) < 1). Same distribution as _draw with kmax=2;
+    the general _draw pays two exps plus the masked cumsum machinery,
+    measured ~0.3 ms/epoch at 1M variables."""
+    z = jnp.exp(p0 - p1)
+    return (u01 * (1.0 + z) < 1.0).astype(jnp.int32)
+
+
 def _aff_block_pots(read_pk, read_av, d_c, amax_c, Ag, aff_D, present,
-                    w_of=None):
-    """Potentials for both boolean candidates of one (8, 128) block on
+                    w_of=None, rows=8):
+    """Potentials for both boolean candidates of one (rows, 128) unit on
     the affine path: ONE shared stats pass over the fetched arguments
     (candidate substitution touches only subst slots, whose boolean
     contribution is an O(1) count fixup), then the shared semantics
     table. Parity: _term_pots/_loop_stats on the same data.
     ``w_of``: live-weight lookup (learning); None reads baked weights.
-    """
-    zero8 = jnp.zeros((8, 128), jnp.int32)
-    full2 = jnp.full((8, 128), 2, jnp.int32)
+    ``rows``: 8 for one block (HBM kernel) or SB*8 when the VMEM kernel
+    evaluates a whole superblock as one unit.
+
+    Accumulators are pruned STATICALLY by the factor types present:
+    e.g. a pure EQUAL/AND/ISTRUE color (Ising, voting) tracks only
+    n_zero, head existence is irrelevant, and the v1/v2 position
+    selects vanish — the stats loop body is the dominant VPU cost."""
+    zero8 = jnp.zeros((rows, 128), jnp.int32)
+    full2 = jnp.full((rows, 128), 2, jnp.int32)
+    # static stat requirements per factor type (finalize's truth table)
+    need_head = bool(set(present) & {
+        T.FUNC_IMPLY_NATURAL, T.FUNC_IMPLY_MLN, T.FUNC_LINEAR,
+        T.FUNC_RATIO, T.FUNC_LOGICAL, T.FUNC_IMPLY_NATURAL_CAT,
+        T.FUNC_IMPLY_MLN_CAT})
+    need_body = need_head    # n_body_zero feeds the head-family stats
+    need_v0 = bool(set(present) & {
+        T.FUNC_EQUAL, T.FUNC_DP_GEN_CLASS_PRIOR, T.FUNC_DP_GEN_LF_PRIOR,
+        T.FUNC_DP_GEN_LF_PROPENSITY, T.FUNC_DP_GEN_LF_ACCURACY,
+        T.FUNC_DP_GEN_LF_CLASS_PROPENSITY, T.FUNC_DP_GEN_DEP_FIXING,
+        T.FUNC_DP_GEN_DEP_REINFORCING, T.FUNC_DP_GEN_DEP_EXCLUSIVE,
+        T.FUNC_DP_GEN_DEP_SIMILAR})
+    need_v12 = bool(set(present) & {
+        T.FUNC_DP_GEN_LF_ACCURACY, T.FUNC_DP_GEN_LF_CLASS_PROPENSITY,
+        T.FUNC_DP_GEN_DEP_FIXING, T.FUNC_DP_GEN_DEP_REINFORCING,
+        T.FUNC_DP_GEN_DEP_EXCLUSIVE, T.FUNC_DP_GEN_DEP_SIMILAR})
 
     def d_body(d, pots2):
         fta = read_pk(5 * d)
@@ -1130,22 +1161,26 @@ def _aff_block_pots(read_pk, read_av, d_c, amax_c, Ag, aff_D, present,
             v = read_av(d * Ag + a)
             sub = ((sbits >> a) & 1) != 0
             m = a < arity
-            mb = a < arity - 1
             fet = m & ~sub
             nz = nz + jnp.where(fet & (v == 0), 1, 0)
-            nbz = nbz + jnp.where(mb & ~sub & (v == 0), 1, 0)
             ns = ns + jnp.where(m & sub, 1, 0)
-            nbs = nbs + jnp.where(mb & sub, 1, 0)
             subi = sub.astype(jnp.int32)
-            at_h = (a == arity - 1)
-            hf = jnp.where(at_h & ~sub, v, hf)
-            hs = jnp.where(at_h, subi, hs)
-            v0f = jnp.where((a == 0) & ~sub, v, v0f)
-            v0s = jnp.where(a == 0, subi, v0s)
-            v1f = jnp.where((a == 1) & ~sub, v, v1f)
-            v1s = jnp.where(a == 1, subi, v1s)
-            v2f = jnp.where((a == 2) & ~sub, v, v2f)
-            v2s = jnp.where(a == 2, subi, v2s)
+            if need_body:
+                mb = a < arity - 1
+                nbz = nbz + jnp.where(mb & ~sub & (v == 0), 1, 0)
+                nbs = nbs + jnp.where(mb & sub, 1, 0)
+            if need_head:
+                at_h = (a == arity - 1)
+                hf = jnp.where(at_h & ~sub, v, hf)
+                hs = jnp.where(at_h, subi, hs)
+            if need_v0:
+                v0f = jnp.where((a == 0) & ~sub, v, v0f)
+                v0s = jnp.where(a == 0, subi, v0s)
+            if need_v12:
+                v1f = jnp.where((a == 1) & ~sub, v, v1f)
+                v1s = jnp.where(a == 1, subi, v1s)
+                v2f = jnp.where((a == 2) & ~sub, v, v2f)
+                v2s = jnp.where(a == 2, subi, v2s)
             return (nz, nbz, ns, nbs, hf, hs, v0f, v0s, v1f, v1s,
                     v2f, v2s)
 
@@ -1162,9 +1197,11 @@ def _aff_block_pots(read_pk, read_av, d_c, amax_c, Ag, aff_D, present,
             st = ArgStats(
                 n_zero=n_zero,
                 n_one=arity - n_zero,
-                n_diff0=jnp.where(v0 == 0, arity - n_zero, n_zero),
+                n_diff0=jnp.where(v0 == 0, arity - n_zero, n_zero)
+                if need_v0 else zero8,
                 n_head_eq=jnp.where(head == 0, n_bz,
-                                    arity - 1 - n_bz),
+                                    arity - 1 - n_bz)
+                if need_head else zero8,
                 n_body_zero=n_bz,
                 n_neq_eq=arity - n_zero,
                 n_eq_eq=n_zero,
@@ -1179,8 +1216,38 @@ def _aff_block_pots(read_pk, read_av, d_c, amax_c, Ag, aff_D, present,
             out.append(pots2[k] + w * e)
         return tuple(out)
 
-    zf = jnp.zeros((8, 128), jnp.float32)
+    zf = jnp.zeros((rows, 128), jnp.float32)
     return jax.lax.fori_loop(0, d_c, d_body, (zf, zf))
+
+
+def flatten_packed_a(packed_a: np.ndarray, cmeta: np.ndarray,
+                     aff_D: int):
+    """Block-form packed_a -> the VMEM kernel's superblock-flat upload
+    layout: each logical row l of superblock s holds the (SB*8, 128)
+    slab covering all SB blocks, so a whole superblock evaluates as ONE
+    (64, 128) unit (no per-block loop). Colors pad to SB-multiples with
+    zero blocks (NOOP slots, upd = 0 — computed then masked at store).
+    Returns (flat (rows, 128) int32, per-color superblock offsets)."""
+    M = 5 * aff_D + 3
+    M8 = M * 8
+    C = cmeta.shape[0]
+    chunks, cur = [], 0
+    sb_off = np.zeros(C, np.int32)
+    for ci in range(C):
+        if cmeta[ci, 5] != 1:
+            continue
+        nb = int(cmeta[ci, 1])
+        off = int(cmeta[ci, 6])
+        n_sb = -(-nb // SB)
+        arr = np.zeros((n_sb * SB, M8, 128), np.int32)
+        arr[:nb] = packed_a[off:off + nb]
+        arr = arr.reshape(n_sb, SB, M, 8, 128).transpose(0, 2, 1, 3, 4)
+        chunks.append(arr.reshape(-1, 128))
+        sb_off[ci] = cur
+        cur += n_sb
+    flat = np.concatenate(chunks) if chunks else np.zeros((8, 128),
+                                                          np.int32)
+    return flat, sb_off
 
 
 # --------------------------------------------------------------------------
@@ -1294,7 +1361,7 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
             ssem, rsems = refs[:2]
             refs = refs[2:]
         if has_aff:
-            pack_a_scr, av_a, asem = refs[:3]
+            pack_a_scr, av_a, u_scr, asem = refs[:4]
         pltpu.prng_seed(seed_ref[0] + my)
         uniform = _make_uniform(sw_prng, seed_ref[0] * 977 + my)
         # chunked init + tally: full-(vp)-array ops stage through vector
@@ -1410,99 +1477,65 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
             return epoch_i
 
         # ---- affine fast path: lane-roll gathers + shared boolean
-        # counting stats (see _affine_color_info for the envelope) ----
+        # counting stats (see _affine_color_info for the envelope);
+        # whole superblocks (SB blocks) evaluate as ONE (SB*8, 128)
+        # unit — packed_a is uploaded superblock-flat (flatten_packed_a)
         if has_aff:
             lane_sb = jax.lax.broadcasted_iota(jnp.int32, (SB * 8, 128),
                                                1)
-            lane_b = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-            full2 = jnp.full((8, 128), 2, jnp.int32)
+            SR = SB * rbl           # sublane rows per superblock
 
-            def a_dma(grb, slot, nb, what):
+            def a_dma(gsb, slot, what):
                 cp = pltpu.make_async_copy(
-                    pack_a_hbm.at[pl.ds(grb * M8, nb * M8)],
-                    pack_a_scr.at[slot, pl.ds(0, nb * M8)],
-                    asem.at[slot])
+                    pack_a_hbm.at[pl.ds(gsb * (M8 * SB), M8 * SB)],
+                    pack_a_scr.at[slot], asem.at[slot])
                 cp.start() if what == "start" else cp.wait()
 
-            def a_gather(ci, base_i, n8):
-                _aff_gather(av_a, x_out, cmeta_ref[ci, 4] * Ag,
-                            lambda j: amet_ref[ci, j],
-                            lambda c: c + base_i, n8,
-                            lane_sb if n8 == SB else lane_b)
-
-            def a_eval_store(ci, read_pk, read_av, row0b, salt):
-                pots = _aff_block_pots(read_pk, read_av,
-                                       cmeta_ref[ci, 4],
-                                       cmeta_ref[ci, 7], Ag, aff_D,
-                                       present)
-                if has_ext:
-                    pots = tuple(
-                        pots[k] + ext_in[pl.ds(k * vpr + row0b, rbl), :]
-                        for k in range(2))
-                new = _draw(list(pots), full2, 2,
-                            uniform(salt, (8, 128)))
-                upd = read_pk(5 * aff_D)
-                old = x_out[pl.ds(row0b, rbl), :]
-                x_out[pl.ds(row0b, rbl), :] = jnp.where(upd == 1, new,
-                                                        old)
-
             def aff_color_body(ci, epoch_i):
-                rb_off_a = cmeta_ref[ci, 6]
+                sb_off = cmeta_ref[ci, 6]      # superblock offset
                 num_rb = cmeta_ref[ci, 1]
                 row0c = cmeta_ref[ci, 2]
-                n_full = num_rb // SB
-                n_tail = num_rb - n_full * SB
+                n_sb = (num_rb + SB - 1) // SB
                 salt0 = (epoch_i * 64 + ci) * n_shards + my
+                a_dma(sb_off, 0, "start")
 
-                @pl.when(n_full > 0)
-                def _():
-                    a_dma(rb_off_a, 0, SB, "start")
+                def sb_body(s, _):
+                    slot = s % 2
 
-                    def sb_body(sb, _):
-                        slot = sb % 2
+                    @pl.when(s + 1 < n_sb)
+                    def _():
+                        a_dma(sb_off + s + 1, (s + 1) % 2, "start")
 
-                        @pl.when(sb + 1 < n_full)
-                        def _():
-                            a_dma(rb_off_a + (sb + 1) * SB,
-                                  (sb + 1) % 2, SB, "start")
+                    a_dma(sb_off + s, slot, "wait")
+                    _aff_gather(av_a, x_out, cmeta_ref[ci, 4] * Ag,
+                                lambda j: amet_ref[ci, j],
+                                lambda c: c + s * (SB * RB), SB,
+                                lane_sb)
+                    pka = pack_a_scr.at[slot]
+                    pots = _aff_block_pots(
+                        lambda lr: pka[pl.ds(SR * lr, SR), :],
+                        lambda j: av_a[pl.ds(j * SB * 8, SB * 8), :],
+                        cmeta_ref[ci, 4], cmeta_ref[ci, 7], Ag, aff_D,
+                        present, rows=SB * 8)
+                    row0 = row0c + s * SR
+                    if has_ext:
+                        pots = tuple(
+                            pots[k] + ext_in[pl.ds(k * vpr + row0,
+                                                   SR), :]
+                            for k in range(2))
+                    # per-BLOCK uniforms (same stream as the HBM
+                    # kernel's per-block path: bit-identity holds)
+                    for b in range(SB):
+                        u_scr[pl.ds(b * rbl, rbl), :] = uniform(
+                            salt0 * 65536 + s * SB + b, (8, 128))
+                    new = _draw2(pots[0], pots[1], u_scr[...])
+                    upd = pka[pl.ds(SR * (5 * aff_D), SR), :]
+                    old = x_out[pl.ds(row0, SR), :]
+                    x_out[pl.ds(row0, SR), :] = jnp.where(upd == 1,
+                                                          new, old)
+                    return 0
 
-                        a_dma(rb_off_a + sb * SB, slot, SB, "wait")
-                        a_gather(ci, sb * (SB * RB), SB)
-                        pka = pack_a_scr.at[slot]
-
-                        def b_body(b, _):
-                            a_eval_store(
-                                ci,
-                                lambda lr: pka[pl.ds(b * M8 + 8 * lr,
-                                                     8), :],
-                                lambda j: av_a[pl.ds(j * SB * 8 + b * 8,
-                                                     8), :],
-                                row0c + (sb * SB + b) * rbl,
-                                salt0 * 65536 + sb * SB + b)
-                            return 0
-
-                        jax.lax.fori_loop(0, SB, b_body, 0)
-                        return 0
-
-                    jax.lax.fori_loop(0, n_full, sb_body, 0)
-
-                @pl.when(n_tail > 0)
-                def _():
-                    def tb_body(t, _):
-                        tb = n_full * SB + t
-                        a_dma(rb_off_a + tb, 0, 1, "start")
-                        a_dma(rb_off_a + tb, 0, 1, "wait")
-                        a_gather(ci, tb * RB, 1)
-                        pka = pack_a_scr.at[0]
-                        a_eval_store(
-                            ci,
-                            lambda lr: pka[pl.ds(8 * lr, 8), :],
-                            lambda j: av_a[pl.ds(j * SB * 8, 8), :],
-                            row0c + tb * rbl,
-                            salt0 * 65536 + tb)
-                        return 0
-
-                    jax.lax.fori_loop(0, n_tail, tb_body, 0)
+                jax.lax.fori_loop(0, n_sb, sb_body, 0)
                 return epoch_i
 
         def color_body(ci, epoch_i):
@@ -1960,6 +1993,7 @@ class PallasItemGridEngine:
             scratch += [pltpu.VMEM((2, SB * M8, 128), jnp.int32),
                         pltpu.VMEM((AFF_DA_MAX * SB * 8, 128),
                                    jnp.int32),
+                        pltpu.VMEM((SB * 8, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))]
         x_idx = 5 if has_aff else 4
 
@@ -2056,13 +2090,20 @@ class PallasItemGridEngine:
             fill_weights(self.plan, wv)
             self._packs = (jnp.asarray(self.plan.packed),
                            jnp.asarray(self.plan.wbase))
-            self._cmeta = jnp.asarray(self.plan.cmeta)
+            cm = self.plan.cmeta
             if self.plan.packed_a is not None:
+                # superblock-flat upload; col 6 becomes the SUPERBLOCK
+                # offset (this kernel's only use of it)
+                flat, sb_off = flatten_packed_a(self.plan.packed_a, cm,
+                                                self.plan.aff_D)
+                cm = cm.copy()
+                aff = cm[:, 5] == 1
+                cm[aff, 6] = sb_off[aff]
                 self._amet = jnp.asarray(self.plan.amet)
-                self._packed_a = jnp.asarray(
-                    self.plan.packed_a.reshape(-1, 128))
+                self._packed_a = jnp.asarray(flat)
             else:
                 self._amet = self._packed_a = None
+            self._cmeta = jnp.asarray(cm)
             self._weights_for = wkey
 
     def learn(self, seed: int, burn: int, epochs: int, stepsize: float,
@@ -2293,6 +2334,7 @@ class MultiChipItemGridEngine:
             scratch += [pltpu.VMEM((2, SB * M8, 128), jnp.int32),
                         pltpu.VMEM((AFF_DA_MAX * SB * 8, 128),
                                    jnp.int32),
+                        pltpu.VMEM((SB * 8, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))]
         x_idx = 7 if has_aff else 6
 
@@ -2342,14 +2384,20 @@ class MultiChipItemGridEngine:
             (packed_mc, wbase_mc, cmeta_mc, gmeta, packed_a_mc,
              amet_mc) = shard_schedule(self.plan, self.n_g)
             self._packs = (jnp.asarray(packed_mc), jnp.asarray(wbase_mc))
-            self._cmeta_mc = jnp.asarray(cmeta_mc)
             self._gmeta = jnp.asarray(gmeta)
             if packed_a_mc is not None:
-                self._packed_a_mc = jnp.asarray(packed_a_mc.reshape(
-                    self.n_g, -1, 128))
+                flats = []
+                for d in range(self.n_g):
+                    flat, sb_off = flatten_packed_a(
+                        packed_a_mc[d], cmeta_mc[d], self.plan.aff_D)
+                    aff = cmeta_mc[d, :, 5] == 1
+                    cmeta_mc[d, aff, 6] = sb_off[aff]
+                    flats.append(flat)
+                self._packed_a_mc = jnp.asarray(np.stack(flats))
                 self._amet_mc = jnp.asarray(amet_mc)
             else:
                 self._packed_a_mc = self._amet_mc = None
+            self._cmeta_mc = jnp.asarray(cmeta_mc)
             self._weights_for = wkey
 
     def run(self, seed: int, burn: int, epochs: int,
@@ -2600,7 +2648,6 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
         # kernel's affine path (same salts, shapes, and sum order)
         if has_aff:
             lane_b = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-            full2 = jnp.full((8, 128), 2, jnp.int32)
 
             def a_dma(grb, slot, what):
                 cp = pltpu.make_async_copy(
@@ -2651,9 +2698,9 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
                         lambda j: av_a[pl.ds(j * SB * 8, 8), :],
                         cmeta_ref[ci, 4], cmeta_ref[ci, 7], Ag, aff_D,
                         present)
-                    new = _draw(list(pots), full2, 2,
-                                uniform(salt_base * 65536 + rb,
-                                        (8, 128)))
+                    new = _draw2(pots[0], pots[1],
+                                 uniform(salt_base * 65536 + rb,
+                                         (8, 128)))
                     upd = pka[pl.ds(8 * (5 * aff_D), 8), :]
                     row0 = row0c + rb * rbl
                     pltpu.make_async_copy(x_hbm.at[pl.ds(row0, rbl)],
