@@ -1576,14 +1576,23 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
 
 
 def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
-                       sw_prng: bool = False, has_ext: bool = False):
+                       sw_prng: bool = False, has_ext: bool = False,
+                       n_shards: int = 0):
     """Dual-chain SGD fully in-kernel (reference learning.py:46-125 with
     the batched per-color semantics of ops/gibbs._color_step_learn).
 
     Same data-driven structure as the inference kernel. The slot loop
     runs twice per block — potentials+draw, then gradients — with the
     gathered argument values staged through a VMEM scratch so the
-    expensive gathers happen once."""
+    expensive gathers happen once.
+
+    ``n_shards > 1``: graph-sharded distributed learning — after each
+    color both chains' updated row blocks broadcast to every peer
+    (see _exchange_color) and the per-color (gradient, count) pair
+    all-reduces in FIXED device order, so every device applies a
+    bit-identical weight update (the reference's per-epoch dw summation
+    at the master, numbskull_master.py:174-233, made per-color, exact,
+    and on-interconnect)."""
     kmax = plan.kmax
     vp = plan.vp
     vpr = vp // 128
@@ -1599,20 +1608,41 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
     unroll_d = plan.D <= 8
     unroll_a = plan.A <= 8          # high arity -> stats loops
     Wb = _ceil(-(-(DA + 2) // 8), 128)
+    # n_shards = 0: single-chip ref layout; >= 1: multi-chip layout
+    # (n_shards == 1 exchanges with zero peers — bit-equal semantics,
+    # used to validate the MC path against the single-chip kernel)
+    mc = n_shards >= 1
+    W2 = 2 * wrows
 
     def kernel(*refs):
         refs = list(refs)
-        (seed_ref, burn_ref, epochs_ref, step0_ref, decay_ref,
-         cmeta_ref, x_in, xe_in, w_in, wfix) = refs[:10]
-        refs = refs[10:]
+        (seed_ref, burn_ref, epochs_ref, step0_ref, decay_ref) = refs[:5]
+        refs = refs[5:]
+        if mc:
+            myid_ref, cmeta_ref, gmeta_ref = refs[:3]
+            refs = refs[3:]
+            my = myid_ref[0]
+        else:
+            cmeta_ref = refs.pop(0)
+            my = 0
+        (x_in, xe_in, w_in, wfix) = refs[:4]
+        refs = refs[4:]
         ext_p_in = ext_e_in = None
         if has_ext:
             ext_p_in = refs.pop(0)
             ext_e_in = refs.pop(0)
         (pack_hbm, wb_hbm, x_out, xe_out, w_out,
-         pack_scr, wb_scr, gv_scr, gw_scr, nw_scr, sem, wsem) = refs
-        pltpu.prng_seed(seed_ref[0])
-        uniform = _make_uniform(sw_prng, seed_ref[0])
+         pack_scr, wb_scr, gv_scr, gw_scr, nw_scr, sem, wsem) = refs[:12]
+        refs = refs[12:]
+        if mc:
+            ssem, rsems, gwr, gssem, grsems = refs[:5]
+        pltpu.prng_seed(seed_ref[0] + my)
+        uniform = _make_uniform(sw_prng, seed_ref[0] + my)
+        # weight-update randomness (L1 truncation) must be IDENTICAL on
+        # every device; the software stream shares the base seed (the
+        # hardware PRNG cannot — the engine rejects L1 + n_shards > 1)
+        uniform_w = _make_uniform(sw_prng, seed_ref[0]) if mc else \
+            uniform
         # chunked init (full-array copies spill registers at scale)
         CH = 4096
         for s in range(0, vpr, CH):
@@ -1719,6 +1749,9 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
                 return salt_base
 
             jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * 64 + ci)
+            if mc:
+                _exchange_color(x_out, cmeta_ref, gmeta_ref, ci, my,
+                                n_shards, rbl, ssem, rsems)
             return epoch_i
 
         def learn_color(ci, carry):
@@ -1896,9 +1929,57 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
 
             jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * 64 + ci)
 
-            # apply the update (reference learning.py:111-125 semantics,
-            # batched as in ops/gibbs._color_step_learn)
-            gw, nw = gw_scr[:], nw_scr[:]
+            if mc:
+                # both chains' rows ship to every peer; then the
+                # per-color (gradient, count) pair all-reduces in FIXED
+                # device order so the update is bit-identical everywhere
+                _exchange_color(x_out, cmeta_ref, gmeta_ref, ci, my,
+                                n_shards, rbl, ssem, rsems)
+                _exchange_color(xe_out, cmeta_ref, gmeta_ref, ci, my,
+                                n_shards, rbl, ssem, rsems)
+                gwr[pl.ds(my * W2, wrows), :] = gw_scr[:]
+                gwr[pl.ds(my * W2 + wrows, wrows), :] = nw_scr[:]
+
+                def g_send(s, _):
+                    peer = jax.lax.rem(my + 1 + s, n_shards)
+                    src = gwr.at[pl.ds(my * W2, W2)]
+                    pltpu.make_async_remote_copy(
+                        src_ref=src, dst_ref=src, send_sem=gssem,
+                        recv_sem=grsems.at[my], device_id=peer,
+                        device_id_type=pltpu.DeviceIdType.LOGICAL
+                    ).start()
+                    return 0
+
+                jax.lax.fori_loop(0, n_shards - 1, g_send, 0)
+
+                def g_swait(i, _):
+                    ref = gwr.at[pl.ds(my * W2, W2)]
+                    pltpu.make_async_copy(ref, ref, gssem).wait()
+                    return 0
+
+                jax.lax.fori_loop(0, n_shards - 1, g_swait, 0)
+
+                def g_rwait(s, _):
+                    peer = jax.lax.rem(my + 1 + s, n_shards)
+                    dst = gwr.at[pl.ds(peer * W2, W2)]
+                    pltpu.make_async_copy(dst, dst,
+                                          grsems.at[peer]).wait()
+                    return 0
+
+                jax.lax.fori_loop(0, n_shards - 1, g_rwait, 0)
+
+                def g_acc(d, c):
+                    return (c[0] + gwr[pl.ds(d * W2, wrows), :],
+                            c[1] + gwr[pl.ds(d * W2 + wrows, wrows), :])
+
+                gw, nw = jax.lax.fori_loop(
+                    0, n_shards, g_acc,
+                    (jnp.zeros((wrows, 128), jnp.float32),
+                     jnp.zeros((wrows, 128), jnp.float32)))
+            else:
+                # apply the update (reference learning.py:111-125
+                # semantics, batched as in ops/gibbs._color_step_learn)
+                gw, nw = gw_scr[:], nw_scr[:]
             if lp.grad_agg == "mean":
                 gw = gw / jnp.maximum(nw, 1.0)
             w = w_out[:]
@@ -1911,8 +1992,8 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
                 l1d = lp.reg_param * step * lp.truncation
                 w_tr = jnp.where(w_new > 0, jnp.maximum(0.0, w_new - l1d),
                                  jnp.minimum(0.0, w_new + l1d))
-                u = uniform((epoch_i * 64 + ci) ^ 0x33333333,
-                            (wrows, 128))
+                u = uniform_w((epoch_i * 64 + ci) ^ 0x33333333,
+                              (wrows, 128))
                 w_new = jnp.where(u < 1.0 / lp.truncation, w_tr, w_new)
             else:
                 w_new = w - step * gw
@@ -2399,6 +2480,122 @@ class MultiChipItemGridEngine:
                 self._packed_a_mc = self._amet_mc = None
             self._cmeta_mc = jnp.asarray(cmeta_mc)
             self._weights_for = wkey
+
+    def _build_learn_call(self, lp):
+        plan = self.plan
+        n_g = self.n_g
+        wrows = max(_ceil(-(-plan.n_weights // 128), 8), 8)
+        kernel = _make_learn_kernel(plan, lp, wrows,
+                                    sw_prng=bool(self.interpret),
+                                    n_shards=n_g)
+        L = _Layout(plan.D, plan.A)
+        DA = plan.D * plan.A
+        vp, kmax = plan.vp, plan.kmax
+
+        in_specs = (
+            [pl.BlockSpec(memory_space=pltpu.SMEM)] * 8 +
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4 +
+            [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        )
+        out_specs = tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                          for _ in range(3))
+        scratch = [pltpu.VMEM((2, L.rows, RB), jnp.int32),
+                   pltpu.SMEM((2, 8, _ceil(-(-(DA + 2) // 8), 128)),
+                              jnp.int32),
+                   pltpu.VMEM((2 * DA, RB), jnp.int32),
+                   pltpu.VMEM((wrows, 128), jnp.float32),
+                   pltpu.VMEM((wrows, 128), jnp.float32),
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA(()),        # chain send
+                   pltpu.SemaphoreType.DMA((n_g,)),    # chain recv
+                   pltpu.VMEM((n_g * 2 * wrows, 128), jnp.float32),
+                   pltpu.SemaphoreType.DMA(()),        # grad send
+                   pltpu.SemaphoreType.DMA((n_g,))]    # grad recv
+
+        def dev_fn(seed, burn, epochs, step0, decay, cmeta_d, gmeta,
+                   x0, xe0, w0, wfix, packed_d, wbase_d):
+            myid = jax.lax.axis_index("graph").astype(
+                jnp.int32).reshape((1,))
+            return pl.pallas_call(
+                kernel,
+                out_shape=(
+                    jax.ShapeDtypeStruct((vp // 128, 128), jnp.int32),
+                    jax.ShapeDtypeStruct((vp // 128, 128), jnp.int32),
+                    jax.ShapeDtypeStruct((wrows, 128), jnp.float32)),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+                compiler_params=pltpu.CompilerParams(
+                    has_side_effects=True, collective_id=13,
+                    vmem_limit_bytes=127 * 1024 * 1024),
+                input_output_aliases={8: 0, 9: 1},
+                interpret=(pltpu.InterpretParams()
+                           if self.interpret else False),
+            )(seed, burn, epochs, step0, decay, myid, cmeta_d[0],
+              gmeta, x0, xe0, w0, wfix, packed_d[0], wbase_d[0])
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        G = "graph"
+        sm = shard_map(
+            dev_fn, mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(G), P(), P(), P(),
+                      P(), P(), P(G), P(G)),
+            out_specs=(P(), P(), P()), check_vma=False)
+        return jax.jit(sm), wrows
+
+    def learn(self, seed: int, burn: int, epochs: int, stepsize: float,
+              decay: float = 1.0, lp=None, weight_value=None,
+              x0=None, xe0=None, return_state: bool = False):
+        """Graph-sharded dual-chain SGD with the fused kernel: per-color
+        halo exchange of BOTH chains plus a fixed-order in-kernel
+        gradient all-reduce, so every device applies bit-identical
+        weight updates (reference: per-epoch minion dw summed at the
+        master, numbskull_master.py:174-233 — here per-color, exact,
+        on-interconnect). Returns weights (or (w, x, xe) with
+        ``return_state``), like PallasItemGridEngine.learn."""
+        from numbskull_tpu.ops.gibbs import LearnParams
+        lp = lp or LearnParams()
+        if lp.regularization == 1 and self.n_g > 1 and \
+                not self.interpret:
+            raise ValueError(
+                "L1 truncation draws cannot be shared across hardware "
+                "PRNGs; use L2/none or single-shard learning")
+        plan = self.plan
+        wv = np.asarray(self.cg.weight_init if weight_value is None
+                        else weight_value, np.float32)
+        self._ensure_packs(wv)
+        key = (lp,)
+        if getattr(self, "_learn_for", None) != key:
+            self._learn_call, self._wrows = self._build_learn_call(lp)
+            self._learn_for = key
+        w0 = np.zeros((self._wrows, 128), np.float32)
+        w0.reshape(-1)[:len(wv)] = wv
+        wfix = np.zeros((self._wrows, 128), np.int32)
+        wfix.reshape(-1)[:len(wv)] = np.asarray(self.cg.weight_fixed,
+                                                np.int32)
+
+        def chain2d(vals):
+            init = plan.init_new.copy()
+            if vals is not None:
+                init[plan.perm] = np.asarray(vals, np.int32)
+            return jnp.asarray(init.reshape(plan.vp // 128, 128))
+
+        x_out, xe_out, w_out = self._learn_call(
+            jnp.asarray([seed], jnp.int32),
+            jnp.asarray([burn], jnp.int32),
+            jnp.asarray([epochs], jnp.int32),
+            jnp.asarray([stepsize], jnp.float32),
+            jnp.asarray([decay], jnp.float32),
+            self._cmeta_mc, self._gmeta, chain2d(x0), chain2d(xe0),
+            jnp.asarray(w0), jnp.asarray(wfix), *self._packs)
+        w = np.asarray(w_out).reshape(-1)[:plan.n_weights]
+        if not return_state:
+            return w
+        x = np.asarray(x_out).reshape(-1)[plan.perm]
+        xe = np.asarray(xe_out).reshape(-1)[plan.perm]
+        return w, x, xe
 
     def run(self, seed: int, burn: int, epochs: int,
             weight_value=None, x0=None):

@@ -158,3 +158,61 @@ def test_itemgrid_mc_tpu_matches_single_chip():
     x2, c2 = sc.run(seed=0, burn=100, epochs=2000)
     gap = np.abs(c1 / 2000 - c2 / 2000)
     assert np.sort(gap.ravel())[-10] < 0.05
+
+
+def test_mc_learn_single_shard_bit_equal_to_single_chip():
+    """MultiChipItemGridEngine.learn at n_g=1: the multi-chip learn
+    kernel (per-color exchange of both chains with zero peers + the
+    fixed-order gradient all-reduce over one device) must be BIT-EQUAL
+    to PallasItemGridEngine.learn — validating the distributed learning
+    algebra that real pods exercise with n_g > 1 (reference analog:
+    per-epoch minion dw summed at the master,
+    salt/src/numbskull_master.py:174-233)."""
+    from numbskull_tpu.models import coin_model
+    from numbskull_tpu.ops.gibbs import LearnParams
+    from numbskull_tpu.ops.itemgrid_pallas import (
+        MultiChipItemGridEngine, PallasItemGridEngine)
+
+    w, v, f, fm, dm, e = coin_model(40, 0.8, -0.5, 0.4, evidence=True,
+                                    weight_init=(0.0, 0.0, 0.0),
+                                    fixed=False, seed=3)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm)
+    lp = LearnParams(regularization=2, reg_param=1e-4)
+    single = PallasItemGridEngine(cg, interpret=True)
+    w1, x1, xe1 = single.learn(seed=7, burn=3, epochs=15, stepsize=0.05,
+                               decay=0.98, lp=lp, return_state=True)
+    mc = MultiChipItemGridEngine(cg, devices=jax.devices()[:1],
+                                 interpret=True)
+    w2, x2, xe2 = mc.learn(seed=7, burn=3, epochs=15, stepsize=0.05,
+                           decay=0.98, lp=lp, return_state=True)
+    np.testing.assert_array_equal(w1, w2)
+    np.testing.assert_array_equal(x1, x2)
+    np.testing.assert_array_equal(xe1, xe2)
+
+
+def test_itemgrid_learn_beyond_1024_weights():
+    """In-kernel learning with weight counts far beyond 1024 (the r2
+    ROADMAP listed >1024 as an XLA fallback; the data-driven weight
+    rows removed the cap): per-factor weights on 600 coin pairs = 1800
+    weights learn in-kernel and move in the generating directions."""
+    from numbskull_tpu import types as T
+    from numbskull_tpu.models import coin_model
+    from numbskull_tpu.ops.gibbs import LearnParams
+    from numbskull_tpu.ops.itemgrid_pallas import PallasItemGridEngine
+
+    w, v, f, fm, dm, e = coin_model(600, 0.8, -0.5, 0.4, evidence=True,
+                                    weight_init=(0.0, 0.0, 0.0),
+                                    fixed=False, seed=3)
+    W = len(f)
+    w2 = T.new_weights(W)
+    w2["isFixed"] = False
+    w2["initialValue"] = 0.0
+    f2 = f.copy()
+    f2["weightId"] = np.arange(W)
+    cg = compile_graph(w2, v, f2, fm, domain_mask=dm)
+    eng = PallasItemGridEngine(cg, interpret=True)
+    assert cg.n_weights == 1800
+    wv = eng.learn(seed=0, burn=3, epochs=25, stepsize=0.1,
+                   lp=LearnParams(grad_agg="sum"))
+    assert wv.shape == (1800,)
+    assert np.abs(wv).max() > 0.05       # gradients actually landed
