@@ -18,7 +18,9 @@ kernel is the TPU-native design for the irregular case (SURVEY.md §7.3
   across ALL epochs; item tables stream from HBM as ONE packed DMA per
   row block; sampling uses the hardware PRNG.
 
-Coverage: boolean AND categorical variables (cardinality <= K_MAX_SUP),
+Coverage: boolean AND categorical variables (cardinality <= K_MAX_SUP
+= 32; variable capacity scales down with cardinality to keep count
+slabs in budget),
 ALL 25 reference factor functions (boolean, categorical, the nine
 data-programming generative factors, and FUNC_UFO), inference AND
 dual-chain SGD learning; per-value tallies are int16 (cap ~30k tallied
@@ -60,11 +62,18 @@ A_MAX = 64           # max factor arity (arity > 8 evaluates via stats
 #                      loops — code size O(1) in arity)
 DA_MAX = 1024        # max D*A per row (bounds the staged-gather and
 #                      packed-block scratch)
-K_MAX_SUP = 8        # max variable cardinality
-V_MAX = 10 << 20     # max padded variables (VMEM: 4B values + 1B tally
-#                      + 2B/value counts; chunked init/tally avoid
-#                      register spills; 3072x3072 lattices = 9.4M vars
-#                      verified on hardware)
+K_MAX_SUP = 32       # max variable cardinality (the candidate loop and
+#                      count slabs are static in kmax = the GRAPH's max
+#                      card, so raising the cap costs nothing for
+#                      boolean graphs; high-card graphs trade variable
+#                      capacity for count slabs — see the vcap scaling
+#                      in _plan_ranked)
+V_MAX = 10 << 20     # max padded variables AT kmax=2 (VMEM: 4B values +
+#                      1B tally + 2B/value counts = ~9B/var; chunked
+#                      init/tally avoid register spills; 3072x3072
+#                      lattices = 9.4M vars verified on hardware).
+#                      Higher-card graphs scale this down by bytes/var
+#                      (see _plan_ranked).
 COLOR_MAX = 64       # the color sweep is a data-driven loop over an
 #                      SMEM schedule — more colors cost sweep steps,
 #                      not code size or scratch
@@ -325,7 +334,12 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
         starts.append(vp)
         vp += _ceil(int(p.cv_valid.sum()), RB * n_shards)
     vp = _ceil(vp, 2048)   # int16 count slabs need 16-sublane alignment
+    # caps are tuned at kmax=2 (~9 bytes/var: 4B values + 1B tally +
+    # 2B/candidate counts); higher cardinality multiplies the count
+    # slabs, so the variable capacity scales down by bytes-per-var
     vcap = V_MAX if vmax is None else vmax
+    if kmax > 2:
+        vcap = (vcap * 9) // (5 + 2 * kmax)
     if vp > vcap:
         return None, "graph too large (%d padded vars > %d)" % (vp, vcap)
     perm = np.full(cg.n_vars, -1, np.int64)

@@ -176,14 +176,15 @@ def test_eval_bool_matches_golden_all_types():
                 assert got == pytest.approx(want), (ftype, arity, case)
 
 
-def _random_mixed_graph(seed, n_vars=20, n_factors=30):
-    """Boolean + cardinality-3 categorical vars, categorical + DP
-    factor functions."""
+def _random_mixed_graph(seed, n_vars=20, n_factors=30, max_card=3):
+    """Boolean + categorical vars (cardinality up to ``max_card``),
+    categorical + DP factor functions."""
     rng = np.random.default_rng(seed)
     v = T.new_variables(n_vars)
     is_cat = rng.random(n_vars) < 0.4
     v["dataType"] = is_cat.astype(np.int16)
-    v["cardinality"] = np.where(is_cat, 3, 2)
+    cat_card = rng.integers(3, max_card + 1, n_vars)
+    v["cardinality"] = np.where(is_cat, cat_card, 2)
     v["initialValue"] = 0
     v["isEvidence"] = rng.integers(0, 2, n_vars)
     w = T.new_weights(4)
@@ -231,6 +232,68 @@ def test_itemgrid_categorical_potentials_match_golden(seed):
         for k in range(int(v["cardinality"][vid])):
             want = golden.potential(v, f, fm, w["initialValue"], vid, k, x)
             assert got[vid][k] == pytest.approx(want, abs=1e-4), (vid, k)
+
+
+@pytest.mark.parametrize("seed", [4, 11])
+def test_itemgrid_card32_potentials_match_golden(seed):
+    """Cardinality up to K_MAX_SUP=32 (raised from 8 in round 3): the
+    kernel's kmax-unrolled candidate loop and count layout must stay
+    exact against the scalar oracle at high cardinality."""
+    w, v, f, fm = _random_mixed_graph(seed, max_card=32)
+    assert int(v["cardinality"].max()) > 8      # beyond the old cap
+    cg = compile_graph(w, v, f, fm)
+    plan, reason = plan_item_grid(cg)
+    assert plan is not None, reason
+    assert plan.kmax > 8
+    fill_weights(plan, w["initialValue"])
+    rng = np.random.default_rng(seed + 1)
+    x = np.array([rng.integers(0, c) for c in v["cardinality"]])
+    got = _replay_potentials(plan, w["initialValue"], x)
+    for vid in range(cg.n_vars):
+        for k in range(int(v["cardinality"][vid])):
+            want = golden.potential(v, f, fm, w["initialValue"], vid, k, x)
+            assert got[vid][k] == pytest.approx(want, abs=1e-4), (vid, k)
+
+
+def test_itemgrid_interpret_card32_exact_marginals():
+    """End-to-end interpret run at cardinality 32: independent 32-ary
+    variables with one unary EQUAL_CAT_CONST factor each (weight w on
+    value c_i) have closed-form marginals e^w/(e^w + 31)."""
+    from numbskull_tpu.ops.itemgrid_pallas import PallasItemGridEngine
+
+    K, N, wgt = 32, 96, 1.1
+    rng = np.random.default_rng(5)
+    v = T.new_variables(N)
+    v["dataType"] = 1
+    v["cardinality"] = K
+    v["initialValue"] = 0
+    w = T.new_weights(1)
+    w["isFixed"] = True
+    w["initialValue"] = wgt
+    f = T.new_factors(N)
+    f["factorFunction"] = T.FUNC_EQUAL_CAT_CONST
+    f["weightId"] = 0
+    f["featureValue"] = 1.0
+    f["arity"] = 1
+    f["ftv_offset"] = np.arange(N)
+    fm = T.new_fmap(N)
+    fm["vid"] = np.arange(N)
+    c_i = rng.integers(0, K, N)
+    fm["dense_equal_to"] = c_i
+    cg = compile_graph(w, v, f, fm)
+    eng = PallasItemGridEngine(cg, interpret=True)
+    assert eng.plan.kmax == K
+    epochs = 600
+    x, cnt = eng.run(seed=0, burn=20, epochs=epochs)
+    m = cnt / epochs
+    p_hit = m[np.arange(N), c_i]
+    p_exact = np.exp(wgt) / (np.exp(wgt) + K - 1)
+    assert p_hit.mean() == pytest.approx(p_exact, abs=0.02)
+    # off-target values uniform at (1 - p) / (K - 1)
+    off = (1.0 - p_hit.mean()) / (K - 1)
+    mask = np.ones((N, K), bool)
+    mask[np.arange(N), c_i] = False
+    assert m[mask].mean() == pytest.approx(off, abs=0.01)
 
 
 def test_rcm_reorder_rescues_shuffled_ising():
