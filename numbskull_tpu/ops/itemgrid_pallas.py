@@ -98,6 +98,35 @@ def _ceil(a, m):
     return -(-a // m) * m
 
 
+def _split_mask32(sb):
+    """int64 arg bitmask -> (lo, hi) int64 words holding bits 0..31 /
+    32..63 as two's-complement int32-range values (A_MAX = 64 exceeds
+    one int32 word; bit 31 must land in the sign bit, not overflow)."""
+    wrap = np.int64(1) << 32
+    half = np.int64(1) << 31
+    lo = sb & (wrap - 1)
+    hi = (sb >> 32) & (wrap - 1)
+    return lo - (lo >= half) * wrap, hi - (hi >= half) * wrap
+
+
+def _sbit_mask(a: int) -> np.int32:
+    """Static int32 single-bit mask for arg position ``a % 32`` (bit 31
+    is the sign bit)."""
+    a = a % 32
+    return np.int32(-(1 << 31)) if a == 31 else np.int32(1 << a)
+
+
+def _read_sub2(lo, hi):
+    """Traced-index substitution-bit reader over the two sbits words.
+    Shift amounts are clamped into [0, 31] before use; the out-of-range
+    lane is discarded by the select."""
+    def read(a):
+        s1 = (lo >> jnp.minimum(a, 31)) & 1
+        s2 = (hi >> jnp.clip(a - 32, 0, 31)) & 1
+        return jnp.where(a < 32, s1, s2) != 0
+    return read
+
+
 def _ceil_np(a, m):
     return -(-a // m) * m
 
@@ -113,11 +142,15 @@ class _Layout:
         self.acard = 2 * DA       # DA rows: cardinality per arg
         self.fta = 3 * DA         # D rows: (ftype+1) | arity<<8
         self.wbake = 3 * DA + D   # D rows: baked w[wid] bits (inference)
-        self.sbits = 3 * DA + 2 * D   # D rows: subst bitmask over args
-        self.wid = 3 * DA + 3 * D     # D rows: weight ids
-        self.fv = 3 * DA + 4 * D      # D rows: featureValue bits
-        self.dd = 3 * DA + 5 * D      # D rows: slot d1 | d2<<8
-        self.upd = 3 * DA + 6 * D     # free-chain update mask
+        self.sbits = 3 * DA + 2 * D   # D rows: subst bitmask args 0..31
+        self.sbits2 = 3 * DA + 3 * D  # D rows: subst bitmask args 32..63
+        #                               (A_MAX = 64 > one int32 word; a
+        #                               single word silently dropped the
+        #                               own-var mask at positions >= 31)
+        self.wid = 3 * DA + 4 * D     # D rows: weight ids
+        self.fv = 3 * DA + 5 * D      # D rows: featureValue bits
+        self.dd = 3 * DA + 6 * D      # D rows: slot d1 | d2<<8
+        self.upd = 3 * DA + 7 * D     # free-chain update mask
         self.upd_e = self.upd + 1     # clamped-chain update mask
         self.lrn = self.upd + 2       # evidence rows (gradient mask)
         self.rowmeta = self.upd + 3   # row card | dataType<<8
@@ -193,7 +226,8 @@ def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True,
     owns the same number of blocks per color).
     """
     plan, reason = _plan_ranked(cg, sample_evidence, None,
-                                n_shards=n_shards, vmax=vmax)
+                                n_shards=n_shards, vmax=vmax,
+                                probe_reject=True)
     if plan is not None and int(plan.cmeta[:, 3].max()) <= 1:
         return plan, None        # natural order already single-tile
     if plan is None and "window span" not in (reason or ""):
@@ -316,7 +350,8 @@ def _affine_color_info(g_ftype, g_arity, g_off, g_fetch, g_subst,
 
 
 def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
-                 n_shards: int = 1, vmax: int | None = None):
+                 n_shards: int = 1, vmax: int | None = None,
+                 probe_reject: bool = False):
     kmax = int(np.asarray(cg.var_card).max()) if cg.n_vars else 1
     if kmax > K_MAX_SUP:
         return None, "cardinality %d > %d" % (kmax, K_MAX_SUP)
@@ -390,6 +425,17 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
             worst_span = max(worst_span,
                              int((bhi[ok] - (blo[ok] // 128) * 128).max())
                              + 1)
+    # early probe (first attempt only): when the per-(block, arg) spans
+    # already exceed the maximum gather reach AND the whole-array
+    # fallback window cannot apply, this ordering is (almost surely)
+    # headed for a per-slot "window span" rejection AFTER paying the
+    # full grid-building cost — bail out now so plan_item_grid goes
+    # straight to the RCM ordering. Slight overreach is possible (the
+    # probe unions arg spans across slots) but only costs trying RCM.
+    if probe_reject and worst_span > NT_MAX * TRW * 128 and \
+            vp > NT_MAX * TRW * 128:
+        return None, ("window span %d > %d tiles (probe)" %
+                      (worst_span, NT_MAX))
     need_rows = _ceil(-(-worst_span // 128), 8)
     if vp // 128 <= need_rows or vp <= 2048:
         trw = vp // 128             # one tile covers the whole array
@@ -500,14 +546,17 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
         # dense (R, D[, A]) grids; subst slots and padding carry offset 0
         # and an explicit subst mask (replaced by the candidate / masked
         # by arity)
-        g_ftype = np.full((R, D), -1, np.int64)              # NOOP pad
-        g_arity = np.ones((R, D), np.int64)
-        g_wid = np.zeros((R, D), np.int64)
+        # int32 grids: every value fits (offsets < vp <= 2^31); int64
+        # doubles the memory traffic of the hottest planner phase on a
+        # bandwidth-bound host
+        g_ftype = np.full((R, D), -1, np.int32)              # NOOP pad
+        g_arity = np.ones((R, D), np.int32)
+        g_wid = np.zeros((R, D), np.int32)
         g_fv = np.zeros((R, D), np.float32)
-        g_dd = np.zeros((R, D), np.int64)
-        g_off = np.zeros((R, D, A), np.int64)
-        g_eq = np.zeros((R, D, A), np.int64)
-        g_acard = np.ones((R, D, A), np.int64)
+        g_dd = np.zeros((R, D), np.int32)
+        g_off = np.zeros((R, D, A), np.int32)
+        g_eq = np.zeros((R, D, A), np.int32)
+        g_acard = np.ones((R, D, A), np.int32)
         g_subst = np.zeros((R, D, A), bool)
         g_fetch = np.zeros((R, D, A), bool)
         if len(rows):
@@ -562,7 +611,10 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
         big = np.iinfo(np.int64).max
         lo = np.full((num_rb, D, A), big)
         hi = np.zeros((num_rb, D, A), np.int64)
-        np.minimum.at(lo, blk, np.where(g_fetch, g_off, big))
+        # g_off is int32; promote BEFORE np.where or the int64-max
+        # sentinel silently wraps to -1 and poisons every block's lo
+        np.minimum.at(lo, blk,
+                      np.where(g_fetch, g_off.astype(np.int64), big))
         np.maximum.at(hi, blk, np.where(g_fetch, g_off, 0))
         has = lo != big          # slots with any fetched arg
         lo = np.where(has, lo, 0)
@@ -579,7 +631,7 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
                               "(graph lacks locality)" %
                               (int(span.max()), NT_MAX))
         win = nt * tile_v
-        base = np.minimum(np.maximum(base, 0), vp - win)
+        base = np.minimum(np.maximum(base, 0), vp - win).astype(np.int32)
         if ((hi - base) >= win).any():
             return None, "window overflow after clamping"
         g_off = np.where(g_fetch, g_off - base[blk], 0)
@@ -609,9 +661,11 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
         put_d(L.fta, (g_ftype + 1) | (g_arity << 8))
         sb = (g_subst.astype(np.int64) <<
               np.arange(A, dtype=np.int64)[None, None, :]).sum(-1)
-        put_d(L.sbits, sb)
+        sb_lo, sb_hi = _split_mask32(sb)
+        put_d(L.sbits, sb_lo)
+        put_d(L.sbits2, sb_hi)
         put_d(L.wid, g_wid)
-        put_d(L.fv, g_fv.view(np.int32).astype(np.int64))
+        put_d(L.fv, g_fv.view(np.int32))
         put_d(L.dd, g_dd)
         isev_c = np.zeros(R, np.int64)
         valid_c = np.zeros(R, bool)
@@ -664,7 +718,7 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
     aff_D = 0
     if aff_colors:
         aff_D = max(d["D_c"] for d in aff_colors.values())
-        M = 5 * aff_D + 3
+        M = 6 * aff_D + 3
         total_rb_a = sum(d["num_rb"] for d in aff_colors.values())
         packed_a = np.zeros((total_rb_a, M * 8, 128), np.int32)
         gwid_a = np.zeros((total_rb_a, aff_D, RB), np.int32)
@@ -681,22 +735,24 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
                     np.asarray(grid, np.int32).reshape(num_rb, 8, 128)
 
             for dd in range(D_c):
-                aput(5 * dd, (d["ftype"][:, dd] + 1) |
+                aput(6 * dd, (d["ftype"][:, dd] + 1) |
                      (d["arity"][:, dd] << 8))
-                # 5*dd+1 (wbake) stays zero until fill_weights
+                # 6*dd+1 (wbake) stays zero until fill_weights
                 sbits_d = (d["subst"][:, dd, :].astype(np.int64) <<
                            np.arange(Ag, dtype=np.int64)).sum(-1)
-                aput(5 * dd + 2, sbits_d)
-                aput(5 * dd + 3, d["wid"][:, dd])
-                aput(5 * dd + 4, np.ascontiguousarray(
+                sb_lo_d, sb_hi_d = _split_mask32(sbits_d)
+                aput(6 * dd + 2, sb_lo_d)
+                aput(6 * dd + 3, sb_hi_d)
+                aput(6 * dd + 4, d["wid"][:, dd])
+                aput(6 * dd + 5, np.ascontiguousarray(
                     d["fv"][:, dd].astype(np.float32)).view(np.int32))
                 gwid_a[cur:cur + num_rb, dd] = \
                     d["wid"][:, dd].reshape(num_rb, RB)
                 amet_all[ci, dd * Ag:dd * Ag + Ag] = \
                     np.clip(d["c_abs"][dd], -(2 ** 31) + 1, AFF_NONE)
-            aput(5 * aff_D, d["upd"])
-            aput(5 * aff_D + 1, d["upd_e"])
-            aput(5 * aff_D + 2, d["lrn"])
+            aput(6 * aff_D, d["upd"])
+            aput(6 * aff_D + 1, d["upd_e"])
+            aput(6 * aff_D + 2, d["lrn"])
             cmeta[ci, 5] = 1
             cmeta[ci, 6] = cur
             cur += num_rb
@@ -728,7 +784,7 @@ def fill_weights(plan: ItemGridPlan, weight_value: np.ndarray):
     if plan.packed_a is not None:
         ws = wv[plan.g_wid_a]                   # (rb_a, aff_D, RB) f32
         for dd in range(plan.aff_D):
-            lrow = 5 * dd + 1
+            lrow = 6 * dd + 1
             plan.packed_a[:, 8 * lrow:8 * lrow + 8, :] = \
                 ws[:, dd].view(np.int32).reshape(-1, 8, 128)
 
@@ -1007,13 +1063,14 @@ def _slot_eval_loop(pk, L, Ag, d, av_scr, row_base, present, ftype,
     """Evaluate slot d at every candidate in ``subvals`` from staged
     gathers via the shared stats loops + the shared semantics table.
     Returns a list of (1, RB) float32, one per candidate."""
-    sbits = pk[pl.ds(L.sbits + d, 1), :]
+    sb_lo = pk[pl.ds(L.sbits + d, 1), :]
+    sb_hi = pk[pl.ds(L.sbits2 + d, 1), :]
     sts = _loop_stats(
         Ag, arity,
         read_val=lambda a: av_scr[pl.ds(row_base + a, 1), :],
         read_eq=lambda a: pk[pl.ds(L.eq + d * Ag + a, 1), :],
         read_card=lambda a: pk[pl.ds(L.acard + d * Ag + a, 1), :],
-        read_sub=lambda a: ((sbits >> a) & 1) != 0,
+        read_sub=_read_sub2(sb_lo, sb_hi),
         subvals=subvals)
     return [finalize(present, ftype, st) for st in sts]
 
@@ -1037,8 +1094,10 @@ def _slot_decode(pk, wb, L, Ag, d, gather_chains, w_of=None):
         eqs=[pk[pl.ds(L.eq + d * Ag + a, 1), :] for a in range(Ag)],
         cards=[pk[pl.ds(L.acard + d * Ag + a, 1), :] for a in range(Ag)],
     )
-    sbits = pk[pl.ds(L.sbits + d, 1), :]
-    term["sub"] = [(sbits & (1 << a)) != 0 for a in range(Ag)]
+    sb_lo = pk[pl.ds(L.sbits + d, 1), :]
+    sb_hi = pk[pl.ds(L.sbits2 + d, 1), :] if Ag > 32 else None
+    term["sub"] = [((sb_lo if a < 32 else sb_hi) & _sbit_mask(a)) != 0
+                   for a in range(Ag)]
     if w_of is not None:
         term["w"] = w_of(term["wid"])
     else:
@@ -1160,20 +1219,20 @@ def _aff_block_pots(read_pk, read_av, d_c, amax_c, Ag, aff_D, present,
         T.FUNC_DP_GEN_DEP_EXCLUSIVE, T.FUNC_DP_GEN_DEP_SIMILAR})
 
     def d_body(d, pots2):
-        fta = read_pk(5 * d)
+        fta = read_pk(6 * d)
         ftype = (fta & 0xFF) - 1
         arity = fta >> 8
         if w_of is None:
-            w = pltpu.bitcast(read_pk(5 * d + 1), jnp.float32)
+            w = pltpu.bitcast(read_pk(6 * d + 1), jnp.float32)
         else:
-            w = w_of(read_pk(5 * d + 3))
-        sbits = read_pk(5 * d + 2)
+            w = w_of(read_pk(6 * d + 4))
+        read_sub = _read_sub2(read_pk(6 * d + 2), read_pk(6 * d + 3))
 
         def a_body(a, c):
             (nz, nbz, ns, nbs, hf, hs, v0f, v0s, v1f, v1s,
              v2f, v2s) = c
             v = read_av(d * Ag + a)
-            sub = ((sbits >> a) & 1) != 0
+            sub = read_sub(a)
             m = a < arity
             fet = m & ~sub
             nz = nz + jnp.where(fet & (v == 0), 1, 0)
@@ -1242,7 +1301,7 @@ def flatten_packed_a(packed_a: np.ndarray, cmeta: np.ndarray,
     (64, 128) unit (no per-block loop). Colors pad to SB-multiples with
     zero blocks (NOOP slots, upd = 0 — computed then masked at store).
     Returns (flat (rows, 128) int32, per-color superblock offsets)."""
-    M = 5 * aff_D + 3
+    M = 6 * aff_D + 3
     M8 = M * 8
     C = cmeta.shape[0]
     chunks, cur = [], 0
@@ -1344,7 +1403,7 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
         plan.cmeta.size and bool((plan.cmeta[:, 5] == 1).any())
     has_old = (not has_aff) or bool((plan.cmeta[:, 5] == 0).any())
     aff_D = plan.aff_D
-    M8 = (5 * aff_D + 3) * 8
+    M8 = (6 * aff_D + 3) * 8
 
     mc = n_shards > 1
 
@@ -1543,7 +1602,7 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
                         u_scr[pl.ds(b * rbl, rbl), :] = uniform(
                             salt0 * 65536 + s * SB + b, (8, 128))
                     new = _draw2(pots[0], pots[1], u_scr[...])
-                    upd = pka[pl.ds(SR * (5 * aff_D), SR), :]
+                    upd = pka[pl.ds(SR * (6 * aff_D), SR), :]
                     old = x_out[pl.ds(row0, SR), :]
                     x_out[pl.ds(row0, SR), :] = jnp.where(upd == 1,
                                                           new, old)
@@ -2066,7 +2125,7 @@ class PallasItemGridEngine:
         DA = plan.D * plan.A
         has_aff = plan.packed_a is not None and plan.cmeta.size and \
             bool((plan.cmeta[:, 5] == 1).any())
-        M8 = (5 * plan.aff_D + 3) * 8
+        M8 = (6 * plan.aff_D + 3) * 8
 
         in_specs = (
             [pl.BlockSpec(memory_space=pltpu.SMEM)] *
@@ -2406,7 +2465,7 @@ class MultiChipItemGridEngine:
         vp, kmax = plan.vp, plan.kmax
         has_aff = plan.packed_a is not None and plan.cmeta.size and \
             bool((plan.cmeta[:, 5] == 1).any())
-        M8 = (5 * plan.aff_D + 3) * 8
+        M8 = (6 * plan.aff_D + 3) * 8
 
         in_specs = (
             [pl.BlockSpec(memory_space=pltpu.SMEM)] *
@@ -2683,7 +2742,7 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
         plan.cmeta.size and bool((plan.cmeta[:, 5] == 1).any())
     has_old = (not has_aff) or bool((plan.cmeta[:, 5] == 0).any())
     aff_D = plan.aff_D
-    M8 = (5 * aff_D + 3) * 8
+    M8 = (6 * aff_D + 3) * 8
 
     n_full = vpr // TCH
     tail = vpr % TCH          # static; vpr is a multiple of 16
@@ -2912,7 +2971,7 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
                     new = _draw2(pots[0], pots[1],
                                  uniform(salt_base * 65536 + rb,
                                          (8, 128)))
-                    upd = pka[pl.ds(8 * (5 * aff_D), 8), :]
+                    upd = pka[pl.ds(8 * (6 * aff_D), 8), :]
                     row0 = row0c + rb * rbl
                     pltpu.make_async_copy(x_hbm.at[pl.ds(row0, rbl)],
                                           row_scr.at[slot],
@@ -3001,17 +3060,404 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
     return kernel
 
 
+def _make_learn_kernel_hbm(plan: ItemGridPlan, lp, wrows: int, sr: int,
+                           sw_prng: bool = False):
+    """HBM-resident dual-chain SGD: `_make_learn_kernel`'s exact logic
+    (same PRNG streams and salts — bit-identical weights in interpret
+    mode) with both chains resident in HBM and per-block value slabs
+    DMA'd in like `_make_kernel_hbm`. Weights stay in VMEM (wrows, 128).
+
+    Removes the VMEM cap on LEARNING runs: the reference's cluster
+    learned at this scale (numbskull_master.py:174-233); here one chip
+    learns 33M+ variables in-kernel. No affine path (its Mosaic compile
+    hangs on hardware — see HbmItemGridEngine) and no ext potentials
+    (partitioned learning at HBM scale composes via the BSP engines).
+    """
+    kmax = plan.kmax
+    vp = plan.vp
+    vpr = vp // 128
+    trw = plan.trw
+    L = _Layout(plan.D, plan.A)
+    Ag = plan.A
+    DA = plan.D * plan.A
+    C = plan.cmeta.shape[0]
+    present = plan.present
+    rbl = RB // 128
+    single_tile = int(plan.cmeta[:, 3].max()) <= 1 if plan.cmeta.size \
+        else True
+    unroll_d = plan.D <= 8
+    unroll_a = plan.A <= 8
+    Wb = _ceil(-(-(DA + 2) // 8), 128)
+
+    def kernel(*refs):
+        (seed_ref, burn_ref, epochs_ref, step0_ref, decay_ref,
+         cmeta_ref, w_in, wfix, pack_hbm, wb_hbm, x_in, xe_in,
+         x_hbm, xe_hbm, w_out,
+         pack_scr, wb_scr, gv_scr, gw_scr, nw_scr,
+         slab_p_scr, slab_e_scr, row_p_scr, row_e_scr,
+         sem, wsem, spsem, sesem, stpsem, stesem) = refs
+        # chains are ALIASED input->output; all access via output refs
+        del x_in, xe_in
+        pltpu.prng_seed(seed_ref[0])
+        uniform = _make_uniform(sw_prng, seed_ref[0])
+        w_out[:] = w_in[:]
+
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (trw, RB), 0)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (128, RB), 0)
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (wrows, RB), 0)
+
+        def w_of(wid):
+            return _gather(w_out[:], wid, w_iota, lane_iota)
+
+        def start_dma(grb, slot):
+            pltpu.make_async_copy(pack_hbm.at[grb], pack_scr.at[slot],
+                                  sem.at[slot]).start()
+            pltpu.make_async_copy(wb_hbm.at[grb], wb_scr.at[slot],
+                                  wsem.at[slot]).start()
+
+        def wait_dma(grb, slot):
+            pltpu.make_async_copy(pack_hbm.at[grb], pack_scr.at[slot],
+                                  sem.at[slot]).wait()
+            pltpu.make_async_copy(wb_hbm.at[grb], wb_scr.at[slot],
+                                  wsem.at[slot]).wait()
+
+        def _sbase(raw):
+            return jnp.minimum(raw, vpr - sr)
+
+        def slab_cp(hbm, scr, sems, slot, raw, what):
+            cp = pltpu.make_async_copy(hbm.at[pl.ds(_sbase(raw), sr)],
+                                       scr.at[slot], sems.at[slot])
+            cp.start() if what == "start" else cp.wait()
+
+        def row_rmw(hbm, scr, sems, slot, row0, new, upd):
+            """Read own rows, select updated lanes, store straight back."""
+            pltpu.make_async_copy(hbm.at[pl.ds(row0, rbl)], scr.at[slot],
+                                  sems.at[slot]).start()
+            pltpu.make_async_copy(hbm.at[pl.ds(row0, rbl)], scr.at[slot],
+                                  sems.at[slot]).wait()
+            val = jnp.where(upd.reshape(rbl, 128) == 1,
+                            new.reshape(rbl, 128), scr[slot])
+            scr[slot] = val
+            pltpu.make_async_copy(scr.at[slot], hbm.at[pl.ds(row0, rbl)],
+                                  sems.at[slot]).start()
+            pltpu.make_async_copy(scr.at[slot], hbm.at[pl.ds(row0, rbl)],
+                                  sems.at[slot]).wait()
+            return val.reshape(1, RB)
+
+        def free_color(ci, epoch_i):
+            """Burn-in color step of the free chain with live weights."""
+            rb_off = cmeta_ref[ci, 0]
+            num_rb = cmeta_ref[ci, 1]
+            row0c = cmeta_ref[ci, 2]
+            nt = cmeta_ref[ci, 3]
+            d_c = cmeta_ref[ci, 4]
+            start_dma(rb_off, 0)
+            wait_dma(rb_off, 0)          # need wb for the slab base
+            slab_cp(x_hbm, slab_p_scr, spsem, 0,
+                    _wb_view(wb_scr, 0, Wb)[DA], "start")
+
+            def rb_body(rb, salt_base):
+                slot = rb % 2
+
+                @pl.when(rb + 1 < num_rb)
+                def _():
+                    nslot = (rb + 1) % 2
+                    start_dma(rb_off + rb + 1, nslot)
+                    wait_dma(rb_off + rb + 1, nslot)
+                    slab_cp(x_hbm, slab_p_scr, spsem, nslot,
+                            _wb_view(wb_scr, nslot, Wb)[DA], "start")
+
+                slab_cp(x_hbm, slab_p_scr, spsem, slot,
+                        _wb_view(wb_scr, slot, Wb)[DA], "wait")
+                pk = pack_scr.at[slot]
+                wb = _wb_view(wb_scr, slot, Wb)
+                slab = slab_p_scr.at[slot]
+                sbase = _sbase(wb[DA])
+
+                def gat(base_r, off):
+                    return _gather_tiled(slab, base_r - sbase, off,
+                                         None if single_tile else nt,
+                                         trw, sub_iota, lane_iota)
+
+                upd = pk[L.upd:L.upd + 1, :]
+                rowmeta = pk[L.rowmeta:L.rowmeta + 1, :]
+                card = rowmeta & 0xFF
+                dense = (rowmeta >> 8) == 0
+
+                def d_body(d, pots):
+                    if unroll_a:
+                        term = _slot_decode(pk, wb, L, Ag, d, [gat],
+                                            w_of)
+                        return _term_pots(term, present, Ag, kmax, card,
+                                          dense, 0, pots)
+                    fta = pk[pl.ds(L.fta + d, 1), :]
+                    ftype = (fta & 0xFF) - 1
+                    ar = fta >> 8
+                    w = w_of(pk[pl.ds(L.wid + d, 1), :])
+                    dd = pk[pl.ds(L.dd + d, 1), :]
+                    d1, d2 = dd & 0xFF, dd >> 8
+                    _slot_gather_stage(pk, wb, L, Ag, d, gat, gv_scr, 0)
+                    es = _slot_eval_loop(
+                        pk, L, Ag, d, gv_scr, 0, present, ftype, ar,
+                        [jnp.int32(k) for k in range(kmax)])
+                    out = []
+                    for k in range(kmax):
+                        ok = ((dense & (jnp.int32(k) < card)) |
+                              ((~dense) & ((jnp.int32(k) == d1) |
+                                           (jnp.int32(k) == d2))))
+                        out.append(pots[k] +
+                                   ok.astype(jnp.float32) * w * es[k])
+                    return tuple(out)
+
+                pots = tuple(jnp.zeros((1, RB), jnp.float32)
+                             for _ in range(kmax))
+                if unroll_d:
+                    for d in range(plan.D):
+                        pots = d_body(d, pots)
+                else:
+                    pots = jax.lax.fori_loop(0, d_c, d_body, pots)
+                new = _draw(list(pots), card, kmax,
+                            uniform((salt_base * 65536 + rb) ^
+                                    0x40000000, (1, RB)))
+                row_rmw(x_hbm, row_p_scr, stpsem, slot,
+                        row0c + rb * rbl, new, upd)
+                return salt_base
+
+            jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * 64 + ci)
+            return epoch_i
+
+        def learn_color(ci, carry):
+            step, epoch_i = carry
+            rb_off = cmeta_ref[ci, 0]
+            num_rb = cmeta_ref[ci, 1]
+            row0c = cmeta_ref[ci, 2]
+            nt = cmeta_ref[ci, 3]
+            d_c = cmeta_ref[ci, 4]
+            gw_scr[:] = jnp.zeros((wrows, 128), jnp.float32)
+            nw_scr[:] = jnp.zeros((wrows, 128), jnp.float32)
+            start_dma(rb_off, 0)
+            wait_dma(rb_off, 0)
+            slab_cp(x_hbm, slab_p_scr, spsem, 0,
+                    _wb_view(wb_scr, 0, Wb)[DA], "start")
+            slab_cp(xe_hbm, slab_e_scr, sesem, 0,
+                    _wb_view(wb_scr, 0, Wb)[DA], "start")
+
+            def rb_body(rb, salt_base):
+                slot = rb % 2
+
+                @pl.when(rb + 1 < num_rb)
+                def _():
+                    nslot = (rb + 1) % 2
+                    start_dma(rb_off + rb + 1, nslot)
+                    wait_dma(rb_off + rb + 1, nslot)
+                    nraw = _wb_view(wb_scr, nslot, Wb)[DA]
+                    slab_cp(x_hbm, slab_p_scr, spsem, nslot, nraw,
+                            "start")
+                    slab_cp(xe_hbm, slab_e_scr, sesem, nslot, nraw,
+                            "start")
+
+                raw = _wb_view(wb_scr, slot, Wb)[DA]
+                slab_cp(x_hbm, slab_p_scr, spsem, slot, raw, "wait")
+                slab_cp(xe_hbm, slab_e_scr, sesem, slot, raw, "wait")
+                pk = pack_scr.at[slot]
+                wb = _wb_view(wb_scr, slot, Wb)
+                sbase = _sbase(raw)
+                slab_p = slab_p_scr.at[slot]
+                slab_e = slab_e_scr.at[slot]
+
+                def gat_p(base_r, off):
+                    return _gather_tiled(slab_p, base_r - sbase, off,
+                                         None if single_tile else nt,
+                                         trw, sub_iota, lane_iota)
+
+                def gat_e(base_r, off):
+                    return _gather_tiled(slab_e, base_r - sbase, off,
+                                         None if single_tile else nt,
+                                         trw, sub_iota, lane_iota)
+
+                upd = pk[L.upd:L.upd + 1, :]
+                upd_e = pk[L.upd_e:L.upd_e + 1, :]
+                lrn_ev = pk[L.lrn:L.lrn + 1, :]
+                rowmeta = pk[L.rowmeta:L.rowmeta + 1, :]
+                card = rowmeta & 0xFF
+                dense = (rowmeta >> 8) == 0
+                lrn = upd if lp.learn_non_evidence else lrn_ev
+
+                # pass 1: gather (staged to scratch) + potentials
+                def d_pots(d, pots2):
+                    pots_p, pots_e = pots2
+                    if unroll_a:
+                        term = _slot_decode(pk, wb, L, Ag, d,
+                                            [gat_p, gat_e], w_of)
+                        for a in range(Ag):
+                            gv_scr[pl.ds(d * Ag + a, 1), :] = \
+                                term["gat"][0][a]
+                            gv_scr[pl.ds(DA + d * Ag + a, 1), :] = \
+                                term["gat"][1][a]
+                        pots_p = _term_pots(term, present, Ag, kmax,
+                                            card, dense, 0, pots_p)
+                        pots_e = _term_pots(term, present, Ag, kmax,
+                                            card, dense, 1, pots_e)
+                        return (pots_p, pots_e)
+                    fta = pk[pl.ds(L.fta + d, 1), :]
+                    ftype = (fta & 0xFF) - 1
+                    ar = fta >> 8
+                    w = w_of(pk[pl.ds(L.wid + d, 1), :])
+                    dd = pk[pl.ds(L.dd + d, 1), :]
+                    d1, d2 = dd & 0xFF, dd >> 8
+                    _slot_gather_stage(pk, wb, L, Ag, d, gat_p, gv_scr,
+                                       d * Ag)
+                    _slot_gather_stage(pk, wb, L, Ag, d, gat_e, gv_scr,
+                                       DA + d * Ag)
+                    ks = [jnp.int32(k) for k in range(kmax)]
+                    eps = _slot_eval_loop(pk, L, Ag, d, gv_scr, d * Ag,
+                                          present, ftype, ar, ks)
+                    ees = _slot_eval_loop(pk, L, Ag, d, gv_scr,
+                                          DA + d * Ag, present, ftype,
+                                          ar, ks)
+                    np_, ne_ = [], []
+                    for k in range(kmax):
+                        ok = ((dense & (jnp.int32(k) < card)) |
+                              ((~dense) & ((jnp.int32(k) == d1) |
+                                           (jnp.int32(k) == d2)))
+                              ).astype(jnp.float32)
+                        np_.append(pots_p[k] + ok * w * eps[k])
+                        ne_.append(pots_e[k] + ok * w * ees[k])
+                    return (tuple(np_), tuple(ne_))
+
+                zero = tuple(jnp.zeros((1, RB), jnp.float32)
+                             for _ in range(kmax))
+                if unroll_d:
+                    pots2 = (zero, zero)
+                    for d in range(plan.D):
+                        pots2 = d_pots(d, pots2)
+                    pots_p, pots_e = pots2
+                else:
+                    pots_p, pots_e = jax.lax.fori_loop(
+                        0, d_c, d_pots, (zero, zero))
+                e_samp = _draw(list(pots_e), card, kmax,
+                               uniform((salt_base * 65536 + rb) ^
+                                       0x55555555, (1, RB)))
+                p_samp = _draw(list(pots_p), card, kmax,
+                               uniform(salt_base * 65536 + rb, (1, RB)))
+
+                row0 = row0c + rb * rbl
+                p_val = row_rmw(x_hbm, row_p_scr, stpsem, slot, row0,
+                                p_samp, upd)
+                e_val = row_rmw(xe_hbm, row_e_scr, stesem, slot, row0,
+                                e_samp, upd_e)
+
+                # pass 2: gradients from the staged gathers
+                def d_grad(d, _):
+                    term = _slot_decode(pk, wb, L, Ag, d, [], w_of)
+                    if unroll_a:
+                        gp = [gv_scr[pl.ds(d * Ag + a, 1), :]
+                              for a in range(Ag)]
+                        ge = [gv_scr[pl.ds(DA + d * Ag + a, 1), :]
+                              for a in range(Ag)]
+                        vp_ = [jnp.where(term["sub"][a], p_val, gp[a])
+                               for a in range(Ag)]
+                        ve_ = [jnp.where(term["sub"][a], e_val, ge[a])
+                               for a in range(Ag)]
+                        ev_p = _eval_all(present, term["ftype"],
+                                         term["arity"], vp_,
+                                         term["eqs"], term["cards"], Ag)
+                        ev_e = _eval_all(present, term["ftype"],
+                                         term["arity"], ve_,
+                                         term["eqs"], term["cards"], Ag)
+                    else:
+                        ev_p = _slot_eval_loop(
+                            pk, L, Ag, d, gv_scr, d * Ag, present,
+                            term["ftype"], term["arity"], [p_val])[0]
+                        ev_e = _slot_eval_loop(
+                            pk, L, Ag, d, gv_scr, DA + d * Ag, present,
+                            term["ftype"], term["arity"], [e_val])[0]
+                    d1 = term["dd"] & 0xFF
+                    d2 = term["dd"] >> 8
+                    hit = (d1 == e_val) | (d1 == p_val) | \
+                          (d2 == e_val) | (d2 == p_val)
+                    inc = (lrn == 1) & (term["ftype"] != -1) & \
+                        (dense | hit)
+                    grad = jnp.where(inc, (ev_p - ev_e) * term["fv"],
+                                     0.0)
+                    roh = (w_iota == (term["wid"] >> 7)).astype(
+                        jnp.float32)
+                    loh = lane_iota == (term["wid"] & 127)
+                    gw_scr[:] = gw_scr[:] + jax.lax.dot_general(
+                        roh, jnp.where(loh, grad, 0.0),
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    nw_scr[:] = nw_scr[:] + jax.lax.dot_general(
+                        roh, jnp.where(loh, inc.astype(jnp.float32),
+                                       0.0),
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    return 0
+
+                if unroll_d:
+                    for d in range(plan.D):
+                        d_grad(d, 0)
+                else:
+                    jax.lax.fori_loop(0, d_c, d_grad, 0)
+                return salt_base
+
+            jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * 64 + ci)
+
+            # apply the update (identical to _make_learn_kernel)
+            gw, nw = gw_scr[:], nw_scr[:]
+            if lp.grad_agg == "mean":
+                gw = gw / jnp.maximum(nw, 1.0)
+            w = w_out[:]
+            touched = (nw > 0) & (wfix[:] == 0)
+            if lp.regularization == 2:
+                shrink = 1.0 / (1.0 + lp.reg_param * step)
+                w_new = w * shrink - step * gw
+            elif lp.regularization == 1:
+                w_new = w - step * gw
+                l1d = lp.reg_param * step * lp.truncation
+                w_tr = jnp.where(w_new > 0, jnp.maximum(0.0, w_new - l1d),
+                                 jnp.minimum(0.0, w_new + l1d))
+                u = uniform((epoch_i * 64 + ci) ^ 0x33333333,
+                            (wrows, 128))
+                w_new = jnp.where(u < 1.0 / lp.truncation, w_tr, w_new)
+            else:
+                w_new = w - step * gw
+            w_out[:] = jnp.where(touched, w_new, w)
+
+        def burn_body(i, _):
+            jax.lax.fori_loop(0, C, free_color, i)
+            return 0
+
+        jax.lax.fori_loop(0, burn_ref[0], burn_body, 0)
+
+        def epoch_body(i, _):
+            step = step0_ref[0] * jnp.exp(
+                i.astype(jnp.float32) * jnp.log(decay_ref[0]))
+
+            def cstep(ci, carry):
+                learn_color(ci, carry)
+                return carry
+
+            jax.lax.fori_loop(0, C, cstep, (step, i + (1 << 16)))
+            return 0
+
+        jax.lax.fori_loop(0, epochs_ref[0], epoch_body, 0)
+
+    return kernel
+
+
 class HbmItemGridEngine:
-    """HBM-resident fused inference engine: the itemgrid kernel with the
-    value array and tallies in HBM, covering graphs beyond the VMEM cap
-    (33M+ variables on one chip; BASELINE config 5's scale before
-    sharding). Inference only; learning at this scale composes via the
-    partitioned engines. Raises ValueError when the graph is outside
-    the envelope (locality is REQUIRED: every block's windows must fit
-    a bounded value slab — RCM provides this for mesh-like graphs)."""
+    """HBM-resident fused engine (inference + learning): the itemgrid
+    kernel with the value array / chains and tallies in HBM, covering
+    graphs beyond the VMEM cap (33M+ variables on one chip; BASELINE
+    config 5's scale before sharding — the reference learned at this
+    scale only by clustering, numbskull_master.py:174-233). Raises
+    ValueError when the graph is outside the envelope (locality is
+    REQUIRED: every block's windows must fit a bounded value slab — RCM
+    provides this for mesh-like graphs)."""
 
     def __init__(self, cg: CompiledGraph, sample_evidence: bool = True,
-                 interpret: bool = False):
+                 interpret: bool = False, allow_aff: bool | None = None):
         plan, reason = plan_item_grid(cg, sample_evidence,
                                       vmax=V_HBM_MAX)
         if plan is None:
@@ -3035,20 +3481,29 @@ class HbmItemGridEngine:
         self.plan = plan
         self.sr = sr
         self.interpret = interpret
+        # the affine fast path in the HBM kernel hangs the Mosaic
+        # remote compile on real hardware (the VMEM variant compiles
+        # fine; the slab-relative rolls appear to blow up the compile,
+        # root cause not yet isolated — and a hung compile wedges the
+        # tunneled device for hours). Interpret mode (CPU testing,
+        # bit-identity vs the VMEM engine) keeps it on.
+        self.allow_aff = bool(interpret) if allow_aff is None \
+            else bool(allow_aff)
         self._weights_for = None
         self._call = None
 
     def _build_call(self):
         plan = self.plan
         kernel = _make_kernel_hbm(plan, self.sr,
-                                  sw_prng=bool(self.interpret))
+                                  sw_prng=bool(self.interpret),
+                                  allow_aff=self.allow_aff)
         vp, kmax = plan.vp, plan.kmax
         L = _Layout(plan.D, plan.A)
         DA = plan.D * plan.A
         TCH = 512
-        has_aff = plan.packed_a is not None and plan.cmeta.size and \
-            bool((plan.cmeta[:, 5] == 1).any())
-        M8 = (5 * plan.aff_D + 3) * 8
+        has_aff = self.allow_aff and plan.packed_a is not None and \
+            plan.cmeta.size and bool((plan.cmeta[:, 5] == 1).any())
+        M8 = (6 * plan.aff_D + 3) * 8
 
         in_specs = (
             [pl.BlockSpec(memory_space=pltpu.SMEM)] *
@@ -3108,6 +3563,105 @@ class HbmItemGridEngine:
 
         return call
 
+    def _build_learn_call(self, lp):
+        plan = self.plan
+        vp = plan.vp
+        L = _Layout(plan.D, plan.A)
+        DA = plan.D * plan.A
+        rbl = RB // 128
+        wrows = max(_ceil(-(-plan.n_weights // 128), 8), 8)
+        kernel = _make_learn_kernel_hbm(plan, lp, wrows, self.sr,
+                                        sw_prng=bool(self.interpret))
+        in_specs = (
+            [pl.BlockSpec(memory_space=pltpu.SMEM)] * 6 +
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 +  # w0, wfix
+            [pl.BlockSpec(memory_space=pltpu.ANY)] * 4     # pk/wb/x/xe
+        )
+        out_specs = (pl.BlockSpec(memory_space=pltpu.ANY),
+                     pl.BlockSpec(memory_space=pltpu.ANY),
+                     pl.BlockSpec(memory_space=pltpu.VMEM))
+        scratch = [pltpu.VMEM((2, L.rows, RB), jnp.int32),
+                   pltpu.SMEM((2, 8, _ceil(-(-(DA + 2) // 8), 128)),
+                              jnp.int32),
+                   pltpu.VMEM((2 * DA, RB), jnp.int32),   # staged gathers
+                   pltpu.VMEM((wrows, 128), jnp.float32),  # gw
+                   pltpu.VMEM((wrows, 128), jnp.float32),  # nw
+                   pltpu.VMEM((2, self.sr, 128), jnp.int32),  # x slabs
+                   pltpu.VMEM((2, self.sr, 128), jnp.int32),  # xe slabs
+                   pltpu.VMEM((2, rbl, 128), jnp.int32),   # own rows x
+                   pltpu.VMEM((2, rbl, 128), jnp.int32),   # own rows xe
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,))]
+
+        @jax.jit
+        def call(seed, burn, epochs, step0, decay, cmeta, w0, wfix,
+                 packed, wbase, x0, xe0):
+            return pl.pallas_call(
+                kernel,
+                out_shape=(
+                    jax.ShapeDtypeStruct((vp // 128, 128), jnp.int32),
+                    jax.ShapeDtypeStruct((vp // 128, 128), jnp.int32),
+                    jax.ShapeDtypeStruct((wrows, 128), jnp.float32)),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+                compiler_params=pltpu.CompilerParams(
+                    has_side_effects=True,
+                    vmem_limit_bytes=127 * 1024 * 1024),
+                input_output_aliases={10: 0, 11: 1},
+                interpret=(pltpu.InterpretParams()
+                           if self.interpret else False),
+            )(seed, burn, epochs, step0, decay, cmeta, w0, wfix,
+              packed, wbase, x0, xe0)
+
+        return call, wrows
+
+    def learn(self, seed: int, burn: int, epochs: int, stepsize: float,
+              decay: float = 1.0, lp=None, weight_value=None,
+              x0=None, xe0=None, return_state: bool = False):
+        """In-kernel dual-chain SGD with HBM-resident chains; same
+        semantics (and, in interpret mode, bit-identical weights) as
+        PallasItemGridEngine.learn. No ext potentials at this scale."""
+        from numbskull_tpu.ops.gibbs import LearnParams
+        lp = lp or LearnParams()
+        plan = self.plan
+        wv = np.asarray(self.cg.weight_init if weight_value is None
+                        else weight_value, np.float32)
+        self._ensure_packs(wv)
+        if getattr(self, "_learn_for", None) != lp:
+            self._learn_call, self._wrows = self._build_learn_call(lp)
+            self._learn_for = lp
+        w0 = np.zeros((self._wrows, 128), np.float32)
+        w0.reshape(-1)[:len(wv)] = wv
+        wfix = np.zeros((self._wrows, 128), np.int32)
+        wfix.reshape(-1)[:len(wv)] = np.asarray(self.cg.weight_fixed,
+                                                np.int32)
+
+        def chain2d(vals):
+            init = plan.init_new.copy()
+            if vals is not None:
+                init[plan.perm] = np.asarray(vals, np.int32)
+            return jnp.asarray(init.reshape(plan.vp // 128, 128))
+
+        x_out, xe_out, w_out = self._learn_call(
+            jnp.asarray([seed], jnp.int32),
+            jnp.asarray([burn], jnp.int32),
+            jnp.asarray([epochs], jnp.int32),
+            jnp.asarray([stepsize], jnp.float32),
+            jnp.asarray([decay], jnp.float32),
+            self._cmeta, jnp.asarray(w0), jnp.asarray(wfix),
+            *self._packs, chain2d(x0), chain2d(xe0))
+        w = np.asarray(w_out).reshape(-1)[:plan.n_weights]
+        if not return_state:
+            return w
+        x = np.asarray(x_out).reshape(-1)[plan.perm]
+        xe = np.asarray(xe_out).reshape(-1)[plan.perm]
+        return w, x, xe
+
     def _ensure_packs(self, wv: np.ndarray):
         wkey = wv.tobytes()
         if self._weights_for != wkey:
@@ -3115,7 +3669,7 @@ class HbmItemGridEngine:
             self._packs = (jnp.asarray(self.plan.packed),
                            jnp.asarray(self.plan.wbase))
             self._cmeta = jnp.asarray(self.plan.cmeta)
-            if self.plan.packed_a is not None:
+            if self.allow_aff and self.plan.packed_a is not None:
                 self._amet = jnp.asarray(self.plan.amet)
                 self._packed_a = jnp.asarray(
                     self.plan.packed_a.reshape(-1, 128))

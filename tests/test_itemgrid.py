@@ -81,7 +81,9 @@ def _replay_potentials(plan, weight_value, x_orig):
                                     jnp.int32).reshape(1, RB)
                 arity = jnp.asarray(fta >> 8, jnp.int32).reshape(1, RB)
                 wgt = pk[L.wbake + d].view(np.float32)
-                sbits = pk[L.sbits + d]
+                sbits = (pk[L.sbits + d].astype(np.int64) & 0xFFFFFFFF) \
+                    | ((pk[L.sbits2 + d].astype(np.int64) & 0xFFFFFFFF)
+                       << 32)
                 dd = pk[L.dd + d].astype(np.int64)
                 d1, d2 = dd & 0xFF, dd >> 8
                 offs = [pk[L.off + d * A + a] for a in range(A)]
@@ -99,7 +101,7 @@ def _replay_potentials(plan, weight_value, x_orig):
                         base = int(wbf[grb, d * A + a]) * 128
                         win = x_new[base:base + win_len]
                         g = win[offs[a]]
-                        sub = (sbits & (1 << a)) != 0
+                        sub = ((sbits >> a) & 1) != 0
                         vals.append(jnp.asarray(
                             np.where(sub, k, g), jnp.int32).reshape(1, RB))
                     e = np.asarray(_eval_all(plan.present, ftype, arity,
@@ -252,6 +254,33 @@ def test_itemgrid_card32_potentials_match_golden(seed):
     for vid in range(cg.n_vars):
         for k in range(int(v["cardinality"][vid])):
             want = golden.potential(v, f, fm, w["initialValue"], vid, k, x)
+            assert got[vid][k] == pytest.approx(want, abs=1e-4), (vid, k)
+
+
+@pytest.mark.parametrize("degree", [33, 45, 63])
+def test_itemgrid_high_arity_potentials_match_golden(degree):
+    """Arity beyond one int32 substitution word (33..64): potentials
+    must match the scalar oracle for every variable — in particular for
+    rows whose own-var arg position is >= 32 (round-3 regression: a
+    single-word sbits mask dropped those bits)."""
+    from numbskull_tpu.models import voting_grouped
+
+    # disjoint groups: an arity-A factor is an A-clique, so overlapping
+    # high-arity factors would exceed COLOR_MAX
+    w, v, f, fm, dm, e = voting_grouped((degree + 1) * 4, degree,
+                                        func=T.FUNC_OR, weight=0.8,
+                                        seed=degree)
+    cg = compile_graph(w, v, f, fm)
+    plan, reason = plan_item_grid(cg)
+    assert plan is not None, reason
+    fill_weights(plan, w["initialValue"])
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, 2, cg.n_vars)
+    got = _replay_potentials(plan, w["initialValue"], x)
+    for vid in range(cg.n_vars):
+        for k in (0, 1):
+            want = golden.potential(v, f, fm, w["initialValue"], vid, k,
+                                    x)
             assert got[vid][k] == pytest.approx(want, abs=1e-4), (vid, k)
 
 
@@ -675,6 +704,55 @@ def test_hbm_engine_bit_identical_to_vmem_interpret():
     x2, c2 = vm.run(seed=3, burn=2, epochs=8)
     assert (c1 == c2).all()
     assert (x1 == x2).all()
+
+
+def test_hbm_engine_noaff_bit_identical_to_vmem_old_path():
+    """The HBM engine's HARDWARE default disables the affine fast path
+    (its Mosaic compile hangs the tunneled device; the old path ran 33M
+    vars in round 2). That configuration must stay bit-identical to the
+    VMEM engine forced onto the old path (cmeta[:,5]=0 — the old-stack
+    blocks are always written, even for affine-qualified colors)."""
+    from numbskull_tpu.ops.itemgrid_pallas import (
+        HbmItemGridEngine, PallasItemGridEngine,
+    )
+
+    n, m = 160, 512
+    w, v, f, fm, dm, e = ising_grid(n, m, weight=0.35)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm,
+                       color_hint=ising_color_hint(n, m))
+    hbm = HbmItemGridEngine(cg, interpret=True, allow_aff=False)
+    x1, c1 = hbm.run(seed=3, burn=2, epochs=8)
+    vm = PallasItemGridEngine(cg, interpret=True)
+    vm.plan.cmeta[:, 5] = 0          # force the old stack
+    x2, c2 = vm.run(seed=3, burn=2, epochs=8)
+    assert (c1 == c2).all()
+    assert (x1 == x2).all()
+
+
+def test_hbm_learn_bit_identical_to_vmem_interpret():
+    """HBM-resident LEARNING (round-3: chains in HBM, slab gathers, SGD
+    weight updates in-kernel) is bit-identical to the VMEM learn kernel
+    on the same software PRNG stream — weights AND both chains."""
+    from numbskull_tpu.ops.itemgrid_pallas import (
+        HbmItemGridEngine, PallasItemGridEngine,
+    )
+
+    n, m = 160, 512
+    w, v, f, fm, dm, e = ising_grid(n, m, weight=0.2, fixed=False)
+    rng = np.random.default_rng(0)
+    v["isEvidence"] = (rng.random(n * m) < 0.3).astype(np.int8)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm,
+                       color_hint=ising_color_hint(n, m))
+    hbm = HbmItemGridEngine(cg, interpret=True)
+    w1, x1, xe1 = hbm.learn(seed=2, burn=1, epochs=3, stepsize=0.05,
+                            return_state=True)
+    vm = PallasItemGridEngine(cg, interpret=True)
+    w2, x2, xe2 = vm.learn(seed=2, burn=1, epochs=3, stepsize=0.05,
+                           return_state=True)
+    assert (x1 == x2).all()
+    assert (xe1 == xe2).all()
+    assert (w1 == w2).all()
+    assert w1[0] != pytest.approx(0.2)      # the weight actually moved
 
 
 def test_hbm_engine_rejects_small_and_nonlocal():

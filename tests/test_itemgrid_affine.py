@@ -112,6 +112,51 @@ def test_affine_voting_detection_and_marginals():
     assert np.abs(counts[:, 1] / 800.0 - m2).max() < 0.12
 
 
+def test_affine_high_arity_exact_vs_old_path():
+    """Arity 41 (> one int32 subst word): the substitution bit for arg
+    positions >= 32 must come from the second sbits word on BOTH eval
+    paths. Round-3 regression: a single-word mask silently dropped the
+    own-var bit at positions >= 31, so high-degree voting rows sampled
+    from the wrong conditional.
+
+    Construction: OR groups (weight 60) + negative ISTRUE priors
+    (-28.3) saturate every conditional, so the trajectory is exactly
+    deterministic yet OSCILLATES — an all-zero group flips up (the
+    candidate's own substitution decides OR), then the priors pull vars
+    back down. Any lost subst bit changes the trajectory."""
+    w, v, f, fm, dm, e = voting_grouped(400, 40, weight=60.0,
+                                        func=T.FUNC_OR, seed=2)
+    V = len(v)
+    v = v.copy()
+    v["initialValue"] = 0
+    w2 = T.new_weights(2)
+    w2["isFixed"] = True
+    w2["initialValue"] = [60.0, -28.3]
+    f2 = T.new_factors(len(f) + V)
+    f2[:len(f)] = f
+    fm2 = T.new_fmap(len(fm) + V)
+    fm2[:len(fm)] = fm
+    for i in range(V):
+        f2[len(f) + i] = (T.FUNC_ISTRUE, 1, 1.0, 1, len(fm) + i)
+        fm2["vid"][len(fm) + i] = i
+    cg = compile_graph(w2, v, f2, fm2, domain_mask=dm)
+    plan, reason = plan_item_grid(cg)
+    assert plan is not None, reason
+    assert int(np.asarray(f2["arity"]).max()) == 41
+
+    eng = PallasItemGridEngine(cg, interpret=True)
+    va, ca = eng.run(seed=3, burn=0, epochs=3)
+    eng_o = PallasItemGridEngine(cg, interpret=True)
+    eng_o.plan.cmeta[:, 5] = 0          # force the one-hot path
+    eng_o.plan.packed_a = None
+    vo, co = eng_o.run(seed=99, burn=0, epochs=3)
+    assert (va[:V] == vo[:V]).all()
+    assert (ca[:V] == co[:V]).all()
+    # the counts must actually oscillate (sensitivity guard: a
+    # trajectory stuck at all-0/all-1 would not exercise the gathers)
+    assert 0 < int(ca[:V, 1].sum()) < 3 * V
+
+
 def test_affine_rejects_categorical_and_ufo():
     # categorical cardinality 3 -> not boolean -> no affine colors
     V = 8
