@@ -222,6 +222,146 @@ int compile_fill(int64_t F, const uint8_t* fac, int64_t fac_stride,
 // sequence, which keeps the itemgrid kernel's windows contiguous —
 // random-priority MIS coloring scatters them). color must be filled
 // with -1 by the caller. Returns the number of colors used.
+// Conflict pairs (normalized u <= w, self-pairs dropped) in the SAME
+// order as compile.py's numpy conflict_edges: arity classes ascending,
+// factors in index order within a class, (i, j) in row-major triu
+// order. Two-pass: conflict_count returns the pair total (or -1 when a
+// factor's arity exceeds the working buffer), conflict_fill writes
+// (u, w) into preallocated arrays. 'arity'/'offs' are plain int64
+// arrays (the caller casts once); 'vids' reads fmap.vid with a stride
+// so the structured array is consumed in place.
+int64_t conflict_count(int64_t F, const int64_t* arity,
+                       const uint8_t* keep) {
+  int64_t total = 0;
+  for (int64_t f = 0; f < F; ++f) {
+    if (keep && !keep[f]) continue;
+    int64_t a = arity[f];
+    if (a > kMaxArity) return -1;
+    if (a >= 2) total += a * (a - 1) / 2;
+  }
+  return total;
+}
+
+int64_t conflict_fill(int64_t F, const int64_t* arity, const int64_t* offs,
+                      const uint8_t* vids, int64_t vid_stride,
+                      const uint8_t* keep, int64_t* out_u,
+                      int64_t* out_w) {
+  Field mvid = {vids, vid_stride};
+  // distinct arities, ascending (few classes in practice)
+  std::vector<int64_t> classes;
+  for (int64_t f = 0; f < F; ++f) {
+    if (keep && !keep[f]) continue;
+    int64_t a = arity[f];
+    if (a < 2) continue;
+    bool found = false;
+    for (int64_t c : classes) found |= (c == a);
+    if (!found) classes.push_back(a);
+  }
+  std::sort(classes.begin(), classes.end());
+  int64_t m = 0;
+  int64_t vbuf[kMaxArity];
+  for (int64_t a : classes) {
+    for (int64_t f = 0; f < F; ++f) {
+      if (keep && !keep[f]) continue;
+      if (arity[f] != a) continue;
+      int64_t o = offs[f];
+      for (int64_t j = 0; j < a; ++j) vbuf[j] = mvid.i64(o + j);
+      for (int64_t i = 0; i < a; ++i) {
+        for (int64_t j = i + 1; j < a; ++j) {
+          int64_t u = vbuf[i], w = vbuf[j];
+          if (u == w) continue;
+          out_u[m] = u < w ? u : w;
+          out_w[m] = u < w ? w : u;
+          ++m;
+        }
+      }
+    }
+  }
+  return m;
+}
+
+// Reverse Cuthill-McKee-style rank, replicating compile.py's rcm_rank
+// EXACTLY (component labels by first occurrence like scipy's weak
+// connectivity, one lowest-id min-degree seed per component,
+// level-synchronous BFS, stable order by (comp, level, deg, id),
+// reversed). The numpy version's level loop is one vectorized pass per
+// BFS LEVEL — thousands of rounds on a shuffled lattice; this is one
+// pass total. Caller provides edge endpoints; rank_out has n slots.
+// Returns 0, or -1 on allocation failure.
+int rcm_rank(int64_t n, int64_t E, const int64_t* eu, const int64_t* ew,
+             int64_t* rank_out) {
+  std::vector<int64_t> deg(n, 0), offs(n + 1), adj, comp(n, -1),
+      level(n, -1), queue;
+  adj.resize(2 * static_cast<size_t>(E));
+  for (int64_t e = 0; e < E; ++e) {
+    ++deg[eu[e]];
+    ++deg[ew[e]];
+  }
+  offs[0] = 0;
+  for (int64_t v = 0; v < n; ++v) offs[v + 1] = offs[v] + deg[v];
+  {
+    std::vector<int64_t> cur(offs.begin(), offs.end() - 1);
+    for (int64_t e = 0; e < E; ++e) {
+      adj[cur[eu[e]]++] = ew[e];
+      adj[cur[ew[e]]++] = eu[e];
+    }
+  }
+  // components by BFS, labels in first-occurrence order
+  queue.reserve(n);
+  int64_t n_comp = 0;
+  for (int64_t s = 0; s < n; ++s) {
+    if (comp[s] >= 0) continue;
+    int64_t c = n_comp++;
+    comp[s] = c;
+    queue.clear();
+    queue.push_back(s);
+    for (size_t h = 0; h < queue.size(); ++h) {
+      int64_t v = queue[h];
+      for (int64_t e = offs[v]; e < offs[v + 1]; ++e) {
+        int64_t u = adj[e];
+        if (comp[u] < 0) {
+          comp[u] = c;
+          queue.push_back(u);
+        }
+      }
+    }
+  }
+  // lowest-id min-degree seed per component
+  std::vector<int64_t> seed(n_comp, -1);
+  for (int64_t v = 0; v < n; ++v) {
+    int64_t& s = seed[comp[v]];
+    if (s < 0 || deg[v] < deg[s]) s = v;
+  }
+  // multi-seed level-synchronous BFS (per component == simultaneous)
+  for (int64_t c = 0; c < n_comp; ++c) {
+    int64_t s = seed[c];
+    level[s] = 0;
+    queue.clear();
+    queue.push_back(s);
+    for (size_t h = 0; h < queue.size(); ++h) {
+      int64_t v = queue[h];
+      for (int64_t e = offs[v]; e < offs[v + 1]; ++e) {
+        int64_t u = adj[e];
+        if (level[u] < 0) {
+          level[u] = level[v] + 1;
+          queue.push_back(u);
+        }
+      }
+    }
+  }
+  // stable order by (comp, level, deg), reversed -> rank
+  std::vector<int64_t> order(n);
+  for (int64_t v = 0; v < n; ++v) order[v] = v;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int64_t x, int64_t y) {
+                     if (comp[x] != comp[y]) return comp[x] < comp[y];
+                     if (level[x] != level[y]) return level[x] < level[y];
+                     return deg[x] < deg[y];
+                   });
+  for (int64_t k = 0; k < n; ++k) rank_out[order[n - 1 - k]] = k;
+  return 0;
+}
+
 int64_t greedy_color(int64_t n, const int64_t* offs, const int64_t* adj,
                      const int64_t* order, int64_t* color) {
   std::vector<int64_t> mark;

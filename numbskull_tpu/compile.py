@@ -60,6 +60,12 @@ def _compilecore():
             lib.dump_rows.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+            # round-3 entry points (guarded: a stale .so without them
+            # still serves the older fast paths)
+            if hasattr(lib, "conflict_count"):
+                lib.conflict_count.restype = ctypes.c_int64
+                lib.conflict_fill.restype = ctypes.c_int64
+                lib.rcm_rank.restype = ctypes.c_int
             _CORE = lib
             return lib
     _CORE = False
@@ -184,6 +190,25 @@ def conflict_edges(variables, factors, fmap, factors_to_skip=None,
     keep = np.ones(F, bool)
     if factors_to_skip is not None and len(factors_to_skip):
         keep[np.asarray(factors_to_skip, dtype=np.int64)] = False
+    core = _compilecore()
+    if core is not None and hasattr(core, "conflict_count") and F:
+        keep8 = np.ascontiguousarray(keep.astype(np.uint8))
+        total = int(core.conflict_count(ctypes.c_int64(F), _ptr(arity),
+                                        _ptr(keep8)))
+        if total >= 0:          # -1: arity beyond the native buffer
+            fmap_c = np.ascontiguousarray(fmap)
+            vid_off = fmap_c.dtype.fields["vid"][1]
+            u = np.empty(max(total, 1), np.int64)
+            w = np.empty(max(total, 1), np.int64)
+            m = int(core.conflict_fill(
+                ctypes.c_int64(F), _ptr(arity), _ptr(offs),
+                ctypes.c_void_p(fmap_c.ctypes.data + vid_off),
+                ctypes.c_int64(fmap_c.dtype.itemsize), _ptr(keep8),
+                _ptr(u), _ptr(w)))
+            e = np.stack([u[:m], w[:m]], axis=1)
+            if len(e) <= dedup:
+                e = np.unique(e, axis=0)
+            return e
     pairs = []
     for a in np.unique(arity):
         a = int(a)
@@ -416,6 +441,16 @@ def rcm_rank(n_vars: int, edges_u: np.ndarray,
     """
     u = np.asarray(edges_u, np.int64)
     w = np.asarray(edges_v, np.int64)
+    core = _compilecore()
+    if core is not None and hasattr(core, "rcm_rank"):
+        uc = np.ascontiguousarray(u)
+        wc = np.ascontiguousarray(w)
+        rank = np.empty(n_vars, np.int64)
+        rc = int(core.rcm_rank(ctypes.c_int64(n_vars),
+                               ctypes.c_int64(len(uc)), _ptr(uc),
+                               _ptr(wc), _ptr(rank)))
+        if rc == 0:
+            return rank
     src = np.concatenate([u, w])
     dst = np.concatenate([w, u])
     adj = dst[np.argsort(src, kind="stable")]

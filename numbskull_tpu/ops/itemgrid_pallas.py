@@ -74,9 +74,12 @@ V_MAX = 10 << 20     # max padded variables AT kmax=2 (VMEM: 4B values +
 #                      lattices = 9.4M vars verified on hardware).
 #                      Higher-card graphs scale this down by bytes/var
 #                      (see _plan_ranked).
-COLOR_MAX = 64       # the color sweep is a data-driven loop over an
+COLOR_MAX = 256      # the color sweep is a data-driven loop over an
 #                      SMEM schedule — more colors cost sweep steps,
-#                      not code size or scratch
+#                      not code size or scratch (cmeta is (C, 8) i32
+#                      SMEM = 8 KB at 256). Overlapping high-degree
+#                      cliques (random voting at degree 50+) need 70+
+#                      colors; at 64 they fell to the XLA path
 
 # ---- affine fast-path envelope (see _affine_color_info) -------------
 SB = 8               # blocks per superblock: affine gathers run as ONE

@@ -284,6 +284,30 @@ def test_itemgrid_high_arity_potentials_match_golden(degree):
             assert got[vid][k] == pytest.approx(want, abs=1e-4), (vid, k)
 
 
+def test_itemgrid_beyond_64_colors_potentials_match_golden():
+    """Chromatic schedules past the old COLOR_MAX=64 (raised to 256 in
+    round 3): overlapping random voting cliques need 71 colors here;
+    such graphs previously fell back to the serial-gather XLA engine.
+    Exact potential parity against the scalar oracle."""
+    from numbskull_tpu.models import voting_model
+
+    w, v, f, fm, dm, e = voting_model(2500, 1000, 25, func=T.FUNC_OR,
+                                      weight=0.3, seed=1)
+    cg = compile_graph(w, v, f, fm)
+    assert cg.n_colors > 64
+    plan, reason = plan_item_grid(cg)
+    assert plan is not None, reason
+    fill_weights(plan, w["initialValue"])
+    rng = np.random.default_rng(2)
+    x = rng.integers(0, 2, cg.n_vars)
+    got = _replay_potentials(plan, w["initialValue"], x)
+    for vid in range(0, cg.n_vars, 7):       # stride: keep runtime sane
+        for k in (0, 1):
+            want = golden.potential(v, f, fm, w["initialValue"], vid, k,
+                                    x)
+            assert got[vid][k] == pytest.approx(want, abs=1e-4), (vid, k)
+
+
 def test_itemgrid_interpret_card32_exact_marginals():
     """End-to-end interpret run at cardinality 32: independent 32-ary
     variables with one unary EQUAL_CAT_CONST factor each (weight w on
@@ -753,6 +777,42 @@ def test_hbm_learn_bit_identical_to_vmem_interpret():
     assert (xe1 == xe2).all()
     assert (w1 == w2).all()
     assert w1[0] != pytest.approx(0.2)      # the weight actually moved
+
+
+def test_itemgrid_learn_many_weights():
+    """4096 DISTINCT weights in one in-kernel learning run (wrows=32
+    weight rows; round-2 treated >1024 weights as an XLA-fallback case).
+    Each variable carries its own unary ISTRUE weight and an evidence
+    label; the learned weight's sign must match the label."""
+    from numbskull_tpu.ops.itemgrid_pallas import PallasItemGridEngine
+
+    N = 4096
+    rng = np.random.default_rng(9)
+    labels = rng.integers(0, 2, N)
+    v = T.new_variables(N)
+    v["isEvidence"] = 1
+    v["initialValue"] = labels
+    v["dataType"] = 0
+    v["cardinality"] = 2
+    w = T.new_weights(N)
+    w["isFixed"] = False
+    w["initialValue"] = 0.0
+    f = T.new_factors(N)
+    f["factorFunction"] = T.FUNC_ISTRUE
+    f["weightId"] = np.arange(N)
+    f["featureValue"] = 1.0
+    f["arity"] = 1
+    f["ftv_offset"] = np.arange(N)
+    fm = T.new_fmap(N)
+    fm["vid"] = np.arange(N)
+    cg = compile_graph(w, v, f, fm)
+    eng = PallasItemGridEngine(cg, interpret=True)
+    wv = eng.learn(seed=1, burn=2, epochs=40, stepsize=0.4, decay=0.98)
+    assert wv.shape == (N,)
+    # every weight moved toward its own label (free-chain expectation
+    # 0.5 at w=0 vs clamped 0/1) — distinct ids across all 32 rows
+    assert (wv[labels == 1] > 0.2).mean() > 0.95
+    assert (wv[labels == 0] < -0.2).mean() > 0.95
 
 
 def test_hbm_engine_rejects_small_and_nonlocal():
