@@ -21,6 +21,8 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <memory>
+#include <new>
 #include <vector>
 
 namespace {
@@ -216,6 +218,128 @@ int compile_fill(int64_t F, const uint8_t* fac, int64_t fac_stride,
   return 0;
 }
 
+// compile_fill with the scatter restructured for low-bandwidth hosts.
+// compile_fill streams every item into 14 separate SoA arrays at a
+// ROW-sorted (i.e. scattered) index — 14 random cache-line touches per
+// item, the dominant cost of a 10M-variable compile on a ~2 GB/s VM.
+// Here each item is packed into ONE 14*amax+32-byte AoS record written
+// at the scattered index (one line touch), and a final sequential pass
+// splits records into the SoA arrays (sequential reads AND writes).
+// Output is byte-identical to compile_fill; arena_total is the full
+// padded arena extent (pad slots are left to the caller, as before).
+int compile_fill2(int64_t F, const uint8_t* fac, int64_t fac_stride,
+                  const int64_t* foff, const uint8_t* fmp,
+                  int64_t fmp_stride, const int64_t* moff,
+                  const uint8_t* var, int64_t var_stride,
+                  const int64_t* voff, const uint8_t* skip,
+                  const int64_t* grow, const int32_t* row_in_color,
+                  int64_t* rowpos, int64_t amax, int64_t arena_total,
+                  int32_t* it_row, int32_t* it_ftype, int32_t* it_wid,
+                  float* it_fv, uint8_t* it_dense, int32_t* it_d1,
+                  int32_t* it_d2, uint8_t* it_valid, int32_t* it_arity,
+                  int32_t* ag_vid, int32_t* ag_eq, uint8_t* ag_valid,
+                  int32_t* ag_card, uint8_t* ag_subst) {
+  Graph g = make_graph(fac, fac_stride, foff, fmp, fmp_stride, moff, var,
+                       var_stride, voff);
+  const int64_t rec = 32 + 14 * amax;   // 8 i32/f32 + 2 u8 (+pad), then
+  //                                       amax x {vid,eq,card:i32} +
+  //                                       amax x {valid,subst:u8}
+  // uninitialized on purpose: pad slots between colors are never
+  // packed, and the caller re-fills every pad field after the split
+  std::unique_ptr<uint8_t[]> aos(
+      new (std::nothrow) uint8_t[static_cast<size_t>(rec) * arena_total]);
+  if (!aos) return -1;
+  uint8_t* A = aos.get();
+  Pair buf[kMaxArity];
+  for (int64_t f = 0; f < F; ++f) {
+    if (skip[f]) continue;
+    int64_t a0 = g.fftv.i64(f);
+    int64_t a = g.farity.i64(f);
+    int64_t m = factor_pairs(g, a0, a, buf);
+    if (m < 0) return -1;
+    int64_t wid = g.fwid.i64(f);
+    if (wid < 0 || wid > INT32_MAX) return -1;
+    int32_t func = g.ffunc.i16(f);
+    float fv = static_cast<float>(g.ffv.f64(f));
+    int32_t a32 = static_cast<int32_t>(a);
+    // arg block is identical for every item of this factor: pack once
+    uint8_t argbuf[14 * kMaxArity];
+    {
+      int32_t* ai = reinterpret_cast<int32_t*>(argbuf);
+      uint8_t* au = argbuf + 12 * amax;
+      for (int64_t t = 0; t < amax; ++t) {
+        if (t < a) {
+          int64_t av = g.mvid.i64(a0 + t);
+          int64_t eq = g.meq.i64(a0 + t);
+          if (eq < INT32_MIN || eq > INT32_MAX) return -1;
+          ai[3 * t] = static_cast<int32_t>(av);
+          ai[3 * t + 1] = static_cast<int32_t>(eq);
+          ai[3 * t + 2] = static_cast<int32_t>(g.vcard.i64(av));
+          au[2 * t] = 1;
+          au[2 * t + 1] = 0;   // subst fixed up per item below
+        } else {
+          ai[3 * t] = 0;
+          ai[3 * t + 1] = 0;
+          ai[3 * t + 2] = 1;
+          au[2 * t] = 0;
+          au[2 * t + 1] = 0;
+        }
+      }
+    }
+    for (int64_t j = 0; j < m;) {
+      int64_t v = buf[j].v;
+      int64_t k = j;
+      while (k < m && buf[k].v == v) ++k;
+      for (int64_t s = j; s < k; s += 2) {
+        int64_t d1 = buf[s].slot;
+        int64_t d2 = (s + 1 < k) ? buf[s + 1].slot : d1;
+        if (d1 < INT32_MIN || d1 > INT32_MAX || d2 > INT32_MAX) return -1;
+        int64_t i = rowpos[grow[v]]++;
+        uint8_t* r = A + i * rec;
+        int32_t head[8] = {row_in_color[v], func,
+                           static_cast<int32_t>(wid), 0,
+                           static_cast<int32_t>(d1),
+                           static_cast<int32_t>(d2), a32, 0};
+        std::memcpy(head + 3, &fv, 4);
+        head[7] = (g.vdtype.i16(v) == 0 ? 1 : 0) | 0x100;  // dense|valid
+        std::memcpy(r, head, 32);
+        std::memcpy(r + 32, argbuf, 14 * amax);
+        // subst flags for this item's variable
+        uint8_t* au = r + 32 + 12 * amax;
+        const int32_t* ai = reinterpret_cast<const int32_t*>(r + 32);
+        for (int64_t t = 0; t < a; ++t)
+          au[2 * t + 1] = ai[3 * t] == v ? 1 : 0;
+      }
+      j = k;
+    }
+  }
+  // sequential split into the SoA outputs
+  for (int64_t i = 0; i < arena_total; ++i) {
+    const uint8_t* r = A + i * rec;
+    int32_t head[8];
+    std::memcpy(head, r, 32);
+    it_row[i] = head[0];
+    it_ftype[i] = head[1];
+    it_wid[i] = head[2];
+    std::memcpy(it_fv + i, head + 3, 4);
+    it_d1[i] = head[4];
+    it_d2[i] = head[5];
+    it_arity[i] = head[6];
+    it_dense[i] = head[7] & 0xff;
+    it_valid[i] = (head[7] >> 8) & 0xff;
+    const int32_t* ai = reinterpret_cast<const int32_t*>(r + 32);
+    const uint8_t* au = r + 32 + 12 * amax;
+    for (int64_t t = 0; t < amax; ++t) {
+      ag_vid[i * amax + t] = ai[3 * t];
+      ag_eq[i * amax + t] = ai[3 * t + 1];
+      ag_card[i * amax + t] = ai[3 * t + 2];
+      ag_valid[i * amax + t] = au[2 * t];
+      ag_subst[i * amax + t] = au[2 * t + 1];
+    }
+  }
+  return 0;
+}
+
 // Greedy sequential graph coloring over a CSR adjacency, processing
 // vertices in the given order (a bandwidth-reducing order makes the
 // coloring ALIGNED: equivalent local structures get the same color
@@ -278,6 +402,176 @@ int64_t conflict_fill(int64_t F, const int64_t* arity, const int64_t* offs,
     }
   }
   return m;
+}
+
+// Like conflict_fill but writes (u, w) interleaved into one (m, 2)
+// row-major buffer — conflict_edges returns exactly that shape, and on
+// this class of VM the separate-arrays + np.stack copy is a quarter
+// of the whole compile (524 MB of extra traffic at 32M pairs).
+int64_t conflict_pairs(int64_t F, const int64_t* arity, const int64_t* offs,
+                       const uint8_t* vids, int64_t vid_stride,
+                       const uint8_t* keep, int64_t* out_pairs) {
+  Field mvid = {vids, vid_stride};
+  std::vector<int64_t> classes;
+  for (int64_t f = 0; f < F; ++f) {
+    if (keep && !keep[f]) continue;
+    int64_t a = arity[f];
+    if (a < 2) continue;
+    bool found = false;
+    for (int64_t c : classes) found |= (c == a);
+    if (!found) classes.push_back(a);
+  }
+  std::sort(classes.begin(), classes.end());
+  int64_t m = 0;
+  int64_t vbuf[kMaxArity];
+  for (int64_t a : classes) {
+    for (int64_t f = 0; f < F; ++f) {
+      if (keep && !keep[f]) continue;
+      if (arity[f] != a) continue;
+      int64_t o = offs[f];
+      for (int64_t j = 0; j < a; ++j) vbuf[j] = mvid.i64(o + j);
+      for (int64_t i = 0; i < a; ++i) {
+        for (int64_t j = i + 1; j < a; ++j) {
+          int64_t u = vbuf[i], w = vbuf[j];
+          if (u == w) continue;
+          out_pairs[2 * m] = u < w ? u : w;
+          out_pairs[2 * m + 1] = u < w ? w : u;
+          ++m;
+        }
+      }
+    }
+  }
+  return m;
+}
+
+// One-call coloring: build the CSR adjacency (counting sort), try a
+// BFS parity 2-coloring, and when the graph is odd-cyclic fall back to
+// greedy coloring in RCM order (same rank definition as rcm_rank
+// below, same greedy as greedy_color — so the result is identical to
+// compile.py's bipartite_coloring-else-greedy_coloring pipeline).
+// The point is doing it all in ONE native pass: the Python pipeline
+// pays a 2V-vertex double-cover CC for the bipartite test plus an
+// argsort-based CSR build, ~130 s of numpy at 32M conflict pairs
+// where this takes ~3 s. 'pairs' is (E, 2) row-major (u, w).
+// Returns the number of colors (0 for an empty graph), or -1 on
+// failure.
+int64_t color_graph(int64_t n, int64_t E, const int64_t* pairs,
+                    int64_t* color) {
+  if (n == 0) return 0;
+  std::vector<int64_t> deg(n, 0), offs(n + 1), adj, queue;
+  adj.resize(2 * static_cast<size_t>(E));
+  for (int64_t e = 0; e < E; ++e) {
+    ++deg[pairs[2 * e]];
+    ++deg[pairs[2 * e + 1]];
+  }
+  offs[0] = 0;
+  for (int64_t v = 0; v < n; ++v) offs[v + 1] = offs[v] + deg[v];
+  {
+    std::vector<int64_t> cur(offs.begin(), offs.end() - 1);
+    for (int64_t e = 0; e < E; ++e) {
+      int64_t u = pairs[2 * e], w = pairs[2 * e + 1];
+      adj[cur[u]++] = w;
+      adj[cur[w]++] = u;
+    }
+  }
+  // BFS parity attempt (color doubles as the parity/visited array)
+  std::fill(color, color + n, int64_t{-1});
+  queue.reserve(n);
+  bool bipartite = true;
+  int64_t max_par = 0;
+  for (int64_t s = 0; s < n && bipartite; ++s) {
+    if (color[s] >= 0) continue;
+    color[s] = 0;
+    queue.clear();
+    queue.push_back(s);
+    for (size_t h = 0; h < queue.size() && bipartite; ++h) {
+      int64_t v = queue[h];
+      int64_t want = color[v] ^ 1;
+      for (int64_t e = offs[v]; e < offs[v + 1]; ++e) {
+        int64_t u = adj[e];
+        if (color[u] < 0) {
+          color[u] = want;
+          if (want > max_par) max_par = want;
+          queue.push_back(u);
+        } else if (color[u] != want) {
+          bipartite = false;
+          break;
+        }
+      }
+    }
+  }
+  if (bipartite) return max_par + 1;
+  // RCM order (comp labels by first occurrence, lowest-id min-degree
+  // seed per component, level BFS, stable (comp, level, deg, id) sort,
+  // reversed), then greedy smallest-available color in rank order.
+  std::vector<int64_t> comp(n, -1), level(n, -1);
+  int64_t n_comp = 0;
+  for (int64_t s = 0; s < n; ++s) {
+    if (comp[s] >= 0) continue;
+    int64_t c = n_comp++;
+    comp[s] = c;
+    queue.clear();
+    queue.push_back(s);
+    for (size_t h = 0; h < queue.size(); ++h) {
+      int64_t v = queue[h];
+      for (int64_t e = offs[v]; e < offs[v + 1]; ++e) {
+        int64_t u = adj[e];
+        if (comp[u] < 0) {
+          comp[u] = c;
+          queue.push_back(u);
+        }
+      }
+    }
+  }
+  std::vector<int64_t> seed(n_comp, -1);
+  for (int64_t v = 0; v < n; ++v) {
+    int64_t& s = seed[comp[v]];
+    if (s < 0 || deg[v] < deg[s]) s = v;
+  }
+  for (int64_t c = 0; c < n_comp; ++c) {
+    int64_t s = seed[c];
+    level[s] = 0;
+    queue.clear();
+    queue.push_back(s);
+    for (size_t h = 0; h < queue.size(); ++h) {
+      int64_t v = queue[h];
+      for (int64_t e = offs[v]; e < offs[v + 1]; ++e) {
+        int64_t u = adj[e];
+        if (level[u] < 0) {
+          level[u] = level[v] + 1;
+          queue.push_back(u);
+        }
+      }
+    }
+  }
+  std::vector<int64_t> order(n);
+  for (int64_t v = 0; v < n; ++v) order[v] = v;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int64_t x, int64_t y) {
+                     if (comp[x] != comp[y]) return comp[x] < comp[y];
+                     if (level[x] != level[y]) return level[x] < level[y];
+                     return deg[x] < deg[y];
+                   });
+  // rank-ascending visit sequence == order reversed (rank_out[order
+  // [n-1-k]] = k in rcm_rank); greedy as in greedy_color below
+  std::fill(color, color + n, int64_t{-1});
+  std::vector<int64_t> mark;
+  int64_t n_colors = 0;
+  for (int64_t k = n - 1; k >= 0; --k) {
+    int64_t v = order[k];
+    for (int64_t e = offs[v]; e < offs[v + 1]; ++e) {
+      int64_t c = color[adj[e]];
+      if (c >= 0) {
+        if (c >= static_cast<int64_t>(mark.size())) mark.resize(c + 1, -1);
+        mark[c] = v;
+      }
+    }
+    int64_t c = 0;
+    while (c < static_cast<int64_t>(mark.size()) && mark[c] == v) ++c;
+    color[v] = c;
+    if (c + 1 > n_colors) n_colors = c + 1;
+  }
+  return n_colors;
 }
 
 // Reverse Cuthill-McKee-style rank, replicating compile.py's rcm_rank

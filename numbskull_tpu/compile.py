@@ -66,6 +66,9 @@ def _compilecore():
                 lib.conflict_count.restype = ctypes.c_int64
                 lib.conflict_fill.restype = ctypes.c_int64
                 lib.rcm_rank.restype = ctypes.c_int
+            if hasattr(lib, "color_graph"):
+                lib.color_graph.restype = ctypes.c_int64
+                lib.conflict_pairs.restype = ctypes.c_int64
             _CORE = lib
             return lib
     _CORE = False
@@ -198,14 +201,23 @@ def conflict_edges(variables, factors, fmap, factors_to_skip=None,
         if total >= 0:          # -1: arity beyond the native buffer
             fmap_c = np.ascontiguousarray(fmap)
             vid_off = fmap_c.dtype.fields["vid"][1]
-            u = np.empty(max(total, 1), np.int64)
-            w = np.empty(max(total, 1), np.int64)
-            m = int(core.conflict_fill(
-                ctypes.c_int64(F), _ptr(arity), _ptr(offs),
-                ctypes.c_void_p(fmap_c.ctypes.data + vid_off),
-                ctypes.c_int64(fmap_c.dtype.itemsize), _ptr(keep8),
-                _ptr(u), _ptr(w)))
-            e = np.stack([u[:m], w[:m]], axis=1)
+            if hasattr(core, "conflict_pairs"):
+                e = np.empty((max(total, 1), 2), np.int64)
+                m = int(core.conflict_pairs(
+                    ctypes.c_int64(F), _ptr(arity), _ptr(offs),
+                    ctypes.c_void_p(fmap_c.ctypes.data + vid_off),
+                    ctypes.c_int64(fmap_c.dtype.itemsize), _ptr(keep8),
+                    _ptr(e)))
+                e = e[:m]
+            else:
+                u = np.empty(max(total, 1), np.int64)
+                w = np.empty(max(total, 1), np.int64)
+                m = int(core.conflict_fill(
+                    ctypes.c_int64(F), _ptr(arity), _ptr(offs),
+                    ctypes.c_void_p(fmap_c.ctypes.data + vid_off),
+                    ctypes.c_int64(fmap_c.dtype.itemsize), _ptr(keep8),
+                    _ptr(u), _ptr(w)))
+                e = np.stack([u[:m], w[:m]], axis=1)
             if len(e) <= dedup:
                 e = np.unique(e, axis=0)
             return e
@@ -513,6 +525,28 @@ def bipartite_coloring(n_vars: int, edges: np.ndarray):
     return (lo > hi).astype(np.int64)
 
 
+def native_coloring(n_vars: int, edges: np.ndarray):
+    """One native pass: CSR build + BFS parity 2-coloring, with a
+    greedy-in-RCM-order fallback when the graph is odd-cyclic — the
+    exact result of bipartite_coloring-else-greedy_coloring, minus the
+    ~130 s of numpy double-cover CC + argsort CSR traffic those pay at
+    32M conflict pairs on this VM. Returns (color, bipartite) or None
+    when the core lacks the entry point."""
+    core = _compilecore()
+    if core is None or not hasattr(core, "color_graph"):
+        return None
+    if n_vars == 0:
+        return np.zeros(0, np.int64), True
+    e = np.ascontiguousarray(np.asarray(edges, np.int64).reshape(-1, 2))
+    color = np.empty(n_vars, np.int64)
+    nc = int(core.color_graph(ctypes.c_int64(n_vars),
+                              ctypes.c_int64(len(e)), _ptr(e),
+                              _ptr(color)))
+    if nc < 0:
+        return None
+    return color, nc <= 2
+
+
 def greedy_coloring(n_vars: int, edges: np.ndarray):
     """Greedy sequential coloring in bandwidth-reduced (RCM) order via
     the native core; None when the core is unavailable.
@@ -718,15 +752,29 @@ def _plans_native(variables, factors, fmap, factors_to_skip, color,
     # per-row fill cursor, shifted so color c starts at its arena base
     adj = (arena_off[:-1] - cs[starts_c[:-1]])
     rowpos = np.ascontiguousarray(cs[:V] + adj[color32[order]])
-    rc = core.compile_fill(
-        ctypes.c_int64(F), _ptr(factors), fac_stride, _ptr(foff),
-        _ptr(fmap), fmp_stride, _ptr(moff), _ptr(variables), var_stride,
-        _ptr(voff), _ptr(skip), _ptr(grow), _ptr(row_in_color),
-        _ptr(rowpos), ctypes.c_int64(amax),
-        _ptr(it_row), _ptr(it_ftype), _ptr(it_wid), _ptr(it_fv),
-        _ptr(it_dense), _ptr(it_d1), _ptr(it_d2), _ptr(it_valid),
-        _ptr(it_arity), _ptr(ag_vid), _ptr(ag_eq), _ptr(ag_valid),
-        _ptr(ag_card), _ptr(ag_subst))
+    if hasattr(core, "compile_fill2"):
+        # packed-AoS scatter + sequential split: one cache-line touch
+        # per item instead of 14 (byte-identical output)
+        rc = core.compile_fill2(
+            ctypes.c_int64(F), _ptr(factors), fac_stride, _ptr(foff),
+            _ptr(fmap), fmp_stride, _ptr(moff), _ptr(variables),
+            var_stride, _ptr(voff), _ptr(skip), _ptr(grow),
+            _ptr(row_in_color), _ptr(rowpos), ctypes.c_int64(amax),
+            ctypes.c_int64(I_total),
+            _ptr(it_row), _ptr(it_ftype), _ptr(it_wid), _ptr(it_fv),
+            _ptr(it_dense), _ptr(it_d1), _ptr(it_d2), _ptr(it_valid),
+            _ptr(it_arity), _ptr(ag_vid), _ptr(ag_eq), _ptr(ag_valid),
+            _ptr(ag_card), _ptr(ag_subst))
+    else:
+        rc = core.compile_fill(
+            ctypes.c_int64(F), _ptr(factors), fac_stride, _ptr(foff),
+            _ptr(fmap), fmp_stride, _ptr(moff), _ptr(variables),
+            var_stride, _ptr(voff), _ptr(skip), _ptr(grow),
+            _ptr(row_in_color), _ptr(rowpos), ctypes.c_int64(amax),
+            _ptr(it_row), _ptr(it_ftype), _ptr(it_wid), _ptr(it_fv),
+            _ptr(it_dense), _ptr(it_d1), _ptr(it_d2), _ptr(it_valid),
+            _ptr(it_arity), _ptr(ag_vid), _ptr(ag_eq), _ptr(ag_valid),
+            _ptr(ag_card), _ptr(ag_subst))
     if rc < 0:
         return None
 
@@ -794,9 +842,17 @@ def compile_graph(weights, variables, factors, fmap,
                 (hint[edges[:, 0]] != hint[edges[:, 1]]).all()):
             color = hint
     if color is None and (max_colors is None or max_colors >= 2):
-        color = bipartite_coloring(V, edges)
-    if color is None and max_colors is None:
-        color = greedy_coloring(V, edges)
+        nat = native_coloring(V, edges)
+        if nat is not None:
+            ncolor, bip = nat
+            # greedy results only stand when no color cap was requested
+            # (the cap path is the explicit MIS/hogwild opt-in below)
+            if bip or max_colors is None:
+                color = ncolor
+        else:
+            color = bipartite_coloring(V, edges)
+            if color is None and max_colors is None:
+                color = greedy_coloring(V, edges)
     if color is None:
         color = color_variables(V, edges, max_colors=max_colors, seed=seed)
         color = reduce_colors(color, edges, seed=seed)
