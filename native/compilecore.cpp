@@ -21,6 +21,8 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <cstdlib>
+#include <ctime>
 #include <memory>
 #include <new>
 #include <vector>
@@ -65,12 +67,13 @@ struct Graph {
 // Gathers factor f's deduplicated (variable, slot) pairs sorted by
 // (v, slot); returns count, or -1 if arity exceeds the working buffer.
 inline int64_t factor_pairs(const Graph& g, int64_t a0, int64_t a,
-                            Pair* buf) {
+                            Pair* buf, const uint8_t* dtype8 = nullptr) {
   if (a > kMaxArity) return -1;
   for (int64_t j = 0; j < a; ++j) {
     int64_t v = g.mvid.i64(a0 + j);
     buf[j].v = v;
-    buf[j].slot = g.vdtype.i16(v) == 0 ? 0 : g.meq.i64(a0 + j);
+    int bool_var = dtype8 ? dtype8[v] == 0 : g.vdtype.i16(v) == 0;
+    buf[j].slot = bool_var ? 0 : g.meq.i64(a0 + j);
   }
   std::sort(buf, buf + a, [](const Pair& x, const Pair& y) {
     return x.v < y.v || (x.v == y.v && x.slot < y.slot);
@@ -98,6 +101,33 @@ Graph make_graph(const uint8_t* fac, int64_t fac_stride, const int64_t* foff,
   g.vdtype = {var + voff[0], var_stride};
   g.vcard = {var + voff[1], var_stride};
   return g;
+}
+
+inline double now_s() {
+  timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec + 1e-9 * ts.tv_nsec;
+}
+
+// Dense per-variable working tables: the structured Variable records
+// are 27-byte strided, so per-item random reads of dataType/cardinality
+// each touch a ~250 MB region at 10M vars; one sequential pass shrinks
+// the hot randomly-read state to dtype 1 B + card 4 B per variable.
+struct VarDense {
+  std::unique_ptr<uint8_t[]> dtype8;
+  std::unique_ptr<int32_t[]> card32;
+};
+
+inline bool densify_vars(const Graph& g, int64_t V, VarDense* out) {
+  out->dtype8.reset(new (std::nothrow) uint8_t[V > 0 ? V : 1]);
+  out->card32.reset(new (std::nothrow) int32_t[V > 0 ? V : 1]);
+  if (!out->dtype8 || !out->card32) return false;
+  for (int64_t v = 0; v < V; ++v) {
+    out->dtype8[v] = g.vdtype.i16(v) == 0 ? 0 : 1;
+    int64_t c = g.vcard.i64(v);
+    out->card32[v] = c > INT32_MAX ? INT32_MAX : static_cast<int32_t>(c);
+  }
+  return true;
 }
 
 }  // namespace
@@ -241,15 +271,33 @@ int compile_fill2(int64_t F, const uint8_t* fac, int64_t fac_stride,
                   int32_t* ag_card, uint8_t* ag_subst) {
   Graph g = make_graph(fac, fac_stride, foff, fmp, fmp_stride, moff, var,
                        var_stride, voff);
-  const int64_t rec = 32 + 14 * amax;   // 8 i32/f32 + 2 u8 (+pad), then
-  //                                       amax x {vid,eq,card:i32} +
-  //                                       amax x {valid,subst:u8}
-  // uninitialized on purpose: pad slots between colors are never
-  // packed, and the caller re-fills every pad field after the split
-  std::unique_ptr<uint8_t[]> aos(
-      new (std::nothrow) uint8_t[static_cast<size_t>(rec) * arena_total]);
-  if (!aos) return -1;
-  uint8_t* A = aos.get();
+  // 8 i32/f32 + 2 u8 (+pad), then amax x {vid,eq,card:i32} and
+  // amax x {valid,subst:u8}; rounded to 8 so every record is aligned
+  const int64_t rec = (32 + 14 * amax + 7) & ~int64_t(7);
+  const int64_t sr = 8 + rec;           // staged: u32 local-idx + record
+  // Bucket the arena so the only random writes land in a ~96 MB
+  // working buffer (inside L3 on the hosts this runs on): phase A
+  // appends each record sequentially to its target bucket's staging
+  // run (few dozen sequential write heads); phase B replays one bucket
+  // at a time — an L3-local scatter — then splits that bucket's slice
+  // into the SoA outputs with purely sequential streams.
+  int64_t bs = (96LL << 20) / rec;      // records per bucket
+  if (bs < 1) bs = 1;
+  if (bs > arena_total) bs = arena_total > 0 ? arena_total : 1;
+  const int64_t B = (arena_total + bs - 1) / bs > 0
+                        ? (arena_total + bs - 1) / bs : 1;
+  // staging/work are uninitialized on purpose: pad slots between
+  // colors are never packed, and the caller re-fills every pad field
+  // after the split
+  std::unique_ptr<uint8_t[]> stage(
+      new (std::nothrow) uint8_t[static_cast<size_t>(sr) * bs * B]);
+  std::unique_ptr<uint8_t[]> work(
+      new (std::nothrow) uint8_t[static_cast<size_t>(rec) * bs]);
+  std::vector<int64_t> scount(static_cast<size_t>(B), 0);
+  if (!stage || !work) return -1;
+  const bool dbg = std::getenv("NSX_FILL_DEBUG") != nullptr;
+  double tA = now_s();
+  uint8_t* S = stage.get();
   Pair buf[kMaxArity];
   for (int64_t f = 0; f < F; ++f) {
     if (skip[f]) continue;
@@ -295,7 +343,12 @@ int compile_fill2(int64_t F, const uint8_t* fac, int64_t fac_stride,
         int64_t d2 = (s + 1 < k) ? buf[s + 1].slot : d1;
         if (d1 < INT32_MIN || d1 > INT32_MAX || d2 > INT32_MAX) return -1;
         int64_t i = rowpos[grow[v]]++;
-        uint8_t* r = A + i * rec;
+        if (i < 0 || i >= arena_total) return -1;
+        const int64_t bkt = i / bs;
+        const uint32_t local = static_cast<uint32_t>(i - bkt * bs);
+        uint8_t* r = S + (bkt * bs + scount[bkt]++) * sr;
+        std::memcpy(r, &local, 4);
+        r += 8;
         int32_t head[8] = {row_in_color[v], func,
                            static_cast<int32_t>(wid), 0,
                            static_cast<int32_t>(d1),
@@ -313,30 +366,243 @@ int compile_fill2(int64_t F, const uint8_t* fac, int64_t fac_stride,
       j = k;
     }
   }
-  // sequential split into the SoA outputs
-  for (int64_t i = 0; i < arena_total; ++i) {
-    const uint8_t* r = A + i * rec;
-    int32_t head[8];
-    std::memcpy(head, r, 32);
-    it_row[i] = head[0];
-    it_ftype[i] = head[1];
-    it_wid[i] = head[2];
-    std::memcpy(it_fv + i, head + 3, 4);
-    it_d1[i] = head[4];
-    it_d2[i] = head[5];
-    it_arity[i] = head[6];
-    it_dense[i] = head[7] & 0xff;
-    it_valid[i] = (head[7] >> 8) & 0xff;
-    const int32_t* ai = reinterpret_cast<const int32_t*>(r + 32);
-    const uint8_t* au = r + 32 + 12 * amax;
-    for (int64_t t = 0; t < amax; ++t) {
-      ag_vid[i * amax + t] = ai[3 * t];
-      ag_eq[i * amax + t] = ai[3 * t + 1];
-      ag_card[i * amax + t] = ai[3 * t + 2];
-      ag_valid[i * amax + t] = au[2 * t];
-      ag_subst[i * amax + t] = au[2 * t + 1];
+  if (dbg) std::fprintf(stderr, "fill2 phaseA %.1fs\n", now_s() - tA);
+  double tB = now_s();
+  // per bucket: L3-local ordering replay, then sequential split into
+  // the SoA outputs
+  uint8_t* W = work.get();
+  for (int64_t b = 0; b < B; ++b) {
+    const uint8_t* sb = S + b * bs * sr;
+    const int64_t nb = scount[b];
+    for (int64_t q = 0; q < nb; ++q) {
+      uint32_t local;
+      std::memcpy(&local, sb + q * sr, 4);
+      std::memcpy(W + static_cast<int64_t>(local) * rec, sb + q * sr + 8,
+                  rec);
+    }
+    const int64_t g0 = b * bs;
+    const int64_t gn = (arena_total - g0 < bs) ? arena_total - g0 : bs;
+    for (int64_t x = 0; x < gn; ++x) {
+      const int64_t i = g0 + x;
+      const uint8_t* r = W + x * rec;
+      int32_t head[8];
+      std::memcpy(head, r, 32);
+      it_row[i] = head[0];
+      it_ftype[i] = head[1];
+      it_wid[i] = head[2];
+      std::memcpy(it_fv + i, head + 3, 4);
+      it_d1[i] = head[4];
+      it_d2[i] = head[5];
+      it_arity[i] = head[6];
+      it_dense[i] = head[7] & 0xff;
+      it_valid[i] = (head[7] >> 8) & 0xff;
+      const int32_t* ai = reinterpret_cast<const int32_t*>(r + 32);
+      const uint8_t* au = r + 32 + 12 * amax;
+      for (int64_t t = 0; t < amax; ++t) {
+        ag_vid[i * amax + t] = ai[3 * t];
+        ag_eq[i * amax + t] = ai[3 * t + 1];
+        ag_card[i * amax + t] = ai[3 * t + 2];
+        ag_valid[i * amax + t] = au[2 * t];
+        ag_subst[i * amax + t] = au[2 * t + 1];
+      }
     }
   }
+  if (dbg) std::fprintf(stderr, "fill2 phaseB %.1fs\n", now_s() - tB);
+  return 0;
+}
+
+// compile_count with dense per-variable tables: identical output, but
+// the per-item random reads/rmws touch dtype 1 B + a V-sized i64
+// counter instead of the 27 B-strided Variable records and the
+// row-indexed count array.
+int64_t compile_count2(int64_t F, int64_t V, const uint8_t* fac,
+                       int64_t fac_stride, const int64_t* foff,
+                       const uint8_t* fmp, int64_t fmp_stride,
+                       const int64_t* moff, const uint8_t* var,
+                       int64_t var_stride, const int64_t* voff,
+                       const uint8_t* skip, const int64_t* grow,
+                       int64_t* rowcount, int64_t* amax_out) {
+  Graph g = make_graph(fac, fac_stride, foff, fmp, fmp_stride, moff, var,
+                       var_stride, voff);
+  VarDense dv;
+  if (!densify_vars(g, V, &dv)) return -1;
+  std::vector<int64_t> rc(static_cast<size_t>(V > 0 ? V : 1), 0);
+  Pair buf[kMaxArity];
+  int64_t total = 0;
+  int64_t amax = 1;
+  for (int64_t f = 0; f < F; ++f) {
+    if (skip[f]) continue;
+    int64_t a = g.farity.i64(f);
+    int64_t m = factor_pairs(g, g.fftv.i64(f), a, buf, dv.dtype8.get());
+    if (m < 0) return -1;
+    if (a > amax) amax = a;
+    for (int64_t j = 0; j < m;) {
+      int64_t v = buf[j].v;
+      int64_t k = j;
+      while (k < m && buf[k].v == v) ++k;
+      int64_t items = (k - j + 1) / 2;
+      rc[v] += items;
+      total += items;
+      j = k;
+    }
+  }
+  for (int64_t v = 0; v < V; ++v)
+    if (rc[v]) rowcount[grow[v]] += rc[v];
+  *amax_out = amax;
+  return total;
+}
+
+// compile_fill2 with dense per-variable tables: the per-item random
+// state collapses to one 16-byte record {cursor:i64, row:i32, dtype:u8}
+// per variable (one cache-line touch per item) plus a dense i32
+// cardinality array for the per-arg lookups. Output is byte-identical.
+int compile_fill3(int64_t F, int64_t V, const uint8_t* fac,
+                  int64_t fac_stride, const int64_t* foff,
+                  const uint8_t* fmp, int64_t fmp_stride,
+                  const int64_t* moff, const uint8_t* var,
+                  int64_t var_stride, const int64_t* voff,
+                  const uint8_t* skip, const int64_t* grow,
+                  const int32_t* row_in_color, const int64_t* rowpos,
+                  int64_t amax, int64_t arena_total,
+                  int32_t* it_row, int32_t* it_ftype, int32_t* it_wid,
+                  float* it_fv, uint8_t* it_dense, int32_t* it_d1,
+                  int32_t* it_d2, uint8_t* it_valid, int32_t* it_arity,
+                  int32_t* ag_vid, int32_t* ag_eq, uint8_t* ag_valid,
+                  int32_t* ag_card, uint8_t* ag_subst) {
+  Graph g = make_graph(fac, fac_stride, foff, fmp, fmp_stride, moff, var,
+                       var_stride, voff);
+  VarDense dv;
+  if (!densify_vars(g, V, &dv)) return -1;
+  struct PV { int64_t pos; int32_t ric; uint8_t dtype; uint8_t pad[3]; };
+  std::unique_ptr<PV[]> pv(new (std::nothrow) PV[V > 0 ? V : 1]);
+  if (!pv) return -1;
+  for (int64_t v = 0; v < V; ++v)
+    pv[v] = PV{rowpos[grow[v]], row_in_color[v], dv.dtype8[v], {0, 0, 0}};
+  const int32_t* card32 = dv.card32.get();
+  const uint8_t* dtype8 = dv.dtype8.get();
+
+  const int64_t rec = (32 + 14 * amax + 7) & ~int64_t(7);
+  const int64_t sr = 8 + rec;
+  int64_t bs = (96LL << 20) / rec;
+  if (bs < 1) bs = 1;
+  if (bs > arena_total) bs = arena_total > 0 ? arena_total : 1;
+  const int64_t B = (arena_total + bs - 1) / bs > 0
+                        ? (arena_total + bs - 1) / bs : 1;
+  std::unique_ptr<uint8_t[]> stage(
+      new (std::nothrow) uint8_t[static_cast<size_t>(sr) * bs * B]);
+  std::unique_ptr<uint8_t[]> work(
+      new (std::nothrow) uint8_t[static_cast<size_t>(rec) * bs]);
+  std::vector<int64_t> scount(static_cast<size_t>(B), 0);
+  if (!stage || !work) return -1;
+  const bool dbg = std::getenv("NSX_FILL_DEBUG") != nullptr;
+  double tA = now_s();
+  uint8_t* S = stage.get();
+  Pair buf[kMaxArity];
+  for (int64_t f = 0; f < F; ++f) {
+    if (skip[f]) continue;
+    int64_t a0 = g.fftv.i64(f);
+    int64_t a = g.farity.i64(f);
+    int64_t m = factor_pairs(g, a0, a, buf, dtype8);
+    if (m < 0) return -1;
+    int64_t wid = g.fwid.i64(f);
+    if (wid < 0 || wid > INT32_MAX) return -1;
+    int32_t func = g.ffunc.i16(f);
+    float fv = static_cast<float>(g.ffv.f64(f));
+    int32_t a32 = static_cast<int32_t>(a);
+    uint8_t argbuf[14 * kMaxArity];
+    {
+      int32_t* ai = reinterpret_cast<int32_t*>(argbuf);
+      uint8_t* au = argbuf + 12 * amax;
+      for (int64_t t = 0; t < amax; ++t) {
+        if (t < a) {
+          int64_t av = g.mvid.i64(a0 + t);
+          int64_t eq = g.meq.i64(a0 + t);
+          if (eq < INT32_MIN || eq > INT32_MAX) return -1;
+          ai[3 * t] = static_cast<int32_t>(av);
+          ai[3 * t + 1] = static_cast<int32_t>(eq);
+          ai[3 * t + 2] = card32[av];
+          au[2 * t] = 1;
+          au[2 * t + 1] = 0;
+        } else {
+          ai[3 * t] = 0;
+          ai[3 * t + 1] = 0;
+          ai[3 * t + 2] = 1;
+          au[2 * t] = 0;
+          au[2 * t + 1] = 0;
+        }
+      }
+    }
+    for (int64_t j = 0; j < m;) {
+      int64_t v = buf[j].v;
+      int64_t k = j;
+      while (k < m && buf[k].v == v) ++k;
+      PV& p = pv[v];
+      for (int64_t s = j; s < k; s += 2) {
+        int64_t d1 = buf[s].slot;
+        int64_t d2 = (s + 1 < k) ? buf[s + 1].slot : d1;
+        if (d1 < INT32_MIN || d1 > INT32_MAX || d2 > INT32_MAX) return -1;
+        int64_t i = p.pos++;
+        if (i < 0 || i >= arena_total) return -1;
+        const int64_t bkt = i / bs;
+        const uint32_t local = static_cast<uint32_t>(i - bkt * bs);
+        uint8_t* r = S + (bkt * bs + scount[bkt]++) * sr;
+        std::memcpy(r, &local, 4);
+        r += 8;
+        int32_t head[8] = {p.ric, func, static_cast<int32_t>(wid), 0,
+                           static_cast<int32_t>(d1),
+                           static_cast<int32_t>(d2), a32, 0};
+        std::memcpy(head + 3, &fv, 4);
+        head[7] = (p.dtype == 0 ? 1 : 0) | 0x100;  // dense|valid
+        std::memcpy(r, head, 32);
+        std::memcpy(r + 32, argbuf, 14 * amax);
+        uint8_t* au = r + 32 + 12 * amax;
+        const int32_t* ai = reinterpret_cast<const int32_t*>(r + 32);
+        for (int64_t t = 0; t < a; ++t)
+          au[2 * t + 1] = ai[3 * t] == v ? 1 : 0;
+      }
+      j = k;
+    }
+  }
+  if (dbg) std::fprintf(stderr, "fill3 phaseA %.1fs\n", now_s() - tA);
+  double tB = now_s();
+  uint8_t* W = work.get();
+  for (int64_t b = 0; b < B; ++b) {
+    const uint8_t* sb = S + b * bs * sr;
+    const int64_t nb = scount[b];
+    for (int64_t q = 0; q < nb; ++q) {
+      uint32_t local;
+      std::memcpy(&local, sb + q * sr, 4);
+      std::memcpy(W + static_cast<int64_t>(local) * rec, sb + q * sr + 8,
+                  rec);
+    }
+    const int64_t g0 = b * bs;
+    const int64_t gn = (arena_total - g0 < bs) ? arena_total - g0 : bs;
+    for (int64_t x = 0; x < gn; ++x) {
+      const int64_t i = g0 + x;
+      const uint8_t* r = W + x * rec;
+      int32_t head[8];
+      std::memcpy(head, r, 32);
+      it_row[i] = head[0];
+      it_ftype[i] = head[1];
+      it_wid[i] = head[2];
+      std::memcpy(it_fv + i, head + 3, 4);
+      it_d1[i] = head[4];
+      it_d2[i] = head[5];
+      it_arity[i] = head[6];
+      it_dense[i] = head[7] & 0xff;
+      it_valid[i] = (head[7] >> 8) & 0xff;
+      const int32_t* ai = reinterpret_cast<const int32_t*>(r + 32);
+      const uint8_t* au = r + 32 + 12 * amax;
+      for (int64_t t = 0; t < amax; ++t) {
+        ag_vid[i * amax + t] = ai[3 * t];
+        ag_eq[i * amax + t] = ai[3 * t + 1];
+        ag_card[i * amax + t] = ai[3 * t + 2];
+        ag_valid[i * amax + t] = au[2 * t];
+        ag_subst[i * amax + t] = au[2 * t + 1];
+      }
+    }
+  }
+  if (dbg) std::fprintf(stderr, "fill3 phaseB %.1fs\n", now_s() - tB);
   return 0;
 }
 

@@ -69,6 +69,9 @@ def _compilecore():
             if hasattr(lib, "color_graph"):
                 lib.color_graph.restype = ctypes.c_int64
                 lib.conflict_pairs.restype = ctypes.c_int64
+            if hasattr(lib, "compile_count2"):
+                lib.compile_count2.restype = ctypes.c_int64
+                lib.compile_fill3.restype = ctypes.c_int
             _CORE = lib
             return lib
     _CORE = False
@@ -717,11 +720,18 @@ def _plans_native(variables, factors, fmap, factors_to_skip, color,
 
     rowcount = np.zeros(V, np.int64)
     amax_out = np.zeros(1, np.int64)
-    total = core.compile_count(
-        ctypes.c_int64(F), _ptr(factors), fac_stride, _ptr(foff),
-        _ptr(fmap), fmp_stride, _ptr(moff), _ptr(variables), var_stride,
-        _ptr(voff), _ptr(skip), _ptr(grow), _ptr(rowcount),
-        _ptr(amax_out))
+    if hasattr(core, "compile_count2"):
+        total = core.compile_count2(
+            ctypes.c_int64(F), ctypes.c_int64(V), _ptr(factors),
+            fac_stride, _ptr(foff), _ptr(fmap), fmp_stride, _ptr(moff),
+            _ptr(variables), var_stride, _ptr(voff), _ptr(skip),
+            _ptr(grow), _ptr(rowcount), _ptr(amax_out))
+    else:
+        total = core.compile_count(
+            ctypes.c_int64(F), _ptr(factors), fac_stride, _ptr(foff),
+            _ptr(fmap), fmp_stride, _ptr(moff), _ptr(variables),
+            var_stride, _ptr(voff), _ptr(skip), _ptr(grow),
+            _ptr(rowcount), _ptr(amax_out))
     if total < 0:
         return None
     amax = max(int(amax_out[0]), 1)
@@ -752,7 +762,22 @@ def _plans_native(variables, factors, fmap, factors_to_skip, color,
     # per-row fill cursor, shifted so color c starts at its arena base
     adj = (arena_off[:-1] - cs[starts_c[:-1]])
     rowpos = np.ascontiguousarray(cs[:V] + adj[color32[order]])
-    if hasattr(core, "compile_fill2"):
+    if hasattr(core, "compile_fill3"):
+        # bucketed packed-AoS scatter + dense per-variable cursors: the
+        # random writes stay inside an L3-sized window and the random
+        # reads collapse to one 16-byte record per variable
+        # (byte-identical output)
+        rc = core.compile_fill3(
+            ctypes.c_int64(F), ctypes.c_int64(V), _ptr(factors),
+            fac_stride, _ptr(foff), _ptr(fmap), fmp_stride, _ptr(moff),
+            _ptr(variables), var_stride, _ptr(voff), _ptr(skip),
+            _ptr(grow), _ptr(row_in_color), _ptr(rowpos),
+            ctypes.c_int64(amax), ctypes.c_int64(I_total),
+            _ptr(it_row), _ptr(it_ftype), _ptr(it_wid), _ptr(it_fv),
+            _ptr(it_dense), _ptr(it_d1), _ptr(it_d2), _ptr(it_valid),
+            _ptr(it_arity), _ptr(ag_vid), _ptr(ag_eq), _ptr(ag_valid),
+            _ptr(ag_card), _ptr(ag_subst))
+    elif hasattr(core, "compile_fill2"):
         # packed-AoS scatter + sequential split: one cache-line touch
         # per item instead of 14 (byte-identical output)
         rc = core.compile_fill2(
