@@ -483,7 +483,14 @@ int compile_fill3(int64_t F, int64_t V, const uint8_t* fac,
 
   const int64_t rec = (32 + 14 * amax + 7) & ~int64_t(7);
   const int64_t sr = 8 + rec;
-  int64_t bs = (96LL << 20) / rec;
+  // bucket bytes overridable so tests can exercise the multi-bucket
+  // path on small graphs (NSX_FILL_BUCKET_BYTES)
+  int64_t bucket_bytes = 96LL << 20;
+  if (const char* bb = std::getenv("NSX_FILL_BUCKET_BYTES")) {
+    int64_t val = std::atoll(bb);
+    if (val > 0) bucket_bytes = val;
+  }
+  int64_t bs = bucket_bytes / rec;
   if (bs < 1) bs = 1;
   if (bs > arena_total) bs = arena_total > 0 ? arena_total : 1;
   const int64_t B = (arena_total + bs - 1) / bs > 0

@@ -176,6 +176,52 @@ def test_compilecore_plans_equal_numpy_oracle():
 
 
 @needs_core
+def test_compilecore_multibucket_fill_equal_numpy_oracle(monkeypatch):
+    """The bucketed fill path (compile_fill3 with B > 1 staging
+    buckets) is byte-identical to the numpy oracle; in production the
+    bucket split only engages at ~96 MB arenas, so shrink the bucket
+    size to a few hundred bytes to force many buckets on a small
+    graph."""
+    import numbskull_tpu.compile as C
+
+    core = C._compilecore()
+    assert core is not None
+    if not hasattr(core, "compile_fill3"):
+        pytest.skip("compile_fill3 not in this core build")
+    monkeypatch.setenv("NSX_FILL_BUCKET_BYTES", "384")
+    rng = np.random.default_rng(11)
+    V, F = 120, 260
+    v = T.new_variables(V)
+    v["isEvidence"] = rng.integers(0, 2, V)
+    v["dataType"] = rng.integers(0, 2, V)
+    v["cardinality"] = np.where(v["dataType"] == 0, 2,
+                                rng.integers(2, 6, V))
+    ar = rng.integers(1, 6, F)   # odd arities exercise record padding
+    f = T.new_factors(F)
+    f["factorFunction"] = rng.choice([0, 2, 4, 13], F)
+    f["weightId"] = rng.integers(0, 10, F)
+    f["featureValue"] = rng.random(F)
+    f["arity"] = ar
+    f["ftv_offset"] = np.concatenate(([0], np.cumsum(ar)[:-1]))
+    E = int(ar.sum())
+    fm = T.new_fmap(E)
+    fm["vid"] = rng.integers(0, V, E)
+    fm["dense_equal_to"] = rng.integers(0, 5, E)
+    edges = C.conflict_edges(v, f, fm, None)
+    color = C.reduce_colors(
+        C.color_variables(V, edges, seed=3), edges, seed=3)
+    nc = int(color.max()) + 1
+    vc = v["cardinality"].astype(np.int64)
+    pn = C._plans_numpy(v, f, fm, None, color, nc, vc, 128, 8)
+    pc = C._plans_native(v, f, fm, None, color, nc, vc, 128, 8)
+    assert pc is not None and len(pn) == len(pc)
+    for pa, pb in zip(pn, pc):
+        for fld in _PLAN_FIELDS:
+            assert (np.asarray(getattr(pa, fld)) ==
+                    np.asarray(getattr(pb, fld))).all(), fld
+
+
+@needs_core
 def test_native_dump_matches_numpy_formatter(tmp_path):
     """dump_rows output parses to the same values as the numpy
     formatter, including negatives and zero-padding."""
