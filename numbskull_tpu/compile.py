@@ -48,8 +48,16 @@ def _compilecore():
         _CORE = False
         return None
     here = os.path.dirname(os.path.abspath(__file__))
-    candidates = [override,
-                  os.path.join(here, "..", "native", "libcompilecore.so")]
+    native_dir = os.path.join(here, "..", "native")
+    so_path = os.path.join(native_dir, "libcompilecore.so")
+    if (not override and not os.path.isfile(so_path)
+            and os.path.isfile(os.path.join(native_dir, "Makefile"))):
+        # binaries are gitignored; build once on first use (numpy
+        # pipeline covers any failure)
+        import subprocess
+        subprocess.run(["make", "-C", native_dir, "-s"], check=False,
+                       capture_output=True)
+    candidates = [override, so_path]
     for path in candidates:
         if path and os.path.isfile(path):
             lib = ctypes.CDLL(path)
