@@ -44,7 +44,16 @@ def _fastload():
         return _FASTLOAD or None
     candidates = [os.environ.get("NUMBSKULL_TPU_FASTLOAD", "")]
     here = os.path.dirname(os.path.abspath(__file__))
-    candidates.append(os.path.join(here, "..", "native", "libfastload.so"))
+    native_dir = os.path.join(here, "..", "native")
+    so_path = os.path.join(native_dir, "libfastload.so")
+    if (not candidates[0] and not os.path.isfile(so_path)
+            and os.path.isfile(os.path.join(native_dir, "Makefile"))):
+        # binaries are gitignored; build once on first use (numpy
+        # fallback covers any failure)
+        import subprocess
+        subprocess.run(["make", "-C", native_dir, "-s"], check=False,
+                       capture_output=True)
+    candidates.append(so_path)
     candidates.append(os.path.join(here, "libfastload.so"))
     for path in candidates:
         if path and os.path.isfile(path):
