@@ -2754,16 +2754,16 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
 
     def kernel(*refs):
         refs = list(refs)
-        (seed_ref, burn_ref, epochs_ref, cmeta_ref) = refs[:4]
-        refs = refs[4:]
+        (seed_ref, burn_ref, epochs_ref, cmeta_ref, sbase_ref) = refs[:5]
+        refs = refs[5:]
         amet_ref = refs.pop(0) if has_aff else None
         (tally_hbm, pack_hbm, wb_hbm) = refs[:3]
         refs = refs[3:]
         pack_a_hbm = refs.pop(0) if has_aff else None
         (x_in_hbm, x_hbm, count_hbm,
          pack_scr, wb_scr, av_scr, slab_scr, row_scr, cnt_scr,
-         tly_scr, sem, wsem, ssem, stsem, csem) = refs[:15]
-        refs = refs[15:]
+         tly_scr, sem, wsem, ssem, stsem, rdsem, csem) = refs[:16]
+        refs = refs[16:]
         if has_aff:
             pack_a_scr, av_a, asem = refs[:3]
         # x_in_hbm is ALIASED to x_hbm (same buffer); all access goes
@@ -2808,19 +2808,29 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
             pltpu.make_async_copy(wb_hbm.at[grb], wb_scr.at[slot],
                                   wsem.at[slot]).wait()
 
-        def _sbase(raw):
-            # the static slab height may exceed this block's span near
-            # the array end; sliding the base down keeps the DMA in
-            # bounds and window offsets (base_r - sbase) stay exact
-            return jnp.minimum(raw, vpr - sr)
+        # slab bases come from the host-computed SMEM table (already
+        # clamped to vpr - sr), so slab DMAs start without waiting for
+        # the block's window-base metadata — every inbound stream of
+        # block rb+1 is in flight while block rb computes
+        def start_slab(slot, grb):
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(sbase_ref[grb], sr)],
+                slab_scr.at[slot], ssem.at[slot]).start()
 
-        def start_slab(slot, raw):
-            pltpu.make_async_copy(x_hbm.at[pl.ds(_sbase(raw), sr)],
-                                  slab_scr.at[slot], ssem.at[slot]).start()
+        def wait_slab(slot, grb):
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(sbase_ref[grb], sr)],
+                slab_scr.at[slot], ssem.at[slot]).wait()
 
-        def wait_slab(slot, raw):
-            pltpu.make_async_copy(x_hbm.at[pl.ds(_sbase(raw), sr)],
-                                  slab_scr.at[slot], ssem.at[slot]).wait()
+        def row_read(row0, slot):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(row0, rbl)], row_scr.at[slot],
+                rdsem.at[slot])
+
+        def row_store(row0, slot):
+            return pltpu.make_async_copy(
+                row_scr.at[slot], x_hbm.at[pl.ds(row0, rbl)],
+                stsem.at[slot])
 
         def old_color_body(ci, epoch_i):
             rb_off = cmeta_ref[ci, 0]
@@ -2829,8 +2839,8 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
             nt = cmeta_ref[ci, 3]
             d_c = cmeta_ref[ci, 4]
             start_dma(rb_off, 0)
-            wait_dma(rb_off, 0)          # need wb for the slab base
-            start_slab(0, _wb_view(wb_scr, 0, Wb)[DA])
+            start_slab(0, rb_off)
+            row_read(row0c, 0).start()
 
             def rb_body(rb, salt_base):
                 slot = rb % 2
@@ -2838,15 +2848,23 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
                 @pl.when(rb + 1 < num_rb)
                 def _():
                     nslot = (rb + 1) % 2
-                    start_dma(rb_off + rb + 1, nslot)
-                    wait_dma(rb_off + rb + 1, nslot)
-                    start_slab(nslot, _wb_view(wb_scr, nslot, Wb)[DA])
 
-                wait_slab(slot, _wb_view(wb_scr, slot, Wb)[DA])
+                    # row_scr[nslot] still streams out block rb-1's
+                    # rows; finish that store before reusing the buffer
+                    @pl.when(rb >= 1)
+                    def _():
+                        row_store(row0c + (rb - 1) * rbl, nslot).wait()
+
+                    start_dma(rb_off + rb + 1, nslot)
+                    start_slab(nslot, rb_off + rb + 1)
+                    row_read(row0c + (rb + 1) * rbl, nslot).start()
+
+                wait_dma(rb_off + rb, slot)
+                wait_slab(slot, rb_off + rb)
                 pk = pack_scr.at[slot]
                 wb = _wb_view(wb_scr, slot, Wb)
                 slab = slab_scr.at[slot]
-                sbase = _sbase(wb[DA])
+                sbase = sbase_ref[rb_off + rb]
 
                 def gat(base_r, off):
                     return _gather_tiled(slab, base_r - sbase, off,
@@ -2893,27 +2911,27 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
                 new = _draw(list(pots), card, kmax,
                             uniform(salt_base * 65536 + rb, (1, RB)))
                 row0 = row0c + rb * rbl
-                # old values of own rows: read from HBM via a tiny DMA
-                pltpu.make_async_copy(x_hbm.at[pl.ds(row0, rbl)],
-                                      row_scr.at[slot], stsem.at[slot]
-                                      ).start()
-                pltpu.make_async_copy(x_hbm.at[pl.ds(row0, rbl)],
-                                      row_scr.at[slot], stsem.at[slot]
-                                      ).wait()
+                # old values of own rows were prefetched with the slab
+                row_read(row0, slot).wait()
                 old = row_scr[slot]
                 row_scr[slot] = jnp.where(
                     upd.reshape(rbl, 128) == 1,
                     new.reshape(rbl, 128), old)
-                # store back (await before this slot's buffer is reused)
-                pltpu.make_async_copy(row_scr.at[slot],
-                                      x_hbm.at[pl.ds(row0, rbl)],
-                                      stsem.at[slot]).start()
-                pltpu.make_async_copy(row_scr.at[slot],
-                                      x_hbm.at[pl.ds(row0, rbl)],
-                                      stsem.at[slot]).wait()
+                # async store-back; completion is awaited when the
+                # buffer is next reused, or at the color-end drain
+                row_store(row0, slot).start()
                 return salt_base
 
             jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * 64 + ci)
+            # drain outbound stores so the next color's slab reads (and
+            # the epoch-end tally stream) see every updated row
+            row_store(row0c + (num_rb - 1) * rbl,
+                      (num_rb - 1) % 2).wait()
+
+            @pl.when(num_rb >= 2)
+            def _():
+                row_store(row0c + (num_rb - 2) * rbl,
+                          (num_rb - 2) % 2).wait()
             return epoch_i
 
         # affine fast path, per block: lane-roll gathers from the value
@@ -2928,21 +2946,16 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
                     pack_a_scr.at[slot], asem.at[slot])
                 cp.start() if what == "start" else cp.wait()
 
-            def wb_dma(grb, slot, what):
-                cp = pltpu.make_async_copy(wb_hbm.at[grb],
-                                           wb_scr.at[slot],
-                                           wsem.at[slot])
-                cp.start() if what == "start" else cp.wait()
-
             def aff_color_body(ci, epoch_i):
-                rb_off = cmeta_ref[ci, 0]        # wb blocks (old stack)
+                rb_off = cmeta_ref[ci, 0]        # wb-stack block index
                 rb_off_a = cmeta_ref[ci, 6]
                 num_rb = cmeta_ref[ci, 1]
                 row0c = cmeta_ref[ci, 2]
-                wb_dma(rb_off, 0, "start")
+                # the affine path needs no window-base block at all:
+                # slab bases come from the SMEM table
                 a_dma(rb_off_a, 0, "start")
-                wb_dma(rb_off, 0, "wait")
-                start_slab(0, _wb_view(wb_scr, 0, Wb)[DA])
+                start_slab(0, rb_off)
+                row_read(row0c, 0).start()
 
                 def rb_body(rb, salt_base):
                     slot = rb % 2
@@ -2950,16 +2963,20 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
                     @pl.when(rb + 1 < num_rb)
                     def _():
                         nslot = (rb + 1) % 2
-                        wb_dma(rb_off + rb + 1, nslot, "start")
-                        a_dma(rb_off_a + rb + 1, nslot, "start")
-                        wb_dma(rb_off + rb + 1, nslot, "wait")
-                        start_slab(nslot, _wb_view(wb_scr, nslot,
-                                                   Wb)[DA])
 
-                    wait_slab(slot, _wb_view(wb_scr, slot, Wb)[DA])
+                        @pl.when(rb >= 1)
+                        def _():
+                            row_store(row0c + (rb - 1) * rbl,
+                                      nslot).wait()
+
+                        a_dma(rb_off_a + rb + 1, nslot, "start")
+                        start_slab(nslot, rb_off + rb + 1)
+                        row_read(row0c + (rb + 1) * rbl, nslot).start()
+
+                    wait_slab(slot, rb_off + rb)
                     a_dma(rb_off_a + rb, slot, "wait")
                     slab = slab_scr.at[slot]
-                    sbase = _sbase(_wb_view(wb_scr, slot, Wb)[DA])
+                    sbase = sbase_ref[rb_off + rb]
                     base_i = rb * RB
                     _aff_gather(av_a, slab, cmeta_ref[ci, 4] * Ag,
                                 lambda j: amet_ref[ci, j],
@@ -2976,23 +2993,20 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
                                          (8, 128)))
                     upd = pka[pl.ds(8 * (6 * aff_D), 8), :]
                     row0 = row0c + rb * rbl
-                    pltpu.make_async_copy(x_hbm.at[pl.ds(row0, rbl)],
-                                          row_scr.at[slot],
-                                          stsem.at[slot]).start()
-                    pltpu.make_async_copy(x_hbm.at[pl.ds(row0, rbl)],
-                                          row_scr.at[slot],
-                                          stsem.at[slot]).wait()
+                    row_read(row0, slot).wait()
                     old = row_scr[slot]
                     row_scr[slot] = jnp.where(upd == 1, new, old)
-                    pltpu.make_async_copy(row_scr.at[slot],
-                                          x_hbm.at[pl.ds(row0, rbl)],
-                                          stsem.at[slot]).start()
-                    pltpu.make_async_copy(row_scr.at[slot],
-                                          x_hbm.at[pl.ds(row0, rbl)],
-                                          stsem.at[slot]).wait()
+                    row_store(row0, slot).start()
                     return salt_base
 
                 jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * 64 + ci)
+                row_store(row0c + (num_rb - 1) * rbl,
+                          (num_rb - 1) % 2).wait()
+
+                @pl.when(num_rb >= 2)
+                def _():
+                    row_store(row0c + (num_rb - 2) * rbl,
+                              (num_rb - 2) % 2).wait()
                 return epoch_i
 
         def color_body(ci, epoch_i):
@@ -3510,7 +3524,7 @@ class HbmItemGridEngine:
 
         in_specs = (
             [pl.BlockSpec(memory_space=pltpu.SMEM)] *
-            (5 if has_aff else 4) +            # seed/b/e/cmeta[, amet]
+            (6 if has_aff else 5) +      # seed/b/e/cmeta/sbase[, amet]
             [pl.BlockSpec(memory_space=pltpu.ANY)] *
             (5 if has_aff else 4)       # tally/pk/wb[, pk_a]/x
         )
@@ -3528,18 +3542,25 @@ class HbmItemGridEngine:
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,)),   # row-read sem
                    pltpu.SemaphoreType.DMA(())]
         if has_aff:
             scratch += [pltpu.VMEM((2, M8, 128), jnp.int32),
                         pltpu.VMEM((AFF_DA_MAX * SB * 8, 128),
                                    jnp.int32),
                         pltpu.SemaphoreType.DMA((2,))]
-        x_idx = 9 if has_aff else 7
+        x_idx = 10 if has_aff else 8
+
+        # host-side slab-base table: per-block value-slab start rows,
+        # clamped so the static slab height stays inside the array
+        wbf = plan.wbase.reshape(plan.wbase.shape[0], -1)
+        sbase_tbl = jnp.asarray(np.minimum(
+            wbf[:, DA], vp // 128 - self.sr).astype(np.int32))
 
         @jax.jit
         def call(seed, burn, epochs, cmeta, tally, packed, wbase, x0,
                  amet=None, packed_a=None):
-            args = [seed, burn, epochs, cmeta]
+            args = [seed, burn, epochs, cmeta, sbase_tbl]
             if has_aff:
                 args.append(amet)
             args += [tally, packed, wbase]
