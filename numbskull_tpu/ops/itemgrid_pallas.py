@@ -3108,11 +3108,12 @@ def _make_learn_kernel_hbm(plan: ItemGridPlan, lp, wrows: int, sr: int,
 
     def kernel(*refs):
         (seed_ref, burn_ref, epochs_ref, step0_ref, decay_ref,
-         cmeta_ref, w_in, wfix, pack_hbm, wb_hbm, x_in, xe_in,
-         x_hbm, xe_hbm, w_out,
+         cmeta_ref, sbase_ref, w_in, wfix, pack_hbm, wb_hbm, x_in,
+         xe_in, x_hbm, xe_hbm, w_out,
          pack_scr, wb_scr, gv_scr, gw_scr, nw_scr,
          slab_p_scr, slab_e_scr, row_p_scr, row_e_scr,
-         sem, wsem, spsem, sesem, stpsem, stesem) = refs
+         sem, wsem, spsem, sesem, stpsem, stesem, rdpsem,
+         rdesem) = refs
         # chains are ALIASED input->output; all access via output refs
         del x_in, xe_in
         pltpu.prng_seed(seed_ref[0])
@@ -3138,27 +3139,32 @@ def _make_learn_kernel_hbm(plan: ItemGridPlan, lp, wrows: int, sr: int,
             pltpu.make_async_copy(wb_hbm.at[grb], wb_scr.at[slot],
                                   wsem.at[slot]).wait()
 
-        def _sbase(raw):
-            return jnp.minimum(raw, vpr - sr)
-
-        def slab_cp(hbm, scr, sems, slot, raw, what):
-            cp = pltpu.make_async_copy(hbm.at[pl.ds(_sbase(raw), sr)],
-                                       scr.at[slot], sems.at[slot])
+        # slab bases come from the host-computed SMEM table (clamped);
+        # no window-base wait gates any inbound stream
+        def slab_cp(hbm, scr, sems, slot, grb, what):
+            cp = pltpu.make_async_copy(
+                hbm.at[pl.ds(sbase_ref[grb], sr)], scr.at[slot],
+                sems.at[slot])
             cp.start() if what == "start" else cp.wait()
 
-        def row_rmw(hbm, scr, sems, slot, row0, new, upd):
-            """Read own rows, select updated lanes, store straight back."""
-            pltpu.make_async_copy(hbm.at[pl.ds(row0, rbl)], scr.at[slot],
-                                  sems.at[slot]).start()
-            pltpu.make_async_copy(hbm.at[pl.ds(row0, rbl)], scr.at[slot],
-                                  sems.at[slot]).wait()
+        def row_in(hbm, scr, sems, slot, row0):
+            return pltpu.make_async_copy(hbm.at[pl.ds(row0, rbl)],
+                                         scr.at[slot], sems.at[slot])
+
+        def row_out(hbm, scr, sems, slot, row0):
+            return pltpu.make_async_copy(scr.at[slot],
+                                         hbm.at[pl.ds(row0, rbl)],
+                                         sems.at[slot])
+
+        def row_rmw(hbm, scr, insems, outsems, slot, row0, new, upd):
+            """Blend updated lanes into the prefetched own rows and
+            start the async store-back (awaited at buffer reuse or the
+            color-end drain)."""
+            row_in(hbm, scr, insems, slot, row0).wait()
             val = jnp.where(upd.reshape(rbl, 128) == 1,
                             new.reshape(rbl, 128), scr[slot])
             scr[slot] = val
-            pltpu.make_async_copy(scr.at[slot], hbm.at[pl.ds(row0, rbl)],
-                                  sems.at[slot]).start()
-            pltpu.make_async_copy(scr.at[slot], hbm.at[pl.ds(row0, rbl)],
-                                  sems.at[slot]).wait()
+            row_out(hbm, scr, outsems, slot, row0).start()
             return val.reshape(1, RB)
 
         def free_color(ci, epoch_i):
@@ -3169,9 +3175,8 @@ def _make_learn_kernel_hbm(plan: ItemGridPlan, lp, wrows: int, sr: int,
             nt = cmeta_ref[ci, 3]
             d_c = cmeta_ref[ci, 4]
             start_dma(rb_off, 0)
-            wait_dma(rb_off, 0)          # need wb for the slab base
-            slab_cp(x_hbm, slab_p_scr, spsem, 0,
-                    _wb_view(wb_scr, 0, Wb)[DA], "start")
+            slab_cp(x_hbm, slab_p_scr, spsem, 0, rb_off, "start")
+            row_in(x_hbm, row_p_scr, rdpsem, 0, row0c).start()
 
             def rb_body(rb, salt_base):
                 slot = rb % 2
@@ -3179,17 +3184,25 @@ def _make_learn_kernel_hbm(plan: ItemGridPlan, lp, wrows: int, sr: int,
                 @pl.when(rb + 1 < num_rb)
                 def _():
                     nslot = (rb + 1) % 2
-                    start_dma(rb_off + rb + 1, nslot)
-                    wait_dma(rb_off + rb + 1, nslot)
-                    slab_cp(x_hbm, slab_p_scr, spsem, nslot,
-                            _wb_view(wb_scr, nslot, Wb)[DA], "start")
 
-                slab_cp(x_hbm, slab_p_scr, spsem, slot,
-                        _wb_view(wb_scr, slot, Wb)[DA], "wait")
+                    @pl.when(rb >= 1)
+                    def _():
+                        row_out(x_hbm, row_p_scr, stpsem, nslot,
+                                row0c + (rb - 1) * rbl).wait()
+
+                    start_dma(rb_off + rb + 1, nslot)
+                    slab_cp(x_hbm, slab_p_scr, spsem, nslot,
+                            rb_off + rb + 1, "start")
+                    row_in(x_hbm, row_p_scr, rdpsem, nslot,
+                           row0c + (rb + 1) * rbl).start()
+
+                wait_dma(rb_off + rb, slot)
+                slab_cp(x_hbm, slab_p_scr, spsem, slot, rb_off + rb,
+                        "wait")
                 pk = pack_scr.at[slot]
                 wb = _wb_view(wb_scr, slot, Wb)
                 slab = slab_p_scr.at[slot]
-                sbase = _sbase(wb[DA])
+                sbase = sbase_ref[rb_off + rb]
 
                 def gat(base_r, off):
                     return _gather_tiled(slab, base_r - sbase, off,
@@ -3236,11 +3249,18 @@ def _make_learn_kernel_hbm(plan: ItemGridPlan, lp, wrows: int, sr: int,
                 new = _draw(list(pots), card, kmax,
                             uniform((salt_base * 65536 + rb) ^
                                     0x40000000, (1, RB)))
-                row_rmw(x_hbm, row_p_scr, stpsem, slot,
+                row_rmw(x_hbm, row_p_scr, rdpsem, stpsem, slot,
                         row0c + rb * rbl, new, upd)
                 return salt_base
 
             jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * 64 + ci)
+            row_out(x_hbm, row_p_scr, stpsem, (num_rb - 1) % 2,
+                    row0c + (num_rb - 1) * rbl).wait()
+
+            @pl.when(num_rb >= 2)
+            def _():
+                row_out(x_hbm, row_p_scr, stpsem, (num_rb - 2) % 2,
+                        row0c + (num_rb - 2) * rbl).wait()
             return epoch_i
 
         def learn_color(ci, carry):
@@ -3253,11 +3273,10 @@ def _make_learn_kernel_hbm(plan: ItemGridPlan, lp, wrows: int, sr: int,
             gw_scr[:] = jnp.zeros((wrows, 128), jnp.float32)
             nw_scr[:] = jnp.zeros((wrows, 128), jnp.float32)
             start_dma(rb_off, 0)
-            wait_dma(rb_off, 0)
-            slab_cp(x_hbm, slab_p_scr, spsem, 0,
-                    _wb_view(wb_scr, 0, Wb)[DA], "start")
-            slab_cp(xe_hbm, slab_e_scr, sesem, 0,
-                    _wb_view(wb_scr, 0, Wb)[DA], "start")
+            slab_cp(x_hbm, slab_p_scr, spsem, 0, rb_off, "start")
+            slab_cp(xe_hbm, slab_e_scr, sesem, 0, rb_off, "start")
+            row_in(x_hbm, row_p_scr, rdpsem, 0, row0c).start()
+            row_in(xe_hbm, row_e_scr, rdesem, 0, row0c).start()
 
             def rb_body(rb, salt_base):
                 slot = rb % 2
@@ -3265,20 +3284,34 @@ def _make_learn_kernel_hbm(plan: ItemGridPlan, lp, wrows: int, sr: int,
                 @pl.when(rb + 1 < num_rb)
                 def _():
                     nslot = (rb + 1) % 2
-                    start_dma(rb_off + rb + 1, nslot)
-                    wait_dma(rb_off + rb + 1, nslot)
-                    nraw = _wb_view(wb_scr, nslot, Wb)[DA]
-                    slab_cp(x_hbm, slab_p_scr, spsem, nslot, nraw,
-                            "start")
-                    slab_cp(xe_hbm, slab_e_scr, sesem, nslot, nraw,
-                            "start")
 
-                raw = _wb_view(wb_scr, slot, Wb)[DA]
-                slab_cp(x_hbm, slab_p_scr, spsem, slot, raw, "wait")
-                slab_cp(xe_hbm, slab_e_scr, sesem, slot, raw, "wait")
+                    @pl.when(rb >= 1)
+                    def _():
+                        prow0 = row0c + (rb - 1) * rbl
+                        row_out(x_hbm, row_p_scr, stpsem, nslot,
+                                prow0).wait()
+                        row_out(xe_hbm, row_e_scr, stesem, nslot,
+                                prow0).wait()
+
+                    start_dma(rb_off + rb + 1, nslot)
+                    slab_cp(x_hbm, slab_p_scr, spsem, nslot,
+                            rb_off + rb + 1, "start")
+                    slab_cp(xe_hbm, slab_e_scr, sesem, nslot,
+                            rb_off + rb + 1, "start")
+                    nrow0 = row0c + (rb + 1) * rbl
+                    row_in(x_hbm, row_p_scr, rdpsem, nslot,
+                           nrow0).start()
+                    row_in(xe_hbm, row_e_scr, rdesem, nslot,
+                           nrow0).start()
+
+                wait_dma(rb_off + rb, slot)
+                slab_cp(x_hbm, slab_p_scr, spsem, slot, rb_off + rb,
+                        "wait")
+                slab_cp(xe_hbm, slab_e_scr, sesem, slot, rb_off + rb,
+                        "wait")
                 pk = pack_scr.at[slot]
                 wb = _wb_view(wb_scr, slot, Wb)
-                sbase = _sbase(raw)
+                sbase = sbase_ref[rb_off + rb]
                 slab_p = slab_p_scr.at[slot]
                 slab_e = slab_e_scr.at[slot]
 
@@ -3359,10 +3392,10 @@ def _make_learn_kernel_hbm(plan: ItemGridPlan, lp, wrows: int, sr: int,
                                uniform(salt_base * 65536 + rb, (1, RB)))
 
                 row0 = row0c + rb * rbl
-                p_val = row_rmw(x_hbm, row_p_scr, stpsem, slot, row0,
-                                p_samp, upd)
-                e_val = row_rmw(xe_hbm, row_e_scr, stesem, slot, row0,
-                                e_samp, upd_e)
+                p_val = row_rmw(x_hbm, row_p_scr, rdpsem, stpsem, slot,
+                                row0, p_samp, upd)
+                e_val = row_rmw(xe_hbm, row_e_scr, rdesem, stesem, slot,
+                                row0, e_samp, upd_e)
 
                 # pass 2: gradients from the staged gathers
                 def d_grad(d, _):
@@ -3419,6 +3452,17 @@ def _make_learn_kernel_hbm(plan: ItemGridPlan, lp, wrows: int, sr: int,
                 return salt_base
 
             jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * 64 + ci)
+            lrow0 = row0c + (num_rb - 1) * rbl
+            lslot = (num_rb - 1) % 2
+            row_out(x_hbm, row_p_scr, stpsem, lslot, lrow0).wait()
+            row_out(xe_hbm, row_e_scr, stesem, lslot, lrow0).wait()
+
+            @pl.when(num_rb >= 2)
+            def _():
+                prow0 = row0c + (num_rb - 2) * rbl
+                pslot = (num_rb - 2) % 2
+                row_out(x_hbm, row_p_scr, stpsem, pslot, prow0).wait()
+                row_out(xe_hbm, row_e_scr, stesem, pslot, prow0).wait()
 
             # apply the update (identical to _make_learn_kernel)
             gw, nw = gw_scr[:], nw_scr[:]
@@ -3597,7 +3641,7 @@ class HbmItemGridEngine:
         kernel = _make_learn_kernel_hbm(plan, lp, wrows, self.sr,
                                         sw_prng=bool(self.interpret))
         in_specs = (
-            [pl.BlockSpec(memory_space=pltpu.SMEM)] * 6 +
+            [pl.BlockSpec(memory_space=pltpu.SMEM)] * 7 +
             [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 +  # w0, wfix
             [pl.BlockSpec(memory_space=pltpu.ANY)] * 4     # pk/wb/x/xe
         )
@@ -3619,7 +3663,14 @@ class HbmItemGridEngine:
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA((2,)),
-                   pltpu.SemaphoreType.DMA((2,))]
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,)),   # row-read x
+                   pltpu.SemaphoreType.DMA((2,))]   # row-read xe
+
+        # host-side slab-base table (same as the inference call)
+        wbf = plan.wbase.reshape(plan.wbase.shape[0], -1)
+        sbase_tbl = jnp.asarray(np.minimum(
+            wbf[:, DA], vp // 128 - self.sr).astype(np.int32))
 
         @jax.jit
         def call(seed, burn, epochs, step0, decay, cmeta, w0, wfix,
@@ -3636,11 +3687,11 @@ class HbmItemGridEngine:
                 compiler_params=pltpu.CompilerParams(
                     has_side_effects=True,
                     vmem_limit_bytes=127 * 1024 * 1024),
-                input_output_aliases={10: 0, 11: 1},
+                input_output_aliases={11: 0, 12: 1},
                 interpret=(pltpu.InterpretParams()
                            if self.interpret else False),
-            )(seed, burn, epochs, step0, decay, cmeta, w0, wfix,
-              packed, wbase, x0, xe0)
+            )(seed, burn, epochs, step0, decay, cmeta, sbase_tbl, w0,
+              wfix, packed, wbase, x0, xe0)
 
         return call, wrows
 
