@@ -2135,7 +2135,7 @@ class PallasItemGridEngine:
             (5 if has_aff else 4) +            # seed/b/e/cmeta[, amet]
             [pl.BlockSpec(memory_space=pltpu.VMEM)] *
             (3 if has_ext else 2) +                        # x, tally[, ext]
-            [pl.BlockSpec(memory_space=pltpu.ANY)] *
+            [pl.BlockSpec(memory_space=pl.ANY)] *
             (3 if has_aff else 2)              # packed, wbase[, packed_a]
         )
         out_specs = (pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -2202,7 +2202,7 @@ class PallasItemGridEngine:
             [pl.BlockSpec(memory_space=pltpu.SMEM)] * 6 +  # scalars+meta
             [pl.BlockSpec(memory_space=pltpu.VMEM)] *
             (6 if has_ext else 4) +              # x0,xe0,w0,wfix[,extp,exte]
-            [pl.BlockSpec(memory_space=pltpu.ANY)] * 2     # packed, wbase
+            [pl.BlockSpec(memory_space=pl.ANY)] * 2     # packed, wbase
         )
         out_specs = tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                           for _ in range(3))
@@ -2474,7 +2474,7 @@ class MultiChipItemGridEngine:
             [pl.BlockSpec(memory_space=pltpu.SMEM)] *
             (7 if has_aff else 6) +        # scalars+meta[, amet]
             [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 +  # x, tally
-            [pl.BlockSpec(memory_space=pltpu.ANY)] *
+            [pl.BlockSpec(memory_space=pl.ANY)] *
             (3 if has_aff else 2)          # packed, wbase[, packed_a]
         )
         out_specs = (pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -2571,7 +2571,7 @@ class MultiChipItemGridEngine:
         in_specs = (
             [pl.BlockSpec(memory_space=pltpu.SMEM)] * 8 +
             [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4 +
-            [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+            [pl.BlockSpec(memory_space=pl.ANY)] * 2
         )
         out_specs = tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                           for _ in range(3))
@@ -3569,11 +3569,11 @@ class HbmItemGridEngine:
         in_specs = (
             [pl.BlockSpec(memory_space=pltpu.SMEM)] *
             (6 if has_aff else 5) +      # seed/b/e/cmeta/sbase[, amet]
-            [pl.BlockSpec(memory_space=pltpu.ANY)] *
+            [pl.BlockSpec(memory_space=pl.ANY)] *
             (5 if has_aff else 4)       # tally/pk/wb[, pk_a]/x
         )
-        out_specs = (pl.BlockSpec(memory_space=pltpu.ANY),
-                     pl.BlockSpec(memory_space=pltpu.ANY))
+        out_specs = (pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec(memory_space=pl.ANY))
         scratch = [pltpu.VMEM((2, L.rows, RB), jnp.int32),
                    pltpu.SMEM((2, 8, _ceil(-(-(DA + 2) // 8), 128)),
                               jnp.int32),
@@ -3643,10 +3643,10 @@ class HbmItemGridEngine:
         in_specs = (
             [pl.BlockSpec(memory_space=pltpu.SMEM)] * 7 +
             [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 +  # w0, wfix
-            [pl.BlockSpec(memory_space=pltpu.ANY)] * 4     # pk/wb/x/xe
+            [pl.BlockSpec(memory_space=pl.ANY)] * 4     # pk/wb/x/xe
         )
-        out_specs = (pl.BlockSpec(memory_space=pltpu.ANY),
-                     pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs = (pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec(memory_space=pl.ANY),
                      pl.BlockSpec(memory_space=pltpu.VMEM))
         scratch = [pltpu.VMEM((2, L.rows, RB), jnp.int32),
                    pltpu.SMEM((2, 8, _ceil(-(-(DA + 2) // 8), 128)),
