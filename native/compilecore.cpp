@@ -248,169 +248,6 @@ int compile_fill(int64_t F, const uint8_t* fac, int64_t fac_stride,
   return 0;
 }
 
-// compile_fill with the scatter restructured for low-bandwidth hosts.
-// compile_fill streams every item into 14 separate SoA arrays at a
-// ROW-sorted (i.e. scattered) index — 14 random cache-line touches per
-// item, the dominant cost of a 10M-variable compile on a ~2 GB/s VM.
-// Here each item is packed into ONE 14*amax+32-byte AoS record written
-// at the scattered index (one line touch), and a final sequential pass
-// splits records into the SoA arrays (sequential reads AND writes).
-// Output is byte-identical to compile_fill; arena_total is the full
-// padded arena extent (pad slots are left to the caller, as before).
-int compile_fill2(int64_t F, const uint8_t* fac, int64_t fac_stride,
-                  const int64_t* foff, const uint8_t* fmp,
-                  int64_t fmp_stride, const int64_t* moff,
-                  const uint8_t* var, int64_t var_stride,
-                  const int64_t* voff, const uint8_t* skip,
-                  const int64_t* grow, const int32_t* row_in_color,
-                  int64_t* rowpos, int64_t amax, int64_t arena_total,
-                  int32_t* it_row, int32_t* it_ftype, int32_t* it_wid,
-                  float* it_fv, uint8_t* it_dense, int32_t* it_d1,
-                  int32_t* it_d2, uint8_t* it_valid, int32_t* it_arity,
-                  int32_t* ag_vid, int32_t* ag_eq, uint8_t* ag_valid,
-                  int32_t* ag_card, uint8_t* ag_subst) {
-  Graph g = make_graph(fac, fac_stride, foff, fmp, fmp_stride, moff, var,
-                       var_stride, voff);
-  // 8 i32/f32 + 2 u8 (+pad), then amax x {vid,eq,card:i32} and
-  // amax x {valid,subst:u8}; rounded to 8 so every record is aligned
-  const int64_t rec = (32 + 14 * amax + 7) & ~int64_t(7);
-  const int64_t sr = 8 + rec;           // staged: u32 local-idx + record
-  // Bucket the arena so the only random writes land in a ~96 MB
-  // working buffer (inside L3 on the hosts this runs on): phase A
-  // appends each record sequentially to its target bucket's staging
-  // run (few dozen sequential write heads); phase B replays one bucket
-  // at a time — an L3-local scatter — then splits that bucket's slice
-  // into the SoA outputs with purely sequential streams.
-  int64_t bs = (96LL << 20) / rec;      // records per bucket
-  if (bs < 1) bs = 1;
-  if (bs > arena_total) bs = arena_total > 0 ? arena_total : 1;
-  const int64_t B = (arena_total + bs - 1) / bs > 0
-                        ? (arena_total + bs - 1) / bs : 1;
-  // staging/work are uninitialized on purpose: pad slots between
-  // colors are never packed, and the caller re-fills every pad field
-  // after the split
-  std::unique_ptr<uint8_t[]> stage(
-      new (std::nothrow) uint8_t[static_cast<size_t>(sr) * bs * B]);
-  std::unique_ptr<uint8_t[]> work(
-      new (std::nothrow) uint8_t[static_cast<size_t>(rec) * bs]);
-  std::vector<int64_t> scount(static_cast<size_t>(B), 0);
-  if (!stage || !work) return -1;
-  const bool dbg = std::getenv("NSX_FILL_DEBUG") != nullptr;
-  double tA = now_s();
-  uint8_t* S = stage.get();
-  Pair buf[kMaxArity];
-  for (int64_t f = 0; f < F; ++f) {
-    if (skip[f]) continue;
-    int64_t a0 = g.fftv.i64(f);
-    int64_t a = g.farity.i64(f);
-    int64_t m = factor_pairs(g, a0, a, buf);
-    if (m < 0) return -1;
-    int64_t wid = g.fwid.i64(f);
-    if (wid < 0 || wid > INT32_MAX) return -1;
-    int32_t func = g.ffunc.i16(f);
-    float fv = static_cast<float>(g.ffv.f64(f));
-    int32_t a32 = static_cast<int32_t>(a);
-    // arg block is identical for every item of this factor: pack once
-    uint8_t argbuf[14 * kMaxArity];
-    {
-      int32_t* ai = reinterpret_cast<int32_t*>(argbuf);
-      uint8_t* au = argbuf + 12 * amax;
-      for (int64_t t = 0; t < amax; ++t) {
-        if (t < a) {
-          int64_t av = g.mvid.i64(a0 + t);
-          int64_t eq = g.meq.i64(a0 + t);
-          if (eq < INT32_MIN || eq > INT32_MAX) return -1;
-          ai[3 * t] = static_cast<int32_t>(av);
-          ai[3 * t + 1] = static_cast<int32_t>(eq);
-          ai[3 * t + 2] = static_cast<int32_t>(g.vcard.i64(av));
-          au[2 * t] = 1;
-          au[2 * t + 1] = 0;   // subst fixed up per item below
-        } else {
-          ai[3 * t] = 0;
-          ai[3 * t + 1] = 0;
-          ai[3 * t + 2] = 1;
-          au[2 * t] = 0;
-          au[2 * t + 1] = 0;
-        }
-      }
-    }
-    for (int64_t j = 0; j < m;) {
-      int64_t v = buf[j].v;
-      int64_t k = j;
-      while (k < m && buf[k].v == v) ++k;
-      for (int64_t s = j; s < k; s += 2) {
-        int64_t d1 = buf[s].slot;
-        int64_t d2 = (s + 1 < k) ? buf[s + 1].slot : d1;
-        if (d1 < INT32_MIN || d1 > INT32_MAX || d2 > INT32_MAX) return -1;
-        int64_t i = rowpos[grow[v]]++;
-        if (i < 0 || i >= arena_total) return -1;
-        const int64_t bkt = i / bs;
-        const uint32_t local = static_cast<uint32_t>(i - bkt * bs);
-        uint8_t* r = S + (bkt * bs + scount[bkt]++) * sr;
-        std::memcpy(r, &local, 4);
-        r += 8;
-        int32_t head[8] = {row_in_color[v], func,
-                           static_cast<int32_t>(wid), 0,
-                           static_cast<int32_t>(d1),
-                           static_cast<int32_t>(d2), a32, 0};
-        std::memcpy(head + 3, &fv, 4);
-        head[7] = (g.vdtype.i16(v) == 0 ? 1 : 0) | 0x100;  // dense|valid
-        std::memcpy(r, head, 32);
-        std::memcpy(r + 32, argbuf, 14 * amax);
-        // subst flags for this item's variable
-        uint8_t* au = r + 32 + 12 * amax;
-        const int32_t* ai = reinterpret_cast<const int32_t*>(r + 32);
-        for (int64_t t = 0; t < a; ++t)
-          au[2 * t + 1] = ai[3 * t] == v ? 1 : 0;
-      }
-      j = k;
-    }
-  }
-  if (dbg) std::fprintf(stderr, "fill2 phaseA %.1fs\n", now_s() - tA);
-  double tB = now_s();
-  // per bucket: L3-local ordering replay, then sequential split into
-  // the SoA outputs
-  uint8_t* W = work.get();
-  for (int64_t b = 0; b < B; ++b) {
-    const uint8_t* sb = S + b * bs * sr;
-    const int64_t nb = scount[b];
-    for (int64_t q = 0; q < nb; ++q) {
-      uint32_t local;
-      std::memcpy(&local, sb + q * sr, 4);
-      std::memcpy(W + static_cast<int64_t>(local) * rec, sb + q * sr + 8,
-                  rec);
-    }
-    const int64_t g0 = b * bs;
-    const int64_t gn = (arena_total - g0 < bs) ? arena_total - g0 : bs;
-    for (int64_t x = 0; x < gn; ++x) {
-      const int64_t i = g0 + x;
-      const uint8_t* r = W + x * rec;
-      int32_t head[8];
-      std::memcpy(head, r, 32);
-      it_row[i] = head[0];
-      it_ftype[i] = head[1];
-      it_wid[i] = head[2];
-      std::memcpy(it_fv + i, head + 3, 4);
-      it_d1[i] = head[4];
-      it_d2[i] = head[5];
-      it_arity[i] = head[6];
-      it_dense[i] = head[7] & 0xff;
-      it_valid[i] = (head[7] >> 8) & 0xff;
-      const int32_t* ai = reinterpret_cast<const int32_t*>(r + 32);
-      const uint8_t* au = r + 32 + 12 * amax;
-      for (int64_t t = 0; t < amax; ++t) {
-        ag_vid[i * amax + t] = ai[3 * t];
-        ag_eq[i * amax + t] = ai[3 * t + 1];
-        ag_card[i * amax + t] = ai[3 * t + 2];
-        ag_valid[i * amax + t] = au[2 * t];
-        ag_subst[i * amax + t] = au[2 * t + 1];
-      }
-    }
-  }
-  if (dbg) std::fprintf(stderr, "fill2 phaseB %.1fs\n", now_s() - tB);
-  return 0;
-}
-
 // compile_count with dense per-variable tables: identical output, but
 // the per-item random reads/rmws touch dtype 1 B + a V-sized i64
 // counter instead of the 27 B-strided Variable records and the
@@ -623,10 +460,10 @@ int compile_fill3(int64_t F, int64_t V, const uint8_t* fac,
 // order as compile.py's numpy conflict_edges: arity classes ascending,
 // factors in index order within a class, (i, j) in row-major triu
 // order. Two-pass: conflict_count returns the pair total (or -1 when a
-// factor's arity exceeds the working buffer), conflict_fill writes
-// (u, w) into preallocated arrays. 'arity'/'offs' are plain int64
-// arrays (the caller casts once); 'vids' reads fmap.vid with a stride
-// so the structured array is consumed in place.
+// factor's arity exceeds the working buffer), conflict_pairs writes
+// the pairs. 'arity'/'offs' are plain int64 arrays (the caller casts
+// once); 'vids' reads fmap.vid with a stride so the structured array
+// is consumed in place.
 int64_t conflict_count(int64_t F, const int64_t* arity,
                        const uint8_t* keep) {
   int64_t total = 0;
@@ -639,48 +476,9 @@ int64_t conflict_count(int64_t F, const int64_t* arity,
   return total;
 }
 
-int64_t conflict_fill(int64_t F, const int64_t* arity, const int64_t* offs,
-                      const uint8_t* vids, int64_t vid_stride,
-                      const uint8_t* keep, int64_t* out_u,
-                      int64_t* out_w) {
-  Field mvid = {vids, vid_stride};
-  // distinct arities, ascending (few classes in practice)
-  std::vector<int64_t> classes;
-  for (int64_t f = 0; f < F; ++f) {
-    if (keep && !keep[f]) continue;
-    int64_t a = arity[f];
-    if (a < 2) continue;
-    bool found = false;
-    for (int64_t c : classes) found |= (c == a);
-    if (!found) classes.push_back(a);
-  }
-  std::sort(classes.begin(), classes.end());
-  int64_t m = 0;
-  int64_t vbuf[kMaxArity];
-  for (int64_t a : classes) {
-    for (int64_t f = 0; f < F; ++f) {
-      if (keep && !keep[f]) continue;
-      if (arity[f] != a) continue;
-      int64_t o = offs[f];
-      for (int64_t j = 0; j < a; ++j) vbuf[j] = mvid.i64(o + j);
-      for (int64_t i = 0; i < a; ++i) {
-        for (int64_t j = i + 1; j < a; ++j) {
-          int64_t u = vbuf[i], w = vbuf[j];
-          if (u == w) continue;
-          out_u[m] = u < w ? u : w;
-          out_w[m] = u < w ? w : u;
-          ++m;
-        }
-      }
-    }
-  }
-  return m;
-}
-
-// Like conflict_fill but writes (u, w) interleaved into one (m, 2)
-// row-major buffer — conflict_edges returns exactly that shape, and on
-// this class of VM the separate-arrays + np.stack copy is a quarter
-// of the whole compile (524 MB of extra traffic at 32M pairs).
+// Writes (u, w) interleaved into one (m, 2) row-major buffer —
+// conflict_edges returns exactly that shape (separate u/w arrays plus
+// an np.stack copy cost 524 MB of extra traffic at 32M pairs).
 int64_t conflict_pairs(int64_t F, const int64_t* arity, const int64_t* offs,
                        const uint8_t* vids, int64_t vid_stride,
                        const uint8_t* keep, int64_t* out_pairs) {

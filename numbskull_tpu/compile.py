@@ -52,11 +52,7 @@ def _compilecore():
     so_path = os.path.join(native_dir, "libcompilecore.so")
     if (not override and not os.path.isfile(so_path)
             and os.path.isfile(os.path.join(native_dir, "Makefile"))):
-        # binaries are gitignored; build once on first use (numpy
-        # pipeline covers any failure)
-        import subprocess
-        subprocess.run(["make", "-C", native_dir, "-s"], check=False,
-                       capture_output=True)
+        _build_native(native_dir)
     candidates = [override, so_path]
     for path in candidates:
         if path and os.path.isfile(path):
@@ -72,7 +68,6 @@ def _compilecore():
             # still serves the older fast paths)
             if hasattr(lib, "conflict_count"):
                 lib.conflict_count.restype = ctypes.c_int64
-                lib.conflict_fill.restype = ctypes.c_int64
                 lib.rcm_rank.restype = ctypes.c_int
             if hasattr(lib, "color_graph"):
                 lib.color_graph.restype = ctypes.c_int64
@@ -84,6 +79,23 @@ def _compilecore():
             return lib
     _CORE = False
     return None
+
+
+def _build_native(native_dir: str) -> None:
+    """Build the gitignored native helpers once, under an exclusive
+    lock so concurrent processes (pytest workers, parallel CLI jobs)
+    never dlopen a half-written .so; every failure mode falls back to
+    the numpy pipeline."""
+    import subprocess
+    try:
+        import fcntl
+        with open(os.path.join(native_dir, ".build.lock"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            subprocess.run(["make", "-C", native_dir, "-s"],
+                           check=False, capture_output=True)
+    except OSError:
+        subprocess.run(["make", "-C", native_dir, "-s"], check=False,
+                       capture_output=True)
 
 
 def _ptr(a: np.ndarray):
@@ -212,23 +224,13 @@ def conflict_edges(variables, factors, fmap, factors_to_skip=None,
         if total >= 0:          # -1: arity beyond the native buffer
             fmap_c = np.ascontiguousarray(fmap)
             vid_off = fmap_c.dtype.fields["vid"][1]
-            if hasattr(core, "conflict_pairs"):
-                e = np.empty((max(total, 1), 2), np.int64)
-                m = int(core.conflict_pairs(
-                    ctypes.c_int64(F), _ptr(arity), _ptr(offs),
-                    ctypes.c_void_p(fmap_c.ctypes.data + vid_off),
-                    ctypes.c_int64(fmap_c.dtype.itemsize), _ptr(keep8),
-                    _ptr(e)))
-                e = e[:m]
-            else:
-                u = np.empty(max(total, 1), np.int64)
-                w = np.empty(max(total, 1), np.int64)
-                m = int(core.conflict_fill(
-                    ctypes.c_int64(F), _ptr(arity), _ptr(offs),
-                    ctypes.c_void_p(fmap_c.ctypes.data + vid_off),
-                    ctypes.c_int64(fmap_c.dtype.itemsize), _ptr(keep8),
-                    _ptr(u), _ptr(w)))
-                e = np.stack([u[:m], w[:m]], axis=1)
+            e = np.empty((max(total, 1), 2), np.int64)
+            m = int(core.conflict_pairs(
+                ctypes.c_int64(F), _ptr(arity), _ptr(offs),
+                ctypes.c_void_p(fmap_c.ctypes.data + vid_off),
+                ctypes.c_int64(fmap_c.dtype.itemsize), _ptr(keep8),
+                _ptr(e)))
+            e = e[:m]
             if len(e) <= dedup:
                 e = np.unique(e, axis=0)
             return e
@@ -781,19 +783,6 @@ def _plans_native(variables, factors, fmap, factors_to_skip, color,
             _ptr(variables), var_stride, _ptr(voff), _ptr(skip),
             _ptr(grow), _ptr(row_in_color), _ptr(rowpos),
             ctypes.c_int64(amax), ctypes.c_int64(I_total),
-            _ptr(it_row), _ptr(it_ftype), _ptr(it_wid), _ptr(it_fv),
-            _ptr(it_dense), _ptr(it_d1), _ptr(it_d2), _ptr(it_valid),
-            _ptr(it_arity), _ptr(ag_vid), _ptr(ag_eq), _ptr(ag_valid),
-            _ptr(ag_card), _ptr(ag_subst))
-    elif hasattr(core, "compile_fill2"):
-        # packed-AoS scatter + sequential split: one cache-line touch
-        # per item instead of 14 (byte-identical output)
-        rc = core.compile_fill2(
-            ctypes.c_int64(F), _ptr(factors), fac_stride, _ptr(foff),
-            _ptr(fmap), fmp_stride, _ptr(moff), _ptr(variables),
-            var_stride, _ptr(voff), _ptr(skip), _ptr(grow),
-            _ptr(row_in_color), _ptr(rowpos), ctypes.c_int64(amax),
-            ctypes.c_int64(I_total),
             _ptr(it_row), _ptr(it_ftype), _ptr(it_wid), _ptr(it_fv),
             _ptr(it_dense), _ptr(it_d1), _ptr(it_d2), _ptr(it_valid),
             _ptr(it_arity), _ptr(ag_vid), _ptr(ag_eq), _ptr(ag_valid),

@@ -48,11 +48,10 @@ def _fastload():
     so_path = os.path.join(native_dir, "libfastload.so")
     if (not candidates[0] and not os.path.isfile(so_path)
             and os.path.isfile(os.path.join(native_dir, "Makefile"))):
-        # binaries are gitignored; build once on first use (numpy
-        # fallback covers any failure)
-        import subprocess
-        subprocess.run(["make", "-C", native_dir, "-s"], check=False,
-                       capture_output=True)
+        # binaries are gitignored; build once on first use under the
+        # shared build lock (numpy fallback covers any failure)
+        from numbskull_tpu.compile import _build_native
+        _build_native(native_dir)
     candidates.append(so_path)
     candidates.append(os.path.join(here, "libfastload.so"))
     for path in candidates:

@@ -435,6 +435,9 @@ class FactorGraph:
             checkpoint_every = max(int(checkpoint_every), 1)
             done = 0
             base_key = None
+            # a fully-resumed run skips every _learn_once (which is what
+            # sets the timing) - seed it for the diagnostics print
+            self._last_learn_s = 0.0
             if os.path.exists(checkpoint):
                 self.state, base_key, meta = load_checkpoint(checkpoint)
                 done = int(meta.get("learn_epochs_done", 0))
@@ -467,8 +470,6 @@ class FactorGraph:
         import dataclasses as _dc
         with Timer() as t:
             ig = self._maybe_itemgrid(True)
-            if ig is not None and not hasattr(ig, "learn"):
-                ig = None          # HBM engine is inference-only
             if ig is not None:
                 seed = int(jax.random.randint(
                     jax.random.fold_in(key, epoch_offset),

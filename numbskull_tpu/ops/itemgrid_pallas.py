@@ -79,7 +79,12 @@ COLOR_MAX = 256      # the color sweep is a data-driven loop over an
 #                      not code size or scratch (cmeta is (C, 8) i32
 #                      SMEM = 8 KB at 256). Overlapping high-degree
 #                      cliques (random voting at degree 50+) need 70+
-#                      colors; at 64 they fell to the XLA path
+#                      colors; at 64 they fell to the XLA path.
+#                      COLOR_MAX is also the (epoch, color) salt stride
+#                      for the software-PRNG streams — it must stay
+#                      >= the color count or interpret-mode draws would
+#                      collide across epochs (hardware PRNG is
+#                      stateful and unaffected)
 
 # ---- affine fast-path envelope (see _affine_color_info) -------------
 SB = 8               # blocks per superblock: affine gathers run as ONE
@@ -596,9 +601,8 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
         # run before g_off becomes window-relative)
         rowcard_c = np.ones(R, np.int64)
         rowdt_c = np.zeros(R, np.int64)
-        vids_ranked_pre = p.cv_vid[p.cv_valid].astype(np.int64)[ro]
-        rowcard_c[:n_rows] = cards[vids_ranked_pre]
-        rowdt_c[:n_rows] = dtypes[vids_ranked_pre]
+        rowcard_c[:n_rows] = cards[vids_ranked]
+        rowdt_c[:n_rows] = dtypes[vids_ranked]
         aff_ok, aff_c = _affine_color_info(
             g_ftype, g_arity, g_off, g_fetch, g_subst, g_eq, g_acard,
             rowcard_c, rowdt_c, n_rows, A)
@@ -675,7 +679,7 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
         meta_c = np.ones(R, np.int64)         # pad rows: card 1, dtype 0
         isev_c[:n_rows] = isev[vids_ranked]
         valid_c[:n_rows] = True
-        meta_c[:n_rows] = cards[vids_ranked] | (dtypes[vids_ranked] << 8)
+        meta_c[:n_rows] = rowcard_c[:n_rows] | (rowdt_c[:n_rows] << 8)
         put_1(L.upd, upd_new[start:start + R].astype(np.int64))
         put_1(L.upd_e, (valid_c & (isev_c == 0)).astype(np.int64))
         put_1(L.lrn, (valid_c & (isev_c == 1)).astype(np.int64))
@@ -1549,7 +1553,7 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
                 return salt_base
 
             jax.lax.fori_loop(0, num_rb, rb_body,
-                              (epoch_i * 64 + ci) * n_shards + my)
+                              (epoch_i * COLOR_MAX + ci) * n_shards + my)
             return epoch_i
 
         # ---- affine fast path: lane-roll gathers + shared boolean
@@ -1572,7 +1576,7 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
                 num_rb = cmeta_ref[ci, 1]
                 row0c = cmeta_ref[ci, 2]
                 n_sb = (num_rb + SB - 1) // SB
-                salt0 = (epoch_i * 64 + ci) * n_shards + my
+                salt0 = (epoch_i * COLOR_MAX + ci) * n_shards + my
                 a_dma(sb_off, 0, "start")
 
                 def sb_body(s, _):
@@ -1607,8 +1611,21 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
                     new = _draw2(pots[0], pots[1], u_scr[...])
                     upd = pka[pl.ds(SR * (6 * aff_D), SR), :]
                     old = x_out[pl.ds(row0, SR), :]
-                    x_out[pl.ds(row0, SR), :] = jnp.where(upd == 1,
-                                                          new, old)
+                    new_v = jnp.where(upd == 1, new, old)
+                    if mc:
+                        # the last superblock may round past this
+                        # device's share of the color (pad blocks carry
+                        # upd=0, i.e. the store would rewrite the OLD
+                        # values it read) — those rows belong to a peer
+                        # and race with its incoming halo broadcast, so
+                        # store only owned blocks
+                        for b in range(SB):
+                            @pl.when(s * SB + b < num_rb)
+                            def _(b=b):
+                                x_out[pl.ds(row0 + b * rbl, rbl), :] = \
+                                    new_v[b * rbl:(b + 1) * rbl, :]
+                    else:
+                        x_out[pl.ds(row0, SR), :] = new_v
                     return 0
 
                 jax.lax.fori_loop(0, n_sb, sb_body, 0)
@@ -1824,7 +1841,7 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
                     new.reshape(rbl, 128), old)
                 return salt_base
 
-            jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * 64 + ci)
+            jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * COLOR_MAX + ci)
             if mc:
                 _exchange_color(x_out, cmeta_ref, gmeta_ref, ci, my,
                                 n_shards, rbl, ssem, rsems)
@@ -2003,7 +2020,7 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
                     jax.lax.fori_loop(0, d_c, d_grad, 0)
                 return salt_base
 
-            jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * 64 + ci)
+            jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * COLOR_MAX + ci)
 
             if mc:
                 # both chains' rows ship to every peer; then the
@@ -2068,7 +2085,7 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
                 l1d = lp.reg_param * step * lp.truncation
                 w_tr = jnp.where(w_new > 0, jnp.maximum(0.0, w_new - l1d),
                                  jnp.minimum(0.0, w_new + l1d))
-                u = uniform_w((epoch_i * 64 + ci) ^ 0x33333333,
+                u = uniform_w((epoch_i * COLOR_MAX + ci) ^ 0x33333333,
                               (wrows, 128))
                 w_new = jnp.where(u < 1.0 / lp.truncation, w_tr, w_new)
             else:
@@ -2922,7 +2939,7 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
                 row_store(row0, slot).start()
                 return salt_base
 
-            jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * 64 + ci)
+            jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * COLOR_MAX + ci)
             # drain outbound stores so the next color's slab reads (and
             # the epoch-end tally stream) see every updated row
             row_store(row0c + (num_rb - 1) * rbl,
@@ -2999,7 +3016,7 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
                     row_store(row0, slot).start()
                     return salt_base
 
-                jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * 64 + ci)
+                jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * COLOR_MAX + ci)
                 row_store(row0c + (num_rb - 1) * rbl,
                           (num_rb - 1) % 2).wait()
 
@@ -3253,7 +3270,7 @@ def _make_learn_kernel_hbm(plan: ItemGridPlan, lp, wrows: int, sr: int,
                         row0c + rb * rbl, new, upd)
                 return salt_base
 
-            jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * 64 + ci)
+            jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * COLOR_MAX + ci)
             row_out(x_hbm, row_p_scr, stpsem, (num_rb - 1) % 2,
                     row0c + (num_rb - 1) * rbl).wait()
 
@@ -3451,7 +3468,7 @@ def _make_learn_kernel_hbm(plan: ItemGridPlan, lp, wrows: int, sr: int,
                     jax.lax.fori_loop(0, d_c, d_grad, 0)
                 return salt_base
 
-            jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * 64 + ci)
+            jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * COLOR_MAX + ci)
             lrow0 = row0c + (num_rb - 1) * rbl
             lslot = (num_rb - 1) % 2
             row_out(x_hbm, row_p_scr, stpsem, lslot, lrow0).wait()
@@ -3478,7 +3495,7 @@ def _make_learn_kernel_hbm(plan: ItemGridPlan, lp, wrows: int, sr: int,
                 l1d = lp.reg_param * step * lp.truncation
                 w_tr = jnp.where(w_new > 0, jnp.maximum(0.0, w_new - l1d),
                                  jnp.minimum(0.0, w_new + l1d))
-                u = uniform((epoch_i * 64 + ci) ^ 0x33333333,
+                u = uniform((epoch_i * COLOR_MAX + ci) ^ 0x33333333,
                             (wrows, 128))
                 w_new = jnp.where(u < 1.0 / lp.truncation, w_tr, w_new)
             else:

@@ -80,6 +80,11 @@ def test_cli_learning_checkpoint_resume(tmp_path):
           "--seed", "5", "--checkpoint", ck2, "--checkpoint_every", "40"])
     w3 = np.loadtxt(os.path.join(out3, "inference_result.out.weights.text"))
     assert (w1 == w3).all()
+    # relaunching an ALREADY-COMPLETE run (elastic restart) must not
+    # crash — incl. with diagnostics on (no -q), where the learn loop
+    # body never executes (regression: _last_learn_s was unset)
+    main([REF_DIR, "-l", "120", "-i", "5", "-o", out3,
+          "--seed", "5", "--checkpoint", ck2, "--checkpoint_every", "40"])
 
 
 def test_cli_checkpoint_every_zero_terminates(tmp_path):
