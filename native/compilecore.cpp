@@ -289,10 +289,14 @@ int64_t compile_count2(int64_t F, int64_t V, const uint8_t* fac,
   return total;
 }
 
-// compile_fill2 with dense per-variable tables: the per-item random
-// state collapses to one 16-byte record {cursor:i64, row:i32, dtype:u8}
-// per variable (one cache-line touch per item) plus a dense i32
-// cardinality array for the per-arg lookups. Output is byte-identical.
+// The fast fill path. Relative to compile_fill (the simple 14-stream
+// baseline above): items stage as packed AoS records appended to their
+// target bucket's sequential run, then each ~96 MB bucket replays as an
+// L3-local scatter followed by a fully sequential SoA split; the
+// per-item random state collapses to one 16-byte record
+// {cursor:i64, row:i32, dtype:u8} per variable plus a dense i32
+// cardinality array for the per-arg lookups. Output is byte-identical
+// to compile_fill.
 int compile_fill3(int64_t F, int64_t V, const uint8_t* fac,
                   int64_t fac_stride, const int64_t* foff,
                   const uint8_t* fmp, int64_t fmp_stride,

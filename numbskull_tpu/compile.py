@@ -56,7 +56,10 @@ def _compilecore():
     candidates = [override, so_path]
     for path in candidates:
         if path and os.path.isfile(path):
-            lib = ctypes.CDLL(path)
+            lib = _load_native(
+                path, native_dir if path == so_path else None)
+            if lib is None:
+                continue
             lib.compile_count.restype = ctypes.c_int64
             lib.compile_fill.restype = ctypes.c_int
             lib.greedy_color.restype = ctypes.c_int64
@@ -83,9 +86,9 @@ def _compilecore():
 
 def _build_native(native_dir: str) -> None:
     """Build the gitignored native helpers once, under an exclusive
-    lock so concurrent processes (pytest workers, parallel CLI jobs)
-    never dlopen a half-written .so; every failure mode falls back to
-    the numpy pipeline."""
+    lock so concurrent builders do not interleave; any failure (no
+    make/compiler, read-only tree) is swallowed — callers fall back to
+    the numpy pipeline, and _load_native re-checks the result."""
     import subprocess
     try:
         import fcntl
@@ -94,8 +97,24 @@ def _build_native(native_dir: str) -> None:
             subprocess.run(["make", "-C", native_dir, "-s"],
                            check=False, capture_output=True)
     except OSError:
-        subprocess.run(["make", "-C", native_dir, "-s"], check=False,
-                       capture_output=True)
+        pass
+
+
+def _load_native(path: str, native_dir: str | None = None):
+    """dlopen with one locked rebuild retry: a reader racing a builder
+    (or a truncated .so from an interrupted build) gets a fresh link
+    under the lock instead of a crash; returns None when the library
+    still cannot load."""
+    try:
+        return ctypes.CDLL(path)
+    except OSError:
+        if native_dir is None:
+            return None
+    _build_native(native_dir)
+    try:
+        return ctypes.CDLL(path)
+    except OSError:
+        return None
 
 
 def _ptr(a: np.ndarray):
@@ -217,7 +236,8 @@ def conflict_edges(variables, factors, fmap, factors_to_skip=None,
     if factors_to_skip is not None and len(factors_to_skip):
         keep[np.asarray(factors_to_skip, dtype=np.int64)] = False
     core = _compilecore()
-    if core is not None and hasattr(core, "conflict_count") and F:
+    if (core is not None and hasattr(core, "conflict_count")
+            and hasattr(core, "conflict_pairs") and F):
         keep8 = np.ascontiguousarray(keep.astype(np.uint8))
         total = int(core.conflict_count(ctypes.c_int64(F), _ptr(arity),
                                         _ptr(keep8)))

@@ -56,7 +56,11 @@ def _fastload():
     candidates.append(os.path.join(here, "libfastload.so"))
     for path in candidates:
         if path and os.path.isfile(path):
-            lib = ctypes.CDLL(path)
+            from numbskull_tpu.compile import _load_native
+            lib = _load_native(
+                path, native_dir if path == so_path else None)
+            if lib is None:
+                continue
             lib.fastload_factors.restype = ctypes.c_int
             _FASTLOAD = lib
             return lib

@@ -280,7 +280,8 @@ class FactorGraph:
         Eligible = TPU backend (the kernel needs the hardware PRNG) and a
         graph inside the itemgrid envelope (see ops/itemgrid_pallas).
         Dispatch chain: VMEM-resident kernel -> HBM-resident kernel
-        (graphs beyond the VMEM cap; inference only) -> XLA engine."""
+        (graphs beyond the VMEM cap; inference + learning) -> XLA
+        engine."""
         if self.engine_mode == "xla":
             return None
         if sample_evidence in self._itemgrid:

@@ -779,6 +779,35 @@ def test_hbm_learn_bit_identical_to_vmem_interpret():
     assert w1[0] != pytest.approx(0.2)      # the weight actually moved
 
 
+def test_hbm_no_sbase_table_bit_identical(monkeypatch):
+    """Beyond the SMEM slab-base-table budget the HBM kernels read slab
+    bases from the streamed window-base block (the pre-round-3 data
+    dependency); force that path by shrinking the budget and assert it
+    is still bit-identical to the VMEM engine for inference AND
+    learning."""
+    import numbskull_tpu.ops.itemgrid_pallas as ig
+
+    monkeypatch.setattr(ig, "SBASE_TBL_MAX", 1)
+    n, m = 160, 512
+    w, v, f, fm, dm, e = ising_grid(n, m, weight=0.2, fixed=False)
+    rng = np.random.default_rng(0)
+    v["isEvidence"] = (rng.random(n * m) < 0.3).astype(np.int8)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm,
+                       color_hint=ising_color_hint(n, m))
+    hbm = ig.HbmItemGridEngine(cg, interpret=True)
+    assert len(hbm._sbase_tbl) == 1          # dummy, never read
+    x1, c1 = hbm.run(seed=3, burn=1, epochs=2)
+    vm = ig.PallasItemGridEngine(cg, interpret=True)
+    x2, c2 = vm.run(seed=3, burn=1, epochs=2)
+    assert (np.asarray(x1) == np.asarray(x2)).all()
+    assert (np.asarray(c1)[:, :2] == np.asarray(c2)[:, :2]).all()
+    w1, xx1, xe1 = hbm.learn(seed=4, burn=1, epochs=2, stepsize=0.05,
+                             return_state=True)
+    w2, xx2, xe2 = vm.learn(seed=4, burn=1, epochs=2, stepsize=0.05,
+                            return_state=True)
+    assert (w1 == w2).all() and (xx1 == xx2).all() and (xe1 == xe2).all()
+
+
 def test_itemgrid_learn_many_weights():
     """4096 DISTINCT weights in one in-kernel learning run (wrows=32
     weight rows; round-2 treated >1024 weights as an XLA-fallback case).
