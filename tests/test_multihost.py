@@ -34,6 +34,11 @@ def _run(nproc: int, devs_per_proc: int, out: str):
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    # the spawned prog imports numbskull_tpu by path (the package need
+    # not be pip-installed); sys.path[0] for a script is tests/, so the
+    # repo root must ride PYTHONPATH
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen(
         [sys.executable, PROG, str(p), str(nproc), str(devs_per_proc),
          str(port), out],
