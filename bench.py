@@ -16,6 +16,11 @@ updates/s/core on low-degree boolean graphs. BASELINE.json targets
 
 NOTE: all timings materialize results via np.asarray — on tunneled TPU
 backends block_until_ready can return before execution completes.
+Epoch counts are large enough (>= 1000 in-kernel epochs) that the
+per-call dispatch + result-transfer cost of the tunnel (~0.05-0.3 s,
+proportional to the count-array size) is amortized below ~10% — round-2
+numbers used 200-500-epoch calls and UNDER-reported the fused kernels
+by up to 4x (see experiments/profile_itemgrid.py).
 """
 
 from __future__ import annotations
@@ -168,7 +173,7 @@ def _bench_learning(copies: int, epochs: int):
 
 
 def _bench_chain_replication(n: int = 512, chains: int = 4,
-                             epochs: int = 200):
+                             epochs: int = 1000):
     """Replica-chain throughput retention on one chip: C disjoint graph
     copies in one kernel vs one copy (reference's var_copies axis,
     factorgraph.py:48-53, made real)."""
@@ -195,14 +200,14 @@ def main():
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
 
     ups, epoch_s, mean = _bench_pallas_grid(n, epochs)
-    item_ups, item_mean = _bench_itemgrid(1024, 500)
+    item_ups, item_mean = _bench_itemgrid(1024, 2000)
     learn_sps, learn_vups, learn_ok = _bench_learning(20000, 500)
     chain_ratio = _bench_chain_replication()
     xla_ups = _bench_xla_grid(2048, 200)
     gen_ups = _bench_general(256, 50)
-    auto_ups, auto_itemgrid = _bench_auto(256, 400)
-    voting_ups = _bench_voting(200_000, 10, 200)
-    voting50_ups = _bench_voting(204_000, 50, 200)
+    auto_ups, auto_itemgrid = _bench_auto(256, 3000)
+    voting_ups = _bench_voting(200_000, 10, 1000)
+    voting50_ups = _bench_voting(204_000, 50, 1000)
 
     healthy = (0.2 < mean < 0.8) and (0.2 < item_mean < 0.8)
     result = {

@@ -90,17 +90,33 @@ COLOR_MAX = 256      # the color sweep is a data-driven loop over an
 # ---- affine fast-path envelope (see _affine_color_info) -------------
 SB = 8               # blocks per superblock: affine gathers run as ONE
 #                      (SB*8, 128) lane-roll per (slot, arg) — measured
-#                      58 Gvals/s vs 2.4 for the f32 one-hot matmul
+#                      58 Gvals/s vs 2.4 for the f32 one-hot matmul.
+#                      (SB=32 measured SLOWER on the 1024^2 Ising:
+#                      1.64 vs 1.33 ms/epoch — iteration count is not
+#                      the bottleneck)
 AFF_D_MAX = 8        # slots per row on the affine path (packed_a
-#                      scratch is (SB, (5*D+3)*8, 128) doubled)
+#                      scratch is (SB, (6*D+3)*8, 128) doubled)
 AFF_DA_MAX = 64      # slot*arg limit (amet schedule row width)
 AFF_NONE = np.int32(2 ** 31 - 1)   # amet sentinel: no fetched arg
-AFF_GUARD = 66 * 128  # value-array tail guard so clamped superblock
-#                      rolls stay in bounds ((SB*8+1)-row reads)
+AFF_GUARD = (SB * 8 + 2) * 128  # value-array tail guard so clamped
+#                      superblock rolls stay in bounds ((SB*8+1)-row
+#                      reads)
 # factor functions whose value is derivable from boolean counting
 # stats (n_zero over all/body args) + head/v0/v1/v2 — everything
 # except FUNC_UFO's positional select (factor_semantics.finalize)
 AFF_FUNCS = frozenset(T.FACTORS.values()) - {T.FUNC_UFO}
+
+
+# Debug-only ablation knobs (experiments/profile_itemgrid.py): a set of
+# stage names removed from the traced kernel so stage costs can be
+# measured by difference on hardware. Consulted at TRACE time — set it,
+# then build a FRESH engine. Production paths never set this.
+#   "prng"   constant 0.5 uniforms instead of PRNG draws
+#   "gather" skip value gathers (eval reads stale scratch)
+#   "eval"   replace potential evaluation with a cheap scratch read
+#   "dma"    skip item-table DMA waits (compute reads stale scratch)
+#   "tally"  skip the per-epoch count accumulation
+ABLATE: frozenset = frozenset()
 
 
 def _ceil(a, m):
@@ -1445,6 +1461,10 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
             pack_a_scr, av_a, u_scr, asem = refs[:4]
         pltpu.prng_seed(seed_ref[0] + my)
         uniform = _make_uniform(sw_prng, seed_ref[0] * 977 + my)
+        abl = ABLATE
+        if "prng" in abl:
+            def uniform(salt, shape):
+                return jnp.full(shape, 0.5, jnp.float32)
         # chunked init + tally: full-(vp)-array ops stage through vector
         # registers and spill tens of MB at multi-million-variable sizes
         CH = 4096
@@ -1463,12 +1483,16 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (128, RB), 0)
 
         def start_dma(grb, slot):
+            if "dma" in ABLATE:
+                return
             pltpu.make_async_copy(pack_hbm.at[grb], pack_scr.at[slot],
                                   sem.at[slot]).start()
             pltpu.make_async_copy(wb_hbm.at[grb], wb_scr.at[slot],
                                   wsem.at[slot]).start()
 
         def wait_dma(grb, slot):
+            if "dma" in ABLATE:
+                return
             pltpu.make_async_copy(pack_hbm.at[grb], pack_scr.at[slot],
                                   sem.at[slot]).wait()
             pltpu.make_async_copy(wb_hbm.at[grb], wb_scr.at[slot],
@@ -1532,7 +1556,11 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
 
                 pots = tuple(jnp.zeros((1, RB), jnp.float32)
                              for _ in range(kmax))
-                if unroll_d:
+                if "eval" in ABLATE:
+                    pots = tuple(
+                        p + pk[di:di + 1, :].astype(jnp.float32) * 1e-6
+                        for di, p in enumerate(pots))
+                elif unroll_d:
                     for d in range(plan.D):
                         pots = d_body(d, pots)
                 else:
@@ -1567,6 +1595,8 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
             SR = SB * rbl           # sublane rows per superblock
 
             def a_dma(gsb, slot, what):
+                if "dma" in abl:
+                    return
                 cp = pltpu.make_async_copy(
                     pack_a_hbm.at[pl.ds(gsb * (M8 * SB), M8 * SB)],
                     pack_a_scr.at[slot], asem.at[slot])
@@ -1588,16 +1618,22 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
                         a_dma(sb_off + s + 1, (s + 1) % 2, "start")
 
                     a_dma(sb_off + s, slot, "wait")
-                    _aff_gather(av_a, x_out, cmeta_ref[ci, 4] * Ag,
-                                lambda j: amet_ref[ci, j],
-                                lambda c: c + s * (SB * RB), SB,
-                                lane_sb)
+                    if "gather" not in abl:
+                        _aff_gather(av_a, x_out, cmeta_ref[ci, 4] * Ag,
+                                    lambda j: amet_ref[ci, j],
+                                    lambda c: c + s * (SB * RB), SB,
+                                    lane_sb)
                     pka = pack_a_scr.at[slot]
-                    pots = _aff_block_pots(
-                        lambda lr: pka[pl.ds(SR * lr, SR), :],
-                        lambda j: av_a[pl.ds(j * SB * 8, SB * 8), :],
-                        cmeta_ref[ci, 4], cmeta_ref[ci, 7], Ag, aff_D,
-                        present, rows=SB * 8)
+                    if "eval" in abl:
+                        p = av_a[pl.ds(0, SB * 8), :].astype(
+                            jnp.float32) * 1e-6
+                        pots = (p, -p)
+                    else:
+                        pots = _aff_block_pots(
+                            lambda lr: pka[pl.ds(SR * lr, SR), :],
+                            lambda j: av_a[pl.ds(j * SB * 8, SB * 8), :],
+                            cmeta_ref[ci, 4], cmeta_ref[ci, 7], Ag,
+                            aff_D, present, rows=SB * 8)
                     row0 = row0c + s * SR
                     if has_ext:
                         pots = tuple(
@@ -1606,14 +1642,20 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
                             for k in range(2))
                     # per-BLOCK uniforms (same stream as the HBM
                     # kernel's per-block path: bit-identity holds)
-                    for b in range(SB):
-                        u_scr[pl.ds(b * rbl, rbl), :] = uniform(
-                            salt0 * 65536 + s * SB + b, (8, 128))
-                    new = _draw2(pots[0], pots[1], u_scr[...])
+                    if "uscr" not in abl:
+                        for b in range(SB):
+                            u_scr[pl.ds(b * rbl, rbl), :] = uniform(
+                                salt0 * 65536 + s * SB + b, (8, 128))
+                    if "draw" in abl:
+                        new = (pots[0] < pots[1]).astype(jnp.int32)
+                    else:
+                        new = _draw2(pots[0], pots[1], u_scr[...])
                     upd = pka[pl.ds(SR * (6 * aff_D), SR), :]
                     old = x_out[pl.ds(row0, SR), :]
                     new_v = jnp.where(upd == 1, new, old)
-                    if mc:
+                    if "store" in abl:
+                        u_scr[...] = new_v.astype(jnp.float32)
+                    elif mc:
                         # the last superblock may round past this
                         # device's share of the color (pad blocks carry
                         # upd=0, i.e. the store would rewrite the OLD
@@ -1652,6 +1694,8 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
 
         def epoch_body(i, _):
             jax.lax.fori_loop(0, C, color_body, i)
+            if "tally" in abl:
+                return 0
             mult = (i >= burn).astype(jnp.int32)
             for k in range(kmax):
                 for s, ln in _chunks(vpr):
@@ -1753,12 +1797,16 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
             return _gather(w_out[:], wid, w_iota, lane_iota)
 
         def start_dma(grb, slot):
+            if "dma" in ABLATE:
+                return
             pltpu.make_async_copy(pack_hbm.at[grb], pack_scr.at[slot],
                                   sem.at[slot]).start()
             pltpu.make_async_copy(wb_hbm.at[grb], wb_scr.at[slot],
                                   wsem.at[slot]).start()
 
         def wait_dma(grb, slot):
+            if "dma" in ABLATE:
+                return
             pltpu.make_async_copy(pack_hbm.at[grb], pack_scr.at[slot],
                                   sem.at[slot]).wait()
             pltpu.make_async_copy(wb_hbm.at[grb], wb_scr.at[slot],
@@ -1822,7 +1870,11 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
 
                 pots = tuple(jnp.zeros((1, RB), jnp.float32)
                              for _ in range(kmax))
-                if unroll_d:
+                if "eval" in ABLATE:
+                    pots = tuple(
+                        p + pk[di:di + 1, :].astype(jnp.float32) * 1e-6
+                        for di, p in enumerate(pots))
+                elif unroll_d:
                     for d in range(plan.D):
                         pots = d_body(d, pots)
                 else:
@@ -2821,12 +2873,16 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (128, RB), 0)
 
         def start_dma(grb, slot):
+            if "dma" in ABLATE:
+                return
             pltpu.make_async_copy(pack_hbm.at[grb], pack_scr.at[slot],
                                   sem.at[slot]).start()
             pltpu.make_async_copy(wb_hbm.at[grb], wb_scr.at[slot],
                                   wsem.at[slot]).start()
 
         def wait_dma(grb, slot):
+            if "dma" in ABLATE:
+                return
             pltpu.make_async_copy(pack_hbm.at[grb], pack_scr.at[slot],
                                   sem.at[slot]).wait()
             pltpu.make_async_copy(wb_hbm.at[grb], wb_scr.at[slot],
@@ -2942,7 +2998,11 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
 
                 pots = tuple(jnp.zeros((1, RB), jnp.float32)
                              for _ in range(kmax))
-                if unroll_d:
+                if "eval" in ABLATE:
+                    pots = tuple(
+                        p + pk[di:di + 1, :].astype(jnp.float32) * 1e-6
+                        for di, p in enumerate(pots))
+                elif unroll_d:
                     for d in range(plan.D):
                         pots = d_body(d, pots)
                 else:
@@ -3181,12 +3241,16 @@ def _make_learn_kernel_hbm(plan: ItemGridPlan, lp, wrows: int, sr: int,
             return _gather(w_out[:], wid, w_iota, lane_iota)
 
         def start_dma(grb, slot):
+            if "dma" in ABLATE:
+                return
             pltpu.make_async_copy(pack_hbm.at[grb], pack_scr.at[slot],
                                   sem.at[slot]).start()
             pltpu.make_async_copy(wb_hbm.at[grb], wb_scr.at[slot],
                                   wsem.at[slot]).start()
 
         def wait_dma(grb, slot):
+            if "dma" in ABLATE:
+                return
             pltpu.make_async_copy(pack_hbm.at[grb], pack_scr.at[slot],
                                   sem.at[slot]).wait()
             pltpu.make_async_copy(wb_hbm.at[grb], wb_scr.at[slot],
@@ -3309,7 +3373,11 @@ def _make_learn_kernel_hbm(plan: ItemGridPlan, lp, wrows: int, sr: int,
 
                 pots = tuple(jnp.zeros((1, RB), jnp.float32)
                              for _ in range(kmax))
-                if unroll_d:
+                if "eval" in ABLATE:
+                    pots = tuple(
+                        p + pk[di:di + 1, :].astype(jnp.float32) * 1e-6
+                        for di, p in enumerate(pots))
+                elif unroll_d:
                     for d in range(plan.D):
                         pots = d_body(d, pots)
                 else:
