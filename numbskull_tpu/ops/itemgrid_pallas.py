@@ -1404,7 +1404,15 @@ def _exchange_color(x_out, cmeta_ref, gmeta_ref, ci, my, n_g, rbl,
 
 def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
                  n_shards: int = 1, has_ext: bool = False,
-                 allow_aff: bool = True):
+                 allow_aff: bool = True, one_color: bool = False):
+    """``one_color``: build the sequential-emulation variant — ONE color
+    step for ONE device per call (scalars: epoch index, color index,
+    device id), no epoch loop, no tallies, no in-kernel exchange. Used
+    by MultiChipItemGridEngine.run_emulated to execute the multi-chip
+    schedule device-by-device where the concurrent interpreter cannot
+    run (chromatic independence makes the sequential interleaving
+    exactly equal to the concurrent execution; salt streams are the MC
+    kernel's)."""
     vp = plan.vp
     kmax = plan.kmax
     vpr = vp // 128
@@ -1433,7 +1441,18 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
 
     def kernel(*refs):
         refs = list(refs)
-        if mc:
+        if one_color:
+            gmeta_ref = burn_ref = epochs_ref = None
+            if mc:
+                (seed_ref, ep_ref, ci_ref, myid_ref,
+                 cmeta_ref) = refs[:5]
+                refs = refs[5:]
+                my = myid_ref[0]
+            else:
+                seed_ref, ep_ref, ci_ref, cmeta_ref = refs[:4]
+                refs = refs[4:]
+                my = 0
+        elif mc:
             (seed_ref, burn_ref, epochs_ref, myid_ref, cmeta_ref,
              gmeta_ref) = refs[:6]
             refs = refs[6:]
@@ -1443,18 +1462,19 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
             refs = refs[4:]
             my = 0
         amet_ref = refs.pop(0) if has_aff else None
-        x_in, tally_in = refs[:2]
-        refs = refs[2:]
+        x_in = refs.pop(0)
+        tally_in = None if one_color else refs.pop(0)
         ext_in = None
         if has_ext:
             ext_in = refs.pop(0)   # (kmax*vpr, 128) f32 potentials
         pack_hbm, wb_hbm = refs[:2]
         refs = refs[2:]
         pack_a_hbm = refs.pop(0) if has_aff else None
-        (x_out, count_out,
-         pack_scr, wb_scr, av_scr, sem, wsem) = refs[:7]
-        refs = refs[7:]
-        if mc:
+        x_out = refs.pop(0)
+        count_out = None if one_color else refs.pop(0)
+        (pack_scr, wb_scr, av_scr, sem, wsem) = refs[:5]
+        refs = refs[5:]
+        if mc and not one_color:
             ssem, rsems = refs[:2]
             refs = refs[2:]
         if has_aff:
@@ -1474,10 +1494,12 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
 
         for s, ln in _chunks(vpr):
             x_out[pl.ds(s, ln), :] = x_in[pl.ds(s, ln), :]
-        for s, ln in _chunks(kmax * vpr):
-            count_out[pl.ds(s, ln), :] = jnp.zeros((ln, 128), jnp.int16)
-        burn = burn_ref[0]
-        total = burn + epochs_ref[0]
+        if not one_color:
+            for s, ln in _chunks(kmax * vpr):
+                count_out[pl.ds(s, ln), :] = jnp.zeros((ln, 128),
+                                                       jnp.int16)
+            burn = burn_ref[0]
+            total = burn + epochs_ref[0]
 
         sub_iota = jax.lax.broadcasted_iota(jnp.int32, (trw, RB), 0)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (128, RB), 0)
@@ -1687,10 +1709,14 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
                 aff_color_body(ci, epoch_i)
             else:
                 old_color_body(ci, epoch_i)
-            if mc:
+            if mc and not one_color:
                 _exchange_color(x_out, cmeta_ref, gmeta_ref, ci, my,
                                 n_shards, rbl, ssem, rsems)
             return epoch_i
+
+        if one_color:
+            color_body(ci_ref[0], ep_ref[0])
+            return
 
         def epoch_body(i, _):
             jax.lax.fori_loop(0, C, color_body, i)
@@ -2742,6 +2768,120 @@ class MultiChipItemGridEngine:
         x = np.asarray(x_out).reshape(-1)[plan.perm]
         xe = np.asarray(xe_out).reshape(-1)[plan.perm]
         return w, x, xe
+
+    def _build_color_call(self):
+        """Single-device one-color kernel for the sequential emulation
+        (see run_emulated)."""
+        plan = self.plan
+        n_g = self.n_g
+        kernel = _make_kernel(plan, sw_prng=True, n_shards=n_g,
+                              one_color=True)
+        L = _Layout(plan.D, plan.A)
+        DA = plan.D * plan.A
+        vp = plan.vp
+        has_aff = plan.packed_a is not None and plan.cmeta.size and \
+            bool((plan.cmeta[:, 5] == 1).any())
+        M8 = (6 * plan.aff_D + 3) * 8
+
+        n_scal = (5 if n_g > 1 else 4) + (1 if has_aff else 0)
+        in_specs = (
+            [pl.BlockSpec(memory_space=pltpu.SMEM)] *
+            n_scal +                  # seed/ep/ci[/myid]/cmeta[, amet]
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] +          # x
+            [pl.BlockSpec(memory_space=pl.ANY)] *
+            (3 if has_aff else 2)     # packed, wbase[, packed_a]
+        )
+        scratch = [pltpu.VMEM((2, L.rows, RB), jnp.int32),
+                   pltpu.SMEM((2, 8, _ceil(-(-(DA + 2) // 8), 128)),
+                              jnp.int32),
+                   pltpu.VMEM((max(plan.A, 1), RB), jnp.int32),
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,))]
+        if has_aff:
+            scratch += [pltpu.VMEM((2, SB * M8, 128), jnp.int32),
+                        pltpu.VMEM((AFF_DA_MAX * SB * 8, 128),
+                                   jnp.int32),
+                        pltpu.VMEM((SB * 8, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))]
+        x_idx = n_scal
+
+        @jax.jit
+        def call(seed, ep, ci, myid, cmeta_d, x0, packed_d, wbase_d,
+                 amet_d=None, packed_a_d=None):
+            # n_g == 1 builds the non-MC signature (no device id)
+            args = [seed, ep, ci, myid, cmeta_d] if n_g > 1 else \
+                [seed, ep, ci, cmeta_d]
+            if has_aff:
+                args.append(amet_d)
+            args += [x0, packed_d, wbase_d]
+            if has_aff:
+                args.append(packed_a_d)
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((vp // 128, 128),
+                                               jnp.int32),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                scratch_shapes=scratch,
+                compiler_params=pltpu.CompilerParams(
+                    has_side_effects=True,
+                    vmem_limit_bytes=127 * 1024 * 1024),
+                input_output_aliases={x_idx: 0},
+                interpret=(pltpu.InterpretParams()
+                           if self.interpret else False),
+            )(*args)
+
+        return call, has_aff
+
+    def run_emulated(self, seed: int, burn: int, epochs: int,
+                     weight_value=None, x0=None):
+        """Execute the multi-chip schedule END-TO-END, sequentially: one
+        single-device pallas call per (epoch, color, device), each
+        running exactly the MC kernel's per-device color step (same
+        packed shards, same cmeta, same per-device software-PRNG salt
+        streams) on a shared value array that plays the role of the
+        halo exchange. Within a color no factor touches a same-color
+        variable (the coloring invariant, globally across devices), so
+        this sequential interleaving computes bit-exactly what the
+        concurrent kernel + per-color exchange computes with the same
+        draws. Tallies are accumulated host-side per epoch.
+
+        This is the execution path for environments where the
+        concurrent multi-device interpreter deadlocks (jax 0.9) and
+        only one real chip exists; it is also a debugging oracle for
+        pod runs. Returns (values (V,), counts (V, K)) like run()."""
+        plan = self.plan
+        wv = np.asarray(self.cg.weight_init if weight_value is None
+                        else weight_value, np.float32)
+        self._ensure_packs(wv)
+        if getattr(self, "_color_call", None) is None:
+            self._color_call, self._cc_has_aff = self._build_color_call()
+        init = plan.init_new.copy()
+        if x0 is not None:
+            init[plan.perm] = np.asarray(x0, np.int32)
+        x2d = jnp.asarray(init.reshape(plan.vp // 128, 128))
+        tally = plan.tally_new.astype(np.int64)
+        counts = np.zeros((plan.kmax, plan.vp), np.int64)
+        C = plan.cmeta.shape[0]
+        s1 = jnp.asarray([seed], jnp.int32)
+        for ep in range(burn + epochs):
+            epj = jnp.asarray([ep], jnp.int32)
+            for ci in range(C):
+                cij = jnp.asarray([ci], jnp.int32)
+                for d in range(self.n_g):
+                    extra = ()
+                    if self._cc_has_aff:
+                        extra = (self._amet_mc[d], self._packed_a_mc[d])
+                    x2d = self._color_call(
+                        s1, epj, cij, jnp.asarray([d], jnp.int32),
+                        self._cmeta_mc[d], x2d, self._packs[0][d],
+                        self._packs[1][d], *extra)
+            if ep >= burn:
+                xf = np.asarray(x2d).reshape(-1)
+                for k in range(plan.kmax):
+                    counts[k] += (xf == k) * tally
+        x_flat = np.asarray(x2d).reshape(-1)[plan.perm]
+        return x_flat, counts[:, plan.perm].T.copy()
 
     def run(self, seed: int, burn: int, epochs: int,
             weight_value=None, x0=None):

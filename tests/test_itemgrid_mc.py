@@ -216,3 +216,54 @@ def test_itemgrid_learn_beyond_1024_weights():
                    lp=LearnParams(grad_agg="sum"))
     assert wv.shape == (1800,)
     assert np.abs(wv).max() > 0.05       # gradients actually landed
+
+
+def test_run_emulated_single_shard_bit_equal_to_single_chip():
+    """run_emulated at n_g=1 executes the one-color kernel variant per
+    (epoch, color) with host-side tallies; it must be BIT-EQUAL to the
+    single-chip engine's fused epoch loop (same software-PRNG salt
+    streams), validating that the emulation path computes exactly the
+    kernel's schedule."""
+    from numbskull_tpu.ops.itemgrid_pallas import (
+        MultiChipItemGridEngine, PallasItemGridEngine)
+
+    w, v, f, fm, dm, e = coin_model(12, 0.3, -0.2, 0.4, evidence=False,
+                                    weight_init=(0.3, -0.2, 0.4),
+                                    fixed=True)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm)
+    single = PallasItemGridEngine(cg, interpret=True)
+    x1, c1 = single.run(seed=5, burn=4, epochs=40)
+    mc = MultiChipItemGridEngine(cg, devices=jax.devices()[:1],
+                                 interpret=True)
+    x2, c2 = mc.run_emulated(seed=5, burn=4, epochs=40)
+    np.testing.assert_array_equal(x1, x2)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_run_emulated_two_shards_end_to_end_marginals():
+    """END-TO-END 2-device execution of the multi-chip itemgrid
+    schedule (sequential emulation of the concurrent kernel — exactly
+    equal by chromatic independence, same per-device salt streams):
+    marginals must match the exact closed-form coin marginal."""
+    from numbskull_tpu.models import coin_exact_marginal
+    from numbskull_tpu.ops.itemgrid_pallas import MultiChipItemGridEngine
+
+    w, v, f, fm, dm, e = coin_model(8, 0.3, -0.2, 0.4, evidence=False,
+                                    weight_init=(0.3, -0.2, 0.4),
+                                    fixed=True)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm)
+    mc = MultiChipItemGridEngine(cg, devices=jax.devices()[:2],
+                                 interpret=True)
+    assert mc.n_g == 2
+    epochs = 250
+    x, c = mc.run_emulated(seed=1, burn=20, epochs=epochs)
+    marg = c.astype(np.float64) / epochs
+    ex = coin_exact_marginal(0.3, -0.2, 0.4)
+    # vars alternate (x1, x2) per copy; joint is [p00, p01, p10, p11]
+    # over (x1, x2): P(x1=1) = p10 + p11, P(x2=1) = p01 + p11
+    p1 = float(ex[2] + ex[3])
+    p2 = float(ex[1] + ex[3])
+    got1 = marg[0::2, 1].mean()         # averaged over 8 copies
+    got2 = marg[1::2, 1].mean()
+    assert abs(got1 - p1) < 0.06, (got1, p1)
+    assert abs(got2 - p2) < 0.06, (got2, p2)
