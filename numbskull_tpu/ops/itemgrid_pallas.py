@@ -1408,11 +1408,11 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
     """``one_color``: build the sequential-emulation variant — ONE color
     step for ONE device per call (scalars: epoch index, color index,
     device id), no epoch loop, no tallies, no in-kernel exchange. Used
-    by MultiChipItemGridEngine.run_emulated to execute the multi-chip
-    schedule device-by-device where the concurrent interpreter cannot
-    run (chromatic independence makes the sequential interleaving
-    exactly equal to the concurrent execution; salt streams are the MC
-    kernel's)."""
+    by MultiChipItemGridEngine.run_emulated as a debugging oracle for
+    the concurrent kernel (chromatic independence makes the sequential
+    interleaving exactly equal to the concurrent execution — verified
+    bit-equal on 2 interpret devices in tests/test_itemgrid_mc.py;
+    salt streams are the MC kernel's)."""
     vp = plan.vp
     kmax = plan.kmax
     vpr = vp // 128
@@ -2846,10 +2846,14 @@ class MultiChipItemGridEngine:
         concurrent kernel + per-color exchange computes with the same
         draws. Tallies are accumulated host-side per epoch.
 
-        This is the execution path for environments where the
-        concurrent multi-device interpreter deadlocks (jax 0.9) and
-        only one real chip exists; it is also a debugging oracle for
-        pod runs. Returns (values (V,), counts (V, K)) like run()."""
+        Verified BIT-EQUAL to the concurrent kernel's run() on 2
+        simulated interpret devices (tests/test_itemgrid_mc.py::
+        test_mc_concurrent_bit_equal_to_emulated); kept as a debugging
+        oracle for pod runs. NOTE: concurrent interpret runs need
+        synchronous CPU dispatch (jax_cpu_enable_async_dispatch=False)
+        — with async dispatch the interpreter's io_callbacks can block
+        materializing operands whose producing computation is queued
+        behind them. Returns (values (V,), counts (V, K)) like run()."""
         plan = self.plan
         wv = np.asarray(self.cg.weight_init if weight_value is None
                         else weight_value, np.float32)

@@ -1,4 +1,4 @@
-"""Multi-chip itemgrid engine: schedule invariants + gated kernel runs.
+"""Multi-chip itemgrid engine: schedule invariants + real kernel runs.
 
 The exchange protocol's correctness rests on static properties of the
 per-device schedule (shard_schedule): each color's row blocks partition
@@ -7,16 +7,21 @@ color (a device's broadcast doubles as its done-token, so the receive
 counts must be static), and the packed stacks reindex the same blocks.
 These are verified here on CPU for several device counts.
 
-Full multi-device kernel runs:
-- on TPU pods (>= 2 real devices): test_itemgrid_mc_tpu below.
-- the Pallas TPU *interpreter* executes this kernel correctly on ONE
-  simulated device but stalls with >= 2 (its shared-memory simulation
-  slows superlinearly with kernel op count x device threads — isolated
-  to upstream: the unmodified single-chip kernel replicated over a
-  2-device shard_map already stalls, while small kernels with the same
-  remote-DMA/alias/SMEM features pass). The interpret-mode exchange
-  PATTERN itself is validated in miniature in
-  test_exchange_pattern_interpret.
+CONCURRENT execution of the genuine MC kernel on >= 2 simulated
+devices (test_mc_concurrent_*): the former ">= 2 interpret devices
+deadlock" was root-caused to ASYNC CPU DISPATCH — the interpreter runs
+each simulated device's kernel as a chain of io_callbacks, and a
+callback materializing an operand (np.array(val) in _allocate_buffer)
+can block on a value whose producing computation is queued behind the
+very computation the callback belongs to. With
+jax_cpu_enable_async_dispatch=False (the autouse fixture below) every
+operand is ready before its callback runs and the full engine-scale
+kernel executes concurrently and deterministically; its results are
+BIT-EQUAL to the sequential emulation (run_emulated), closing the loop
+on the chromatic-independence argument.
+
+Full multi-device HARDWARE runs still need a pod slice:
+test_itemgrid_mc_tpu below.
 """
 
 import numpy as np
@@ -30,6 +35,17 @@ from numbskull_tpu.models import coin_model, ising_grid, ising_color_hint
 from numbskull_tpu.ops.itemgrid_pallas import (
     RB, plan_item_grid, shard_schedule,
 )
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _sync_cpu_dispatch():
+    """Disable async CPU dispatch for this module (see module docstring:
+    async dispatch deadlocks multi-device Pallas interpret runs on
+    small hosts). Restored afterwards."""
+    prev = jax.config._read("jax_cpu_enable_async_dispatch")
+    jax.config.update("jax_cpu_enable_async_dispatch", False)
+    yield
+    jax.config.update("jax_cpu_enable_async_dispatch", prev)
 
 
 @pytest.mark.parametrize("n_g", [2, 4])
@@ -67,72 +83,114 @@ def test_shard_schedule_partitions_colors(n_g):
             assert (wbase_mc[d, lo:lo + nb] == wwant).all()
 
 
-def test_exchange_pattern_interpret():
-    """The per-color exchange protocol (remote block broadcasts +
-    descriptor-based send/recv waits) in miniature: 2 simulated devices
-    swap their slabs; each ends with both."""
+def test_exchange_color_real_interpret():
+    """The REAL _exchange_color (the MC kernel's per-color halo
+    exchange) executed on 2 simulated devices: each device owns one
+    8-row block of a 16-row value array and broadcasts it; both must
+    end with the full array. This calls the exact function the fused
+    kernel calls, with the kernel's cmeta/gmeta descriptor layout."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from jax.sharding import Mesh, PartitionSpec as P
     from jax import shard_map
 
+    from numbskull_tpu.ops.itemgrid_pallas import _exchange_color
+
     if len(jax.devices()) < 2:
         pytest.skip("needs 2 devices")
-    N = 2
+    N, rbl = 2, 8
 
-    def kern(x_ref, o_ref, ssem, rsems):
+    def kern(cmeta_ref, gmeta_ref, x_ref, o_ref, ssem, rsems):
         my = jax.lax.axis_index("g").astype(jnp.int32)
         o_ref[...] = x_ref[...]
+        _exchange_color(o_ref, cmeta_ref, gmeta_ref, 0, my, N, rbl,
+                        ssem, rsems)
 
-        def send(s, _):
-            peer = jax.lax.rem(my + 1 + s, N)
-            src = o_ref.at[pl.ds(my * 8, 8)]
-            pltpu.make_async_remote_copy(
-                src_ref=src, dst_ref=src, send_sem=ssem,
-                recv_sem=rsems.at[my], device_id=peer,
-                device_id_type=pltpu.DeviceIdType.LOGICAL).start()
-            return 0
+    mesh = Mesh(np.array(jax.devices()[:N]), ("g",))
 
-        jax.lax.fori_loop(0, N - 1, send, 0)
-
-        def swait(i, _):
-            ref = o_ref.at[pl.ds(my * 8, 8)]
-            pltpu.make_async_copy(ref, ref, ssem).wait()
-            return 0
-
-        jax.lax.fori_loop(0, N - 1, swait, 0)
-
-        def rwait(s, _):
-            peer = jax.lax.rem(my + 1 + s, N)
-            dst = o_ref.at[pl.ds(peer * 8, 8)]
-            pltpu.make_async_copy(dst, dst, rsems.at[peer]).wait()
-            return 0
-
-        jax.lax.fori_loop(0, N - 1, rwait, 0)
-
-    mesh = Mesh(np.array(jax.devices()[:2]), ("g",))
-
-    def dev_fn(x):
+    def dev_fn(cmeta_d, gmeta, x):
         return pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((16, 128), jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_shape=jax.ShapeDtypeStruct((N * rbl, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.SemaphoreType.DMA(()),
                             pltpu.SemaphoreType.DMA((N,))],
             interpret=pltpu.InterpretParams(),
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True, collective_id=7),
-        )(x)
+        )(cmeta_d[0], gmeta, x)
 
-    f = jax.jit(shard_map(dev_fn, mesh=mesh, in_specs=P(),
+    f = jax.jit(shard_map(dev_fn, mesh=mesh, in_specs=(P("g"), P(), P()),
                           out_specs=P(), check_vma=False))
-    x = np.zeros((16, 128), np.float32)
-    x[:8] = 5.0
-    x[8:] = 9.0
-    # device d's slab is rows [d*8, d*8+8); both should end with 5|9
-    y = np.asarray(f(jnp.asarray(x)))
-    assert (y[:8] == 5.0).all() and (y[8:] == 9.0).all()
+    # kernel descriptor layout: cmeta[ci,1]=n_blocks, cmeta[ci,2]=row0
+    # (per device); gmeta[ci,peer]=(row0,n_blocks)
+    cmeta = np.zeros((N, 1, 8), np.int32)
+    for d in range(N):
+        cmeta[d, 0, 1], cmeta[d, 0, 2] = 1, d * rbl
+    gmeta = np.zeros((1, N, 2), np.int32)
+    for d in range(N):
+        gmeta[0, d] = (d * rbl, 1)
+    # device d's input has ONLY its own slab filled; after the exchange
+    # both devices must hold both slabs
+    x = np.zeros((N * rbl, 128), np.float32)
+    x[:rbl] = 5.0
+    x[rbl:] = 9.0
+    y = np.asarray(f(jnp.asarray(cmeta), jnp.asarray(gmeta),
+                     jnp.asarray(x)))
+    assert (y[:rbl] == 5.0).all() and (y[rbl:] == 9.0).all()
+
+
+def test_mc_concurrent_bit_equal_to_emulated():
+    """THE multi-chip validation: the genuine fused MC kernel (epoch
+    loop, per-color remote-DMA exchange, tallies — the exact code a pod
+    runs) executed CONCURRENTLY on 2 simulated interpret devices is
+    BIT-EQUAL to the sequential emulation, confirming the
+    chromatic-independence equivalence with an actual concurrent
+    execution rather than an argument."""
+    from numbskull_tpu.ops.itemgrid_pallas import MultiChipItemGridEngine
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    w, v, f, fm, dm, e = coin_model(8, 0.3, -0.2, 0.4, evidence=False,
+                                    weight_init=(0.3, -0.2, 0.4),
+                                    fixed=True)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm)
+    mc = MultiChipItemGridEngine(cg, devices=jax.devices()[:2],
+                                 interpret=True)
+    assert mc.n_g == 2
+    x1, c1 = mc.run(seed=1, burn=2, epochs=10)
+    x2, c2 = mc.run_emulated(seed=1, burn=2, epochs=10)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_mc_concurrent_learn_two_dev():
+    """The MC LEARN kernel (dual-chain exchange of both chains + the
+    fixed-order in-kernel gradient all-reduce) executed concurrently on
+    2 simulated devices: weights move and are finite. (Gradient algebra
+    is bit-validated against the single-chip kernel at n_g=1 below;
+    this run proves the concurrent exchange/all-reduce code path
+    executes.)"""
+    from numbskull_tpu.ops.gibbs import LearnParams
+    from numbskull_tpu.ops.itemgrid_pallas import MultiChipItemGridEngine
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    w, v, f, fm, dm, e = coin_model(40, 0.8, -0.5, 0.4, evidence=True,
+                                    weight_init=(0.0, 0.0, 0.0),
+                                    fixed=False, seed=3)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm)
+    mc = MultiChipItemGridEngine(cg, devices=jax.devices()[:2],
+                                 interpret=True)
+    assert mc.n_g == 2
+    wv = mc.learn(seed=7, burn=2, epochs=10, stepsize=0.05, decay=0.98,
+                  lp=LearnParams(regularization=2, reg_param=1e-4))
+    wv = np.asarray(wv)
+    assert np.isfinite(wv).all()
+    assert np.abs(wv).max() > 0.01      # gradients actually landed
 
 
 @pytest.mark.skipif(
@@ -242,9 +300,9 @@ def test_run_emulated_single_shard_bit_equal_to_single_chip():
 
 def test_run_emulated_two_shards_end_to_end_marginals():
     """END-TO-END 2-device execution of the multi-chip itemgrid
-    schedule (sequential emulation of the concurrent kernel — exactly
-    equal by chromatic independence, same per-device salt streams):
-    marginals must match the exact closed-form coin marginal."""
+    schedule (sequential emulation — bit-equal to the concurrent kernel
+    per test_mc_concurrent_bit_equal_to_emulated): marginals must match
+    the exact closed-form coin marginal."""
     from numbskull_tpu.models import coin_exact_marginal
     from numbskull_tpu.ops.itemgrid_pallas import MultiChipItemGridEngine
 
