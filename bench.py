@@ -69,6 +69,9 @@ def _bench_xla_grid(n: int, epochs: int):
 
 
 def _bench_general(n: int, epochs: int):
+    """The universal XLA work-item engine (the padded row-major fast
+    path; arbitrary graphs, any cardinality — the correctness-oracle /
+    fallback path when a graph is outside the Pallas kernel envelope)."""
     from numbskull_tpu.compile import compile_graph
     from numbskull_tpu.models import ising_color_hint, ising_grid
     from numbskull_tpu.ops import GibbsEngine
@@ -80,11 +83,42 @@ def _bench_general(n: int, epochs: int):
     st = eng.init_state()
     st = eng.inference(st, jax.random.PRNGKey(0), epochs=2, burn=0)
     np.asarray(st.count)
-    t0 = time.perf_counter()
-    st2 = eng.inference(st, jax.random.PRNGKey(1), epochs=epochs, burn=0)
-    np.asarray(st2.count)
-    dt = time.perf_counter() - t0
-    return n * n * epochs / dt
+    best = None
+    for rep in range(3):
+        t0 = time.perf_counter()
+        st2 = eng.inference(st, jax.random.PRNGKey(1), epochs=epochs,
+                            burn=0)
+        np.asarray(st2.count)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return n * n * epochs / best
+
+
+def _bench_potts_card64(n: int, epochs: int):
+    """Cardinality-64 categorical (Potts) grid — far beyond the Pallas
+    kernel envelope (card <= 32), so this IS the fallback path a user
+    hits on high-cardinality graphs. Reference comparison: the numba
+    kernel's draw loops over all 64 candidate values per variable
+    (inference.py:36-52), so its boolean-graph ~1e7 updates/s shrinks
+    ~32x on this family."""
+    from numbskull_tpu.compile import compile_graph
+    from numbskull_tpu.models import ising_color_hint, potts_grid
+    from numbskull_tpu.ops import GibbsEngine
+
+    w, v, f, fm, dm, e = potts_grid(n, n, card=64, weight=0.2)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm,
+                       color_hint=ising_color_hint(n, n))
+    eng = GibbsEngine(cg)
+    st = eng.inference(eng.init_state(), jax.random.PRNGKey(0), epochs=2)
+    np.asarray(st.count)
+    best = None
+    for rep in range(3):
+        t0 = time.perf_counter()
+        st2 = eng.inference(st, jax.random.PRNGKey(1), epochs=epochs)
+        np.asarray(st2.count)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return n * n * epochs / best
 
 
 def _bench_auto(n: int, epochs: int):
@@ -204,7 +238,8 @@ def main():
     learn_sps, learn_vups, learn_ok = _bench_learning(20000, 500)
     chain_ratio = _bench_chain_replication()
     xla_ups = _bench_xla_grid(2048, 200)
-    gen_ups = _bench_general(256, 50)
+    gen_ups = _bench_general(256, 400)
+    potts_ups = _bench_potts_card64(128, 200)
     auto_ups, auto_itemgrid = _bench_auto(256, 3000)
     voting_ups = _bench_voting(200_000, 10, 1000)
     voting50_ups = _bench_voting(204_000, 50, 1000)
@@ -225,6 +260,7 @@ def main():
         "general_engine_ups_256": round(auto_ups, 1),
         "general_engine_used_itemgrid": auto_itemgrid,
         "xla_oracle_ups_256": round(gen_ups, 1),
+        "categorical_card64_ups": round(potts_ups, 1),
         "itemgrid_voting_deg10_ups": round(voting_ups, 1),
         "itemgrid_voting_deg50_ups": round(voting50_ups, 1),
         "learn_steps_per_s_40k_vars": round(learn_sps, 2),

@@ -7,7 +7,9 @@ experiments/. Each returns the `(weight, variable, factor, fmap,
 domain_mask, edges)` tuple accepted by `NumbSkull.loadFactorGraph`.
 """
 
-from numbskull_tpu.models.ising import ising_grid, ising_color_hint  # noqa: F401
+from numbskull_tpu.models.ising import (  # noqa: F401
+    ising_color_hint, ising_grid, potts_grid,
+)
 from numbskull_tpu.models.coin import coin_model, coin_exact_marginal  # noqa: F401
 from numbskull_tpu.models.lf import lf_model, lf_exact_cdf  # noqa: F401
 from numbskull_tpu.models.voting import (  # noqa: F401

@@ -69,3 +69,28 @@ def ising_color_hint(n: int, m: int) -> np.ndarray:
     """Checkerboard 2-coloring of the grid (pass to compile_graph)."""
     idx = np.arange(n * m)
     return (idx // m + idx % m) % 2
+
+
+def potts_grid(n: int, m: int, card: int, weight: float = 0.1,
+               fixed: bool = True, seed: int = 0):
+    """n x m Potts grid: cardinality-``card`` variables with EQUAL
+    coupling factors (the all-equal semantics of FUNC_EQUAL, reference
+    numbskull/inference.py:169-176, applies at any cardinality).
+
+    Variables keep dataType==0: in the reference's vmap semantics
+    (dataloading.py:34-46) that is the *dense* adjacency — the factor
+    contributes to the potential of EVERY candidate value, which is what
+    a Potts coupling means (dataType==1 attaches a factor only to its
+    dense_equal_to slot). The reference restricted dataType==0 to
+    cardinality 2; this framework generalizes the dense slot to any
+    cardinality. High cardinality stresses the general engine beyond
+    the Pallas kernel envelope.
+
+    Returns (weight, variable, factor, fmap, domain_mask, edges).
+    """
+    w, v, f, fm, dm, e = ising_grid(n, m, weight=weight, fixed=fixed,
+                                    seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    v["cardinality"] = card
+    v["initialValue"] = rng.integers(0, card, len(v))
+    return w, v, f, fm, dm, e

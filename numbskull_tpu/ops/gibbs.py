@@ -122,6 +122,236 @@ def stack_plans(plans, n_vars: int):
     return {k: jnp.asarray(v) for k, v in stacked.items()}
 
 
+# ---- padded row-major fast path (inference) -------------------------------
+#
+# The flat work-item layout above reaches TPU via scalar gathers
+# (var_value[it_args_vid]) and a scatter-add segment_sum — both serialized
+# on TPU (~1e8 elem/s), which left the universal XLA path BELOW the
+# reference's numba CPU kernel. The padded layout removes both:
+#   * items live at (color, row, slot) — the per-row reduction is a dense
+#     axis sum (exact, pure VPU), no segment_sum;
+#   * variables are renumbered color-contiguously, so the per-color value
+#     update is a dynamic_update_slice, no scatter;
+#   * argument-value gathers skip substituted slots (the active variable's
+#     own occurrences need no lookup) and run either as one-hot bf16
+#     matmuls on the MXU (exact for integer payloads; small state) or as
+#     8-sublane row gathers (large state) — 4-5x the scalar-gather rate.
+# Falls back to the flat path when a hub row would blow up the padding.
+
+PADDED_DMAX = 256          # max items per (row, color) before fallback
+PADDED_BLOWUP = 4.0        # max padded/flat item ratio before fallback
+MM_GATHER_MAX_ROWS = 1024  # one-hot matmul gather when Vp/128 <= this
+MM_GATHER_MAX_VAL = 256    # bf16 holds ints < 2^8 exactly
+
+
+@dataclasses.dataclass(frozen=True)
+class PaddedMeta:
+    """Static shape/strategy info for the padded path (hashable)."""
+
+    C: int          # colors
+    R: int          # rows per color (uniform, padded)
+    D: int          # item slots per row
+    A: int          # argument slots per item
+    Ag: int         # gathered (non-substituted) argument slots
+    Vp: int         # internal permuted state length (multiple of 1024)
+    compact: bool   # Ag < A: reconstruct args via g_place selects
+    use_mm: bool    # one-hot matmul gather vs 8-sublane row gather
+
+
+def stack_plans_padded(plans, n_vars: int, kmax: int):
+    """Build the (C, R, D[, A]) padded layout + color-contiguous variable
+    permutation. Returns (device_dict, PaddedMeta) or None when the
+    graph is outside the layout's envelope (hub rows, pathological
+    padding, or a non-partitioning coloring)."""
+    if not plans or n_vars == 0:
+        return None
+    C = len(plans)
+    R = max(p.n_rows for p in plans)
+    A = max(p.amax for p in plans)
+    counts_all, tot_items = [], 0
+    D = 1
+    for p in plans:
+        rows = p.it_row[p.it_valid]
+        cnt = np.bincount(rows, minlength=p.n_rows)
+        counts_all.append(cnt)
+        if cnt.size:
+            D = max(D, int(cnt.max()))
+        tot_items += int(p.it_valid.sum())
+    if D > PADDED_DMAX:
+        return None
+    if C * R * D > max(PADDED_BLOWUP * max(tot_items, 1), 1 << 16):
+        return None
+
+    # color-contiguous permutation: internal pos = c*R + row
+    pos_of = np.full(n_vars, -1, np.int64)
+    Vp = _round_up(C * R, 1024)
+    src_of = np.full(Vp, n_vars, np.int64)      # dummy -> sentinel slot
+    for c, p in enumerate(plans):
+        vids = p.cv_vid[p.cv_valid]
+        rs = np.nonzero(p.cv_valid)[0]
+        if (pos_of[vids] != -1).any():
+            return None                          # var in two colors
+        pos_of[vids] = c * R + rs
+        src_of[c * R + rs] = vids
+    if (pos_of < 0).any():
+        return None                              # uncolored variable
+
+    sh_i = (C, R, D)
+    sh_a = (C, R, D, A)
+    out = dict(
+        it_ftype=np.full(sh_i, -1, np.int32),
+        it_wid=np.zeros(sh_i, np.int32),
+        it_fv=np.zeros(sh_i, np.float32),
+        it_dense=np.zeros(sh_i, bool),
+        it_d1=np.zeros(sh_i, np.int32),
+        it_d2=np.zeros(sh_i, np.int32),
+        it_valid=np.zeros(sh_i, bool),
+        it_arity=np.ones(sh_i, np.int32),
+        it_args_pos=np.zeros(sh_a, np.int32),    # internal (permuted)
+        it_args_eq=np.zeros(sh_a, np.int32),
+        it_args_valid=np.zeros(sh_a, bool),
+        it_args_card=np.ones(sh_a, np.int32),
+        it_subst=np.zeros(sh_a, bool),
+        cv_vid=np.zeros((C, R), np.int32),       # original ids (ext_pot)
+        cv_card=np.ones((C, R), np.int32),
+        cv_isev=np.full((C, R), 4, np.int32),
+        cv_valid=np.zeros((C, R), bool),
+    )
+    for c, p in enumerate(plans):
+        v = p.it_valid
+        rows = p.it_row[v]
+        # slot within row via running count (items are row-grouped)
+        starts = np.concatenate(([0], np.cumsum(counts_all[c])))
+        order = np.argsort(rows, kind="stable")
+        slot = np.empty(len(rows), np.int64)
+        slot[order] = np.arange(len(rows)) - starts[rows[order]]
+        ix = (c, rows, slot)
+        out["it_ftype"][ix] = p.it_ftype[v]
+        out["it_wid"][ix] = p.it_wid[v]
+        out["it_fv"][ix] = p.it_fv[v]
+        out["it_dense"][ix] = p.it_dense[v]
+        out["it_d1"][ix] = p.it_d1[v]
+        out["it_d2"][ix] = p.it_d2[v]
+        out["it_valid"][ix] = True
+        out["it_arity"][ix] = p.it_arity[v]
+        Ac = p.it_args_vid.shape[1]
+        av = p.it_args_valid[v]
+        vid_safe = np.where(av, p.it_args_vid[v], 0)
+        out["it_args_pos"][c, rows, slot, :Ac] = np.where(
+            av, pos_of[vid_safe], 0)
+        out["it_args_eq"][c, rows, slot, :Ac] = p.it_args_eq[v]
+        out["it_args_valid"][c, rows, slot, :Ac] = av
+        out["it_args_card"][c, rows, slot, :Ac] = p.it_args_card[v]
+        out["it_subst"][c, rows, slot, :Ac] = p.it_subst[v]
+        out["cv_vid"][c, :p.n_rows] = p.cv_vid
+        out["cv_card"][c, :p.n_rows] = p.cv_card
+        out["cv_isev"][c, :p.n_rows] = p.cv_isev
+        out["cv_valid"][c, :p.n_rows] = p.cv_valid
+
+    # gather compaction: substituted / invalid slots need no value lookup
+    need = out["it_args_valid"] & ~out["it_subst"]
+    Ag = max(int(need.sum(-1).max()) if need.size else 0, 1)
+    compact = A <= 4 and Ag < A
+    if compact:
+        j = np.cumsum(need, axis=-1) - 1
+        out["g_place"] = np.where(need, j, -1).astype(np.int32)
+        # scatter each needed arg position into its gather slot
+        g_idx = np.zeros((C, R, D, Ag), np.int32)
+        cc, rr, dd, aa = np.nonzero(need)
+        g_idx[cc, rr, dd, j[cc, rr, dd, aa]] = \
+            out["it_args_pos"][cc, rr, dd, aa]
+        out["g_idx"] = g_idx
+    else:
+        Ag = A
+        out["g_idx"] = out["it_args_pos"]
+    del out["it_args_pos"]
+
+    meta = PaddedMeta(
+        C=C, R=R, D=D, A=A, Ag=Ag, Vp=Vp, compact=compact,
+        use_mm=(Vp // 128 <= MM_GATHER_MAX_ROWS and
+                kmax < MM_GATHER_MAX_VAL))
+    dev = {k: jnp.asarray(v) for k, v in out.items()}
+    # per-run permutation helpers (kept beside the plan arrays):
+    # pos_of: orig vid -> internal pos; src_of: internal pos -> orig vid
+    # (sentinel n_vars for pad slots, resolved against a 0-extended state)
+    dev["pos_of"] = jnp.asarray(pos_of.astype(np.int32))
+    dev["src_of"] = jnp.asarray(src_of.astype(np.int32))
+    return dev, meta
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _gather_padded(xp, idx, meta: PaddedMeta):
+    """Gather int32 values from the permuted state at static-shape
+    indices. MXU one-hot path is exact: one-hot rows select exactly one
+    bf16-exact integer (< 2^8)."""
+    flat = idx.reshape(-1)
+    if meta.use_mm:
+        Vr = meta.Vp // 128
+        roh = (
+            (flat[:, None] >> 7) == jnp.arange(Vr, dtype=jnp.int32)[None]
+        ).astype(jnp.bfloat16)
+        rows = jax.lax.dot_general(
+            roh, xp.reshape(Vr, 128).astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (N, 128)
+        loh = (flat[:, None] & 127) == jnp.arange(128,
+                                                  dtype=jnp.int32)[None]
+        out = jnp.sum(jnp.where(loh, rows, 0.0), axis=1).astype(jnp.int32)
+    else:
+        rows = xp.reshape(meta.Vp // 8, 8)[flat >> 3]     # (N, 8)
+        loh = (flat[:, None] & 7) == jnp.arange(8, dtype=jnp.int32)[None]
+        out = jnp.sum(jnp.where(loh, rows, 0), axis=1)
+    return out.reshape(idx.shape)
+
+
+def _args_from_gather(pp, g, meta: PaddedMeta):
+    """(R, D, A) argument values from the compacted gather (R, D, Ag)."""
+    if not meta.compact:
+        return g
+    vals = jnp.zeros(pp["it_subst"].shape, jnp.int32)
+    for j in range(meta.Ag):
+        vals = jnp.where(pp["g_place"] == j, g[..., j:j + 1], vals)
+    return vals
+
+
+def _color_step_infer_padded(pp, ci, meta: PaddedMeta, kmax, present,
+                             sample_evidence, xp, w_it, key,
+                             ext_pot=None):
+    """Resample one color block in the padded layout."""
+    R = meta.R
+    old = jax.lax.dynamic_slice(xp, (ci * R,), (R,))
+    g = _gather_padded(xp, pp["g_idx"], meta)
+    vals = _args_from_gather(pp, g, meta)                 # (R, D, A)
+    ks = jnp.arange(kmax, dtype=jnp.int32)
+    sub = jnp.where(pp["it_subst"][:, :, None, :],
+                    ks[None, None, :, None],
+                    vals[:, :, None, :])                  # (R, D, K, A)
+    e = eval_factors(pp["it_ftype"][:, :, None], sub,
+                     pp["it_args_eq"][:, :, None, :],
+                     pp["it_args_valid"][:, :, None, :],
+                     pp["it_args_card"][:, :, None, :],
+                     pp["it_arity"][:, :, None], present)  # (R, D, K)
+    card = pp["cv_card"]
+    ok = jnp.where(pp["it_dense"][:, :, None],
+                   ks[None, None, :] < card[:, None, None],
+                   (ks[None, None, :] == pp["it_d1"][:, :, None]) |
+                   (ks[None, None, :] == pp["it_d2"][:, :, None]))
+    contrib = jnp.where(ok & pp["it_valid"][:, :, None],
+                        w_it[:, :, None] * e, 0.0)
+    pot = jnp.sum(contrib, axis=1)                        # (R, K) exact
+    if ext_pot is not None:
+        pot = pot + ext_pot[pp["cv_vid"]][:, :kmax]
+    new = draw(pot, card, key)
+    isev = pp["cv_isev"]
+    upd = pp["cv_valid"] & ((isev == _EV_Q) |
+                            (sample_evidence & (isev == _EV_E)))
+    out = jnp.where(upd, new, old)
+    return jax.lax.dynamic_update_slice(xp, out, (ci * R,))
+
+
 def _plan_device_arrays(plan, n_vars: int):
     """Device-resident dict view of a ColorPlan (+ scatter-safe vids)."""
     scatter_vid = np.where(plan.cv_valid, plan.cv_vid, n_vars)
@@ -305,7 +535,8 @@ class GibbsEngine:
     #: color sizes, where uniform padding wastes compute.
     SCAN_THRESHOLD = 1
 
-    def __init__(self, cg: CompiledGraph, scan_colors: bool | None = None):
+    def __init__(self, cg: CompiledGraph, scan_colors: bool | None = None,
+                 padded: bool | None = None):
         self.cg = cg
         self.kmax = cg.kmax
         self.n_vars = cg.n_vars
@@ -313,12 +544,18 @@ class GibbsEngine:
         self.plans = [_plan_device_arrays(p, cg.n_vars) for p in cg.plans]
         self.plan_kmax = [p.kmax for p in cg.plans]
         self.present = [present_types_of(p.it_ftype) for p in cg.plans]
+        self.present_all = tuple(sorted(
+            {t for pr in self.present for t in pr}))
         self.scan_colors = (len(cg.plans) >= self.SCAN_THRESHOLD
                             if scan_colors is None else scan_colors)
         if self.scan_colors:
             self.stacked = stack_plans(cg.plans, cg.n_vars)
-            self.present_all = tuple(sorted(
-                {t for pr in self.present for t in pr}))
+        # padded row-major inference path (fast on TPU; see above)
+        self.padded = self.padded_meta = None
+        if padded is not False:
+            built = stack_plans_padded(cg.plans, cg.n_vars, cg.kmax)
+            if built is not None:
+                self.padded, self.padded_meta = built
         self.var_card = jnp.asarray(cg.var_card)
         self.var_isev = jnp.asarray(cg.var_isev)
         self.var_init = jnp.asarray(cg.var_init)
@@ -395,6 +632,62 @@ class GibbsEngine:
                                        (vv, state.count, key))
         return dataclasses.replace(state, var_value=vv, count=cnt)
 
+    def _run_infer_padded(self, pp, var_isev, state: SamplerState, key,
+                          burn, epochs, sample_evidence: bool,
+                          ext_pot=None, epoch_offset=0):
+        """Padded-layout inference run: permute into color-contiguous
+        space once, sweep/tally there, permute back once."""
+        meta = self.padded_meta
+        kmax = self.kmax
+        C = meta.C
+        vvx = jnp.concatenate(
+            [state.var_value, jnp.zeros((1,), state.var_value.dtype)])
+        xp = vvx[pp["src_of"]]
+        w_it = state.weight_value[pp["it_wid"]]     # hoisted: one gather
+        isevx = jnp.concatenate(
+            [var_isev, jnp.full((1,), 4, var_isev.dtype)])
+        isev_p = isevx[pp["src_of"]]
+        mask_p = (isev_p == _EV_Q) | (sample_evidence & (isev_p == _EV_E))
+        scan_keys = ("g_idx", "g_place", "it_ftype", "it_fv", "it_dense",
+                     "it_d1", "it_d2", "it_valid", "it_arity",
+                     "it_args_eq", "it_args_valid", "it_args_card",
+                     "it_subst", "cv_vid", "cv_card", "cv_isev",
+                     "cv_valid")
+        scan_pp = {k: pp[k] for k in scan_keys if k in pp}
+
+        def sweep(xp, k):
+            def cstep(xp, xs):
+                spp, wit, ci = xs
+                xp = _color_step_infer_padded(
+                    spp, ci, meta, kmax, self.present_all,
+                    sample_evidence, xp, wit,
+                    jax.random.fold_in(k, ci), ext_pot)
+                return xp, None
+            xp, _ = jax.lax.scan(
+                cstep, xp, (scan_pp, w_it, jnp.arange(C)))
+            return xp
+
+        def burn_body(i, carry):
+            xp, k = carry
+            return sweep(xp, jax.random.fold_in(k, i)), k
+
+        ks = jnp.arange(kmax, dtype=jnp.int32)
+
+        def epoch_body(i, carry):
+            xp, cnt_p, k = carry
+            xp = sweep(xp, jax.random.fold_in(
+                k, i + epoch_offset + (1 << 20)))
+            onehot = (xp[:, None] == ks[None, :]) & mask_p[:, None]
+            return xp, cnt_p + onehot.astype(jnp.int32), k
+
+        xp, _ = jax.lax.fori_loop(0, burn, burn_body, (xp, key))
+        cnt_p0 = jnp.zeros((meta.Vp, kmax), jnp.int32)
+        xp, cnt_p, _ = jax.lax.fori_loop(0, epochs, epoch_body,
+                                         (xp, cnt_p0, key))
+        vv = xp[pp["pos_of"]]
+        cnt = state.count + cnt_p[pp["pos_of"]]
+        return dataclasses.replace(state, var_value=vv, count=cnt)
+
     def _run_learn(self, plans, weight_fixed, var_init, state: SamplerState,
                    key, burn, epochs, step0, decay, lp: LearnParams,
                    ext_pot=None, ext_pot_evid=None):
@@ -453,6 +746,13 @@ class GibbsEngine:
         messages in partitioned execution). ``epoch_offset``: absolute
         index of the first epoch (chunked/checkpointed runs pass their
         progress so the per-epoch keys continue the same sequence)."""
+        if self.padded is not None:
+            fn = self._get_jit("infer_padded", self._run_infer_padded,
+                               ("sample_evidence",))
+            return fn(self.padded, self.var_isev, state, key,
+                      jnp.int32(burn), jnp.int32(epochs),
+                      sample_evidence=sample_evidence, ext_pot=ext_pot,
+                      epoch_offset=jnp.int32(epoch_offset))
         fn = self._get_jit("infer", self._run_infer, ("sample_evidence",))
         plans = self.stacked if self.scan_colors else self.plans
         return fn(plans, self.var_isev, state, key,

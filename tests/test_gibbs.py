@@ -165,3 +165,77 @@ def test_reproducible():
     m1, _ = _run_marginals(args, epochs=100, burn=10, seed=7)
     m2, _ = _run_marginals(args, epochs=100, burn=10, seed=7)
     assert (m1 == m2).all()
+
+
+def test_potts_card4_marginals_exact():
+    """High-cardinality categorical (Potts) grid through the padded
+    fast path vs brute-force enumeration."""
+    from numbskull_tpu.models import potts_grid
+
+    args = potts_grid(2, 3, card=4, weight=0.5)
+    w, v, f, fm, dm, e = args
+    marg, cg = _run_marginals(args, epochs=6000, burn=300)
+    # brute-force the Potts joint: P(x) ∝ exp(Σ_f w*(1 if equal else -1))
+    V, K, wt = len(v), 4, float(w["initialValue"][0])
+    pairs = fm["vid"].reshape(-1, 2)
+    states = np.stack(np.meshgrid(*([np.arange(K)] * V),
+                                  indexing="ij")).reshape(V, -1)
+    eq = (states[pairs[:, 0]] == states[pairs[:, 1]])
+    logp = wt * np.where(eq, 1.0, -1.0).sum(axis=0)
+    p = np.exp(logp - logp.max())
+    p /= p.sum()
+    exact = np.zeros((V, K))
+    for k in range(K):
+        exact[:, k] = ((states == k) * p[None, :]).sum(axis=1)
+    assert np.abs(marg - exact).max() < 0.04
+
+
+def test_padded_path_active_and_matches_flat():
+    """The padded row-major inference path must activate on ordinary
+    graphs and agree with the flat work-item path (same draw key
+    structure; potentials equal up to fp summation order)."""
+    args = ising_grid(6, 6, weight=0.35)
+    w, v, f, fm, dm, e = args
+    cg = compile_graph(w, v, f, fm, domain_mask=dm)
+    fast = GibbsEngine(cg)
+    assert fast.padded_meta is not None
+    slow = GibbsEngine(cg, padded=False)
+    assert slow.padded is None
+    key = jax.random.PRNGKey(3)
+    epochs = 3000
+    s1 = fast.inference(fast.init_state(), key, epochs, burn=200)
+    s2 = slow.inference(slow.init_state(), key, epochs, burn=200)
+    m1 = np.asarray(s1.count, np.float64) / epochs
+    m2 = np.asarray(s2.count, np.float64) / epochs
+    assert np.abs(m1 - m2).max() < 0.05
+
+
+def test_padded_path_falls_back_on_hub_rows():
+    """A variable in hundreds of factors exceeds the padded layout's
+    per-row slot cap; the engine must fall back to the flat path and
+    still sample correctly."""
+    from numbskull_tpu.ops.gibbs import PADDED_DMAX
+
+    D = PADDED_DMAX + 10
+    v = T.new_variables(1)
+    v["isEvidence"] = 0
+    v["dataType"] = 0
+    v["cardinality"] = 2
+    w = T.new_weights(1)
+    w["isFixed"] = True
+    w["initialValue"] = 0.01
+    f = T.new_factors(D)
+    f["factorFunction"] = T.FUNC_ISTRUE
+    f["weightId"] = 0
+    f["featureValue"] = 1.0
+    f["arity"] = 1
+    f["ftv_offset"] = np.arange(D, dtype=np.int64)
+    fm = T.new_fmap(D)
+    fm["vid"] = 0
+    cg = compile_graph(w, v, f, fm)
+    eng = GibbsEngine(cg)
+    assert eng.padded is None
+    st = eng.inference(eng.init_state(), jax.random.PRNGKey(0), 400)
+    # potential(1) - potential(0) = D * 0.01 * 2 = 5.4 -> P(1) ~ 0.996
+    p1 = float(np.asarray(st.count)[0, 1]) / 400
+    assert p1 > 0.9
