@@ -328,3 +328,66 @@ def test_categorical_eq_round_trips_db(tmp_path):
     s2 = e2.inference(e2.init_state(), k, epochs=80, burn=10)
     np.testing.assert_array_equal(np.asarray(s1.count),
                                   np.asarray(s2.count))
+
+
+class _FakePgCursor:
+    """DB-API cursor that impersonates psycopg2 over in-memory sqlite:
+    reports a psycopg2 __module__ (so library code picks the Postgres
+    '%s' paramstyle), serves the information_schema.views catalog query
+    from sqlite_master, and translates '%s' placeholders to '?'. Covers
+    the Postgres-only branches of dbsource (get_views' catalog query,
+    write_graph_to_db's paramstyle pick) that a live server would hit
+    (reference: salt/src/messages.py:32-64,371-473)."""
+
+    def __init__(self, real):
+        self._c = real
+
+    def execute(self, sql, params=None):
+        if "information_schema.views" in sql:
+            sql = ("SELECT name FROM sqlite_master WHERE type IN "
+                   "('view','table') AND name LIKE '%_sharding'")
+            return self._c.execute(sql)
+        sql = sql.replace("%s", "?")
+        if params is None:
+            return self._c.execute(sql)
+        return self._c.execute(sql, params)
+
+    def executemany(self, sql, rows):
+        return self._c.executemany(sql.replace("%s", "?"), rows)
+
+    def fetchall(self):
+        return self._c.fetchall()
+
+    @property
+    def description(self):
+        return self._c.description
+
+
+_FakePgCursor.__module__ = "psycopg2.extensions"
+
+
+def test_postgres_branches_round_trip_mocked():
+    """Full publish + load round-trip through a psycopg2-impersonating
+    cursor: the information_schema catalog branch and the '%s'
+    paramstyle branch both execute (they otherwise only run against a
+    live Postgres, NSX_PG_URL)."""
+    args = coin_model(4, 0.3, -0.2, 0.4, evidence=True,
+                      weight_init=(0.1, 0.2, 0.3), seed=2)
+    w, v, f, fm, dm, e = args
+    conn = sqlite3.connect(":memory:")
+    cur = _FakePgCursor(conn.cursor())
+    assert "psycopg2" in type(cur).__module__
+    dbsource.write_graph_to_db(cur, "coin", w, v, f, fm)
+    conn.commit()
+
+    fviews, vviews, wviews = dbsource.get_views(cur)
+    assert vviews == ["coin_variables_sharding"]
+    assert wviews == ["coin_weights_sharding"]
+    assert len(fviews) == len(set(f["factorFunction"]))
+
+    weight, variable, factor, fmap, dmask, edges, meta = \
+        dbsource.get_fg_data(cur)
+    np.testing.assert_allclose(weight["initialValue"], w["initialValue"])
+    assert (variable["isEvidence"] == v["isEvidence"]).all()
+    assert edges == len(fm)
+    assert sorted(factor["factorFunction"]) == sorted(f["factorFunction"])
