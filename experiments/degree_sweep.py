@@ -28,6 +28,10 @@ from numbskull_tpu.ops import GibbsEngine
 
 def run(out_path="degree_sweep.tsv", n_vars=1_260_000, epochs=20,
         degrees=(1, 2, 5, 10, 20, 35, 50)):
+    import os
+    cache = os.environ.get(
+        "NSX_PLAN_CACHE",
+        os.path.expanduser("~/.cache/numbskull_tpu"))  # 2nd run: ~0s
     rows = ["degree\tn_vars\tn_colors\tengine\tcompile_s\tepoch_ms\t"
             "updates_per_s"]
     for degree in degrees:
@@ -35,7 +39,8 @@ def run(out_path="degree_sweep.tsv", n_vars=1_260_000, epochs=20,
         w, v, f, fm, dm, e = args
         V = len(v)
         t0 = time.perf_counter()
-        cg = compile_graph(w, v, f, fm, domain_mask=dm)
+        cg = compile_graph(w, v, f, fm, domain_mask=dm,
+                           cache=cache or None)
         compile_s = time.perf_counter() - t0
 
         engine = "xla"

@@ -864,13 +864,32 @@ def compile_graph(weights, variables, factors, fmap,
                   seed: int = 0,
                   domain_values=None,
                   domain_mask=None,
-                  color_hint=None) -> CompiledGraph:
+                  color_hint=None,
+                  cache: str | None = None) -> CompiledGraph:
     """Lower structured arrays to a CompiledGraph of per-color plans.
 
     ``color_hint``: optional precomputed coloring (e.g. a model generator
     that knows its structure — parity coloring for grids). Validated
     against the conflict edges; falls back to MIS peeling if invalid.
+
+    ``cache``: optional directory for the disk plan cache (default: the
+    NSX_PLAN_CACHE env var); byte-identical inputs reload their compiled
+    plans instead of recompiling (see plancache).
     """
+    from numbskull_tpu import plancache
+
+    if cache is None:
+        cache = plancache.default_dir()
+    key = None
+    if cache:
+        key = plancache.graph_key(
+            weights, variables, factors, fmap, factors_to_skip,
+            max_colors, item_pad, row_pad, seed, domain_values,
+            domain_mask, color_hint)
+        hit = plancache.load(cache, key)
+        if hit is not None:
+            return hit
+
     V = len(variables)
     W = len(weights)
     F = len(factors)
@@ -931,7 +950,7 @@ def compile_graph(weights, variables, factors, fmap,
         vmap_value[vtf_offset[v]:vtf_offset[v] + var_card[v]] = \
             np.arange(var_card[v])
 
-    return CompiledGraph(
+    cg = CompiledGraph(
         plans=plans,
         n_vars=V, n_weights=W, n_factors=F,
         kmax=int(var_card.max()) if V else 1,
@@ -945,3 +964,7 @@ def compile_graph(weights, variables, factors, fmap,
         vtf_offset=vtf_offset,
         vmap_value=vmap_value,
     )
+    if cache and key is not None:
+        from numbskull_tpu import plancache
+        plancache.store(cache, key, cg)
+    return cg

@@ -120,6 +120,12 @@ arguments = [
          "type": str,
          "help": "write a JSON metrics snapshot (epochs, wall times, "
                  "update counts) after the run"}),
+    (("--plan_cache",),
+        {"metavar": "DIR", "dest": "plan_cache", "default": "",
+         "type": str,
+         "help": "disk plan cache directory (default: NSX_PLAN_CACHE "
+                 "env var): byte-identical graphs reload their compiled "
+                 "color plans instead of recompiling (see plancache)"}),
     (("--max_colors",),
         {"metavar": "MAX_COLORS", "dest": "max_colors", "default": None,
          "type": int,
@@ -640,7 +646,8 @@ class NumbSkull:
                            factors_to_skip=factors_to_skip,
                            max_colors=self.max_colors,
                            domain_mask=domain_mask,
-                           seed=self.seed)
+                           seed=self.seed,
+                           cache=self.plan_cache or None)
         self.factorGraphs.append(
             FactorGraph(cg, len(self.factorGraphs), seed=self.seed,
                         engine=self.engine))
@@ -683,7 +690,8 @@ class NumbSkull:
                            max_colors=self.max_colors,
                            domain_values=vmap["value"],
                            domain_mask=domain_mask,
-                           seed=self.seed)
+                           seed=self.seed,
+                           cache=self.plan_cache or None)
         if not self.quiet:
             print("chromatic schedule: %d colors" % cg.n_colors)
         self.factorGraphs.append(
