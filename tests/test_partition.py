@@ -70,3 +70,89 @@ def test_part_plans_ownership():
         cg = compile_graph(w, p.variables, f, fm,
                            factors_to_skip=p.factors_to_skip)
         assert cg.n_vars == 64
+
+
+def _planted_communities(n_comm=8, size=64, p_in=0.15, p_cross=0.004,
+                         seed=0):
+    """Connected community graph with SHUFFLED vertex ids: intra-
+    community edges dense, sparse random cross links. RCM-order
+    chunking cannot recover the communities from shuffled ids; a
+    cut-minimizing partitioner can."""
+    rng = np.random.default_rng(seed)
+    V = n_comm * size
+    comm = np.repeat(np.arange(n_comm), size)
+    perm = rng.permutation(V)
+    vid = np.empty(V, np.int64)
+    vid[perm] = np.arange(V)          # community c members: vid[perm...]
+    members = [np.flatnonzero(comm[np.argsort(perm)] == c)
+               for c in range(n_comm)]
+    edges = []
+    for c in range(n_comm):
+        m = perm[comm == c]
+        a, b = np.meshgrid(m, m, indexing="ij")
+        mask = (a < b) & (rng.random((size, size)) < p_in)
+        edges.append(np.stack([a[mask], b[mask]], axis=1))
+        # ring of communities keeps the graph connected
+        m2 = perm[comm == (c + 1) % n_comm]
+        edges.append(np.array([[m[0], m2[0]]]))
+    a = rng.integers(0, V, size=int(p_cross * V * V))
+    b = rng.integers(0, V, size=len(a))
+    keep = a != b
+    edges.append(np.stack([a[keep], b[keep]], axis=1))
+    e = np.concatenate(edges)
+    return V, e, perm, comm
+
+
+def test_label_prop_beats_rcm_chunking_on_communities():
+    """Measured cut reduction on a non-lattice graph (the gap the
+    reference closed with METIS, salt/src/messages.py:591-670)."""
+    from numbskull_tpu.parallel.partition import label_prop_refine
+
+    V, edges, perm, comm = _planted_communities()
+    P = 4
+    rcm = balanced_partition(V, edges, P)
+    lp = label_prop_refine(V, edges, rcm, P)
+    cut_rcm = edge_cut(edges, rcm)
+    cut_lp = edge_cut(edges, lp)
+    assert cut_lp < 0.6 * cut_rcm, (cut_rcm, cut_lp)
+    # balance preserved
+    sizes = np.bincount(lp, minlength=P)
+    assert sizes.max() <= 1.06 * V / P + 1
+    # and choose_partition's menu picks a refined candidate
+    part, report = choose_partition(V, edges, P)
+    assert report["chosen"] in ("lp", "cc+lp"), report
+    assert edge_cut(edges, part) <= cut_lp * 1.05
+
+
+def test_label_prop_never_worse_on_random_regular():
+    """On an expander-like random graph no partitioner finds a small
+    cut, but refinement must never lose to the chunking it started
+    from, and must keep balance."""
+    from numbskull_tpu.parallel.partition import label_prop_refine
+
+    rng = np.random.default_rng(7)
+    V = 512
+    e = np.stack([rng.permutation(V), rng.permutation(V)], 1)
+    edges = np.concatenate([e, np.stack([rng.permutation(V),
+                                         rng.permutation(V)], 1)])
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    P = 4
+    rcm = balanced_partition(V, edges, P)
+    lp = label_prop_refine(V, edges, rcm, P)
+    assert edge_cut(edges, lp) <= edge_cut(edges, rcm)
+    sizes = np.bincount(lp, minlength=P)
+    assert sizes.max() <= 1.06 * V / P + 1
+
+
+def test_label_prop_preserves_zero_cut():
+    """Refining an already-perfect (zero-cut) partition must not break
+    it."""
+    from numbskull_tpu.models import coin_model
+    from numbskull_tpu.parallel.partition import label_prop_refine
+
+    w, v, f, fm, dm, e = coin_model(40, evidence=True)
+    edges = conflict_edges(v, f, fm)
+    part, report = choose_partition(len(v), edges, 4)
+    assert edge_cut(edges, part) == 0
+    lp = label_prop_refine(len(v), edges, part, 4)
+    assert edge_cut(edges, lp) == 0
