@@ -181,6 +181,10 @@ class CompiledGraph:
     # host-side metadata for DimmWitted-format dumps
     vtf_offset: np.ndarray    # (V,) int64
     vmap_value: np.ndarray    # (num_vtf,) original domain values
+    # plan-cache identity of the compile inputs (set when the disk plan
+    # cache is active); downstream planners (itemgrid) key their own
+    # cached artifacts on it
+    cache_key: str | None = None
 
     @property
     def n_colors(self) -> int:
@@ -888,6 +892,7 @@ def compile_graph(weights, variables, factors, fmap,
             domain_mask, color_hint)
         hit = plancache.load(cache, key)
         if hit is not None:
+            hit.cache_key = key
             return hit
 
     V = len(variables)
@@ -963,6 +968,7 @@ def compile_graph(weights, variables, factors, fmap,
         color_of=color,
         vtf_offset=vtf_offset,
         vmap_value=vmap_value,
+        cache_key=key,
     )
     if cache and key is not None:
         from numbskull_tpu import plancache

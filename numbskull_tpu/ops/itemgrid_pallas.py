@@ -249,14 +249,36 @@ def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True,
     ``n_shards``: pad every color to a multiple of n_shards row blocks
     so the multi-chip engine can split each color evenly (every device
     owns the same number of blocks per color).
+
+    When the compile came through the disk plan cache (cg.cache_key
+    set) the itemgrid plan is disk-cached too, keyed on the compile
+    identity plus every planning knob — RCM ranking a 33M-variable
+    graph costs minutes of host time on a small VM.
     """
+    from numbskull_tpu import plancache
+
+    cdir = plancache.default_dir()
+    ckey = None
+    if cg.cache_key and cdir:
+        ckey = plancache.graph_key(cg.cache_key, "itemgrid-v1",
+                                   sample_evidence, n_shards, vmax,
+                                   RB, SB, TRW)
+        hit = plancache.load(cdir, ckey)
+        if hit is not None:
+            return hit
+
+    def _done(result):
+        if ckey is not None:
+            plancache.store(cdir, ckey, result)
+        return result
+
     plan, reason = _plan_ranked(cg, sample_evidence, None,
                                 n_shards=n_shards, vmax=vmax,
                                 probe_reject=True)
     if plan is not None and int(plan.cmeta[:, 3].max()) <= 1:
-        return plan, None        # natural order already single-tile
+        return _done((plan, None))   # natural order already single-tile
     if plan is None and "window span" not in (reason or ""):
-        return plan, reason      # rejected for a non-locality reason
+        return _done((plan, reason))  # rejected: non-locality reason
     # windows span multiple gather tiles (or overflowed): try a reverse-
     # Cuthill-McKee bandwidth-reducing order and keep whichever plan
     # pays fewer tiles per sweep
@@ -274,15 +296,17 @@ def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True,
     plan2, _ = _plan_ranked(cg, sample_evidence, rank,
                             n_shards=n_shards, vmax=vmax)
     if plan2 is None:
-        return (plan, None) if plan is not None else (None, reason)
+        return _done((plan, None) if plan is not None
+                     else (None, reason))
     if plan is None:
-        return plan2, None
+        return _done((plan2, None))
 
     def cost(p):     # tiles swept per epoch, weighted by color size
         return int((p.cmeta[:, 1] * p.cmeta[:, 3] *
                     np.maximum(p.cmeta[:, 4], 1)).sum())
 
-    return (plan2, None) if cost(plan2) < cost(plan) else (plan, None)
+    return _done((plan2, None) if cost(plan2) < cost(plan)
+                 else (plan, None))
 
 
 _BIG64 = np.int64(1) << 60
@@ -2986,8 +3010,9 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
         pack_a_hbm = refs.pop(0) if has_aff else None
         (x_in_hbm, x_hbm, count_hbm,
          pack_scr, wb_scr, av_scr, slab_scr, row_scr, cnt_scr,
-         tly_scr, sem, wsem, ssem, stsem, rdsem, csem) = refs[:16]
-        refs = refs[16:]
+         tly_scr, xch_scr, sem, wsem, ssem, stsem, rdsem,
+         csem) = refs[:17]
+        refs = refs[17:]
         if has_aff:
             pack_a_scr, av_a, asem = refs[:3]
         # x_in_hbm is ALIASED to x_hbm (same buffer); all access goes
@@ -3291,10 +3316,10 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
             # stream tallies: x chunk + tally-mask chunk -> counts RMW
             def tchunk(r0, n):
                 pltpu.make_async_copy(x_hbm.at[pl.ds(r0, n)],
-                                      slab_scr.at[0, pl.ds(0, n)],
+                                      xch_scr.at[pl.ds(0, n)],
                                       ssem.at[0]).start()
                 pltpu.make_async_copy(x_hbm.at[pl.ds(r0, n)],
-                                      slab_scr.at[0, pl.ds(0, n)],
+                                      xch_scr.at[pl.ds(0, n)],
                                       ssem.at[0]).wait()
                 pltpu.make_async_copy(tally_hbm.at[pl.ds(r0, n)],
                                       tly_scr.at[pl.ds(0, n)],
@@ -3302,7 +3327,7 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
                 pltpu.make_async_copy(tally_hbm.at[pl.ds(r0, n)],
                                       tly_scr.at[pl.ds(0, n)],
                                       stsem.at[0]).wait()
-                xs = slab_scr[0, pl.ds(0, n)]
+                xs = xch_scr[pl.ds(0, n)]
                 tm = tly_scr[pl.ds(0, n), :].astype(jnp.int32) * mult
                 for k in range(kmax):
                     pltpu.make_async_copy(
@@ -3816,14 +3841,16 @@ class HbmItemGridEngine:
         wbf = plan.wbase.reshape(plan.wbase.shape[0], -1)
         sr = int(wbf[:, DA + 1].max()) if plan.wbase.size else 8
         sr = max(_ceil(sr, 8), 8)
-        # the tally stream reuses the slab buffer in chunks of 512 rows
-        sr = max(sr, 512)
+        # (the tally stream has its own chunk buffer; the slab stays as
+        # small as the widest block window — r4: sr was forced to 512
+        # by tally/slab buffer sharing, 4x the needed slab traffic on
+        # the 33.5M lattice)
         if sr > SR_MAX:
             raise ValueError(
                 "itemgrid kernel unsupported: value slab %d rows > %d "
                 "(graph lacks locality for HBM-resident mode)" %
                 (sr, SR_MAX))
-        if plan.vp // 128 < sr:
+        if plan.vp // 128 < max(sr, 512):
             raise ValueError(
                 "itemgrid kernel unsupported: graph fits VMEM "
                 "(%d vars) — use PallasItemGridEngine" % plan.vp)
@@ -3881,6 +3908,7 @@ class HbmItemGridEngine:
                    pltpu.VMEM((2, RB // 128, 128), jnp.int32),  # own rows
                    pltpu.VMEM((TCH, 128), jnp.int16),          # counts
                    pltpu.VMEM((TCH, 128), jnp.int8),           # tally
+                   pltpu.VMEM((TCH, 128), jnp.int32),          # x chunk
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA((2,)),

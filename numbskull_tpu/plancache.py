@@ -28,8 +28,9 @@ import tempfile
 
 import numpy as np
 
-#: bump when CompiledGraph/ColorPlan layout or compile semantics change
-SCHEMA = 1
+#: bump when CompiledGraph/ColorPlan/ItemGridPlan layout or compile
+#: semantics change
+SCHEMA = 2
 
 
 def default_dir() -> str | None:

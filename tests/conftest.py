@@ -30,3 +30,19 @@ import jax  # noqa: E402
 
 if not os.environ.get("NSX_TPU_TESTS"):
     jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default profile: skip @pytest.mark.slow (long interpret-mode
+    kernel runs) so `pytest -q` finishes in minutes on a small box;
+    every engine keeps fast coverage. Full profile: NSX_FULL_TESTS=1
+    (or an explicit -m selection)."""
+    import pytest
+
+    if os.environ.get("NSX_FULL_TESTS") or config.option.markexpr:
+        return
+    skip = pytest.mark.skip(
+        reason="slow profile: set NSX_FULL_TESTS=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

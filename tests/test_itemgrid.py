@@ -284,6 +284,7 @@ def test_itemgrid_high_arity_potentials_match_golden(degree):
             assert got[vid][k] == pytest.approx(want, abs=1e-4), (vid, k)
 
 
+@pytest.mark.slow
 def test_itemgrid_beyond_64_colors_potentials_match_golden():
     """Chromatic schedules past the old COLOR_MAX=64 (raised to 256 in
     round 3): overlapping random voting cliques need 71 colors here;
@@ -308,6 +309,7 @@ def test_itemgrid_beyond_64_colors_potentials_match_golden():
             assert got[vid][k] == pytest.approx(want, abs=1e-4), (vid, k)
 
 
+@pytest.mark.slow
 def test_itemgrid_interpret_card32_exact_marginals():
     """End-to-end interpret run at cardinality 32: independent 32-ary
     variables with one unary EQUAL_CAT_CONST factor each (weight w on
@@ -349,6 +351,7 @@ def test_itemgrid_interpret_card32_exact_marginals():
     assert m[mask].mean() == pytest.approx(off, abs=0.01)
 
 
+@pytest.mark.slow
 def test_rcm_reorder_rescues_shuffled_ising():
     """A relabeled (shuffled-vid) lattice has no natural locality; the
     RCM fallback must recover single-tile windows with exact potentials.
@@ -675,6 +678,7 @@ def test_loop_stats_eval_matches_unrolled():
         np.argwhere(~np.isclose(got, want, atol=1e-5))
 
 
+@pytest.mark.slow
 def test_itemgrid_interpret_coin_exact_marginals():
     """Full kernel in interpret mode (software counter-hash PRNG) on
     CPU: marginals match the closed-form coin joint. This is the
@@ -730,6 +734,7 @@ def test_hbm_engine_bit_identical_to_vmem_interpret():
     assert (x1 == x2).all()
 
 
+@pytest.mark.slow
 def test_hbm_engine_noaff_bit_identical_to_vmem_old_path():
     """The HBM engine's HARDWARE default disables the affine fast path
     (its Mosaic compile hangs the tunneled device; the old path ran 33M
@@ -753,6 +758,7 @@ def test_hbm_engine_noaff_bit_identical_to_vmem_old_path():
     assert (x1 == x2).all()
 
 
+@pytest.mark.slow
 def test_hbm_learn_bit_identical_to_vmem_interpret():
     """HBM-resident LEARNING (round-3: chains in HBM, slab gathers, SGD
     weight updates in-kernel) is bit-identical to the VMEM learn kernel
@@ -779,6 +785,7 @@ def test_hbm_learn_bit_identical_to_vmem_interpret():
     assert w1[0] != pytest.approx(0.2)      # the weight actually moved
 
 
+@pytest.mark.slow
 def test_hbm_no_sbase_table_bit_identical(monkeypatch):
     """Beyond the SMEM slab-base-table budget the HBM kernels read slab
     bases from the streamed window-base block (the pre-round-3 data

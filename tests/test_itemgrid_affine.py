@@ -92,6 +92,7 @@ def test_affine_superblock_exact_vs_old_path():
     assert (ca == co).all()
 
 
+@pytest.mark.slow
 def test_affine_voting_detection_and_marginals():
     args = voting_grouped(40, 3, weight=0.4, seed=1)
     w, v, f, fm, dm, e = args
@@ -112,6 +113,7 @@ def test_affine_voting_detection_and_marginals():
     assert np.abs(counts[:, 1] / 800.0 - m2).max() < 0.12
 
 
+@pytest.mark.slow
 def test_affine_high_arity_exact_vs_old_path():
     """Arity 41 (> one int32 subst word): the substitution bit for arg
     positions >= 32 must come from the second sbits word on BOTH eval
