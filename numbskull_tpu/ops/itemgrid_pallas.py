@@ -226,6 +226,14 @@ class ItemGridPlan:
     #                               the arg is never fetched
     g_wid_a: np.ndarray = None    # (total_rb_a, Da, RB) wids (baking)
     aff_D: int = 0                # slot width of the affine layout
+    sb: int = SB                  # blocks per affine superblock for
+    #                               THIS graph: colors pad to sb-block
+    #                               units, so many-color graphs with
+    #                               few blocks per color (e.g. the
+    #                               voting degree family: ~4 blocks
+    #                               per color at degree 50) pick a
+    #                               smaller unit instead of computing
+    #                               up to 50% NOOP pad lanes
 
 
 def _rcm_rank(n_vars: int, edges_u: np.ndarray,
@@ -260,7 +268,7 @@ def plan_item_grid(cg: CompiledGraph, sample_evidence: bool = True,
     cdir = plancache.default_dir()
     ckey = None
     if cg.cache_key and cdir:
-        ckey = plancache.graph_key(cg.cache_key, "itemgrid-v1",
+        ckey = plancache.graph_key(cg.cache_key, "itemgrid-v2",
                                    sample_evidence, n_shards, vmax,
                                    RB, SB, TRW)
         hit = plancache.load(cdir, ckey)
@@ -812,13 +820,28 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
                                     np.zeros(vp_g - vp, np.int32)])
         vp = vp_g
 
+    # superblock size for THIS graph: the largest unit (fewest loop
+    # iterations) among those minimizing total pad blocks across the
+    # affine colors — a color sweeps ceil(nb/sb)*sb blocks of VPU work,
+    # so at 4 blocks/color (voting degree 50) sb=4 halves the epoch
+    sb = SB
+    if packed_a is not None and cmeta.size:
+        nb = cmeta[cmeta[:, 5] == 1, 1] // max(n_shards, 1)
+        if nb.size:
+            # cost of a sweep in block-equivalents: computed blocks
+            # (incl. NOOP pad) + ~2 blocks of fixed per-unit overhead
+            # (loop step, DMA round-trip, gather setup)
+            cost = {s: int((-(-nb // s) * (s + 2)).sum()) for s in
+                    (8, 4, 2, 1)}
+            best = min(cost.values())
+            sb = max(s for s, c in cost.items() if c == best)
     plan = ItemGridPlan(packed=packed_all, wbase=wbase_all, cmeta=cmeta,
                         D=Dg, A=Ag, perm=perm, vp=vp,
                         n_vars=cg.n_vars, kmax=kmax, present=present,
                         init_new=init_new, tally_new=tally_new,
                         g_wid=gwid_all, n_weights=cg.n_weights, trw=trw,
                         packed_a=packed_a, amet=amet_all,
-                        g_wid_a=gwid_a, aff_D=aff_D)
+                        g_wid_a=gwid_a, aff_D=aff_D, sb=sb)
     return plan, None
 
 
@@ -1214,7 +1237,7 @@ def _aff_gather(av_a, x_ref, nj, amet_at, s_of, n8, l_iota):
             bb = jnp.clip(raw + 1, 0, hi)
             a1 = pltpu.roll(x_ref[pl.ds(ba, rows), :], ba - raw, 0)
             a2 = pltpu.roll(x_ref[pl.ds(bb, rows), :], bb - raw - 1, 0)
-            av_a[pl.ds(j * SB * 8, rows), :] = \
+            av_a[pl.ds(j * rows, rows), :] = \
                 jnp.where(l_iota < 128 - l0,
                           pltpu.roll(a1, -l0, 1),
                           pltpu.roll(a2, -l0, 1))
@@ -1342,12 +1365,12 @@ def _aff_block_pots(read_pk, read_av, d_c, amax_c, Ag, aff_D, present,
 
 
 def flatten_packed_a(packed_a: np.ndarray, cmeta: np.ndarray,
-                     aff_D: int):
+                     aff_D: int, sb: int = SB):
     """Block-form packed_a -> the VMEM kernel's superblock-flat upload
-    layout: each logical row l of superblock s holds the (SB*8, 128)
-    slab covering all SB blocks, so a whole superblock evaluates as ONE
-    (64, 128) unit (no per-block loop). Colors pad to SB-multiples with
-    zero blocks (NOOP slots, upd = 0 — computed then masked at store).
+    layout: each logical row l of superblock s holds the (sb*8, 128)
+    slab covering all sb blocks, so a whole superblock evaluates as ONE
+    (sb*8, 128) unit (no per-block loop). Colors pad to sb-multiples
+    with zero blocks (NOOP slots, upd = 0 — computed, masked at store).
     Returns (flat (rows, 128) int32, per-color superblock offsets)."""
     M = 6 * aff_D + 3
     M8 = M * 8
@@ -1359,10 +1382,10 @@ def flatten_packed_a(packed_a: np.ndarray, cmeta: np.ndarray,
             continue
         nb = int(cmeta[ci, 1])
         off = int(cmeta[ci, 6])
-        n_sb = -(-nb // SB)
-        arr = np.zeros((n_sb * SB, M8, 128), np.int32)
+        n_sb = -(-nb // sb)
+        arr = np.zeros((n_sb * sb, M8, 128), np.int32)
         arr[:nb] = packed_a[off:off + nb]
-        arr = arr.reshape(n_sb, SB, M, 8, 128).transpose(0, 2, 1, 3, 4)
+        arr = arr.reshape(n_sb, sb, M, 8, 128).transpose(0, 2, 1, 3, 4)
         chunks.append(arr.reshape(-1, 128))
         sb_off[ci] = cur
         cur += n_sb
@@ -1460,8 +1483,17 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
     has_old = (not has_aff) or bool((plan.cmeta[:, 5] == 0).any())
     aff_D = plan.aff_D
     M8 = (6 * aff_D + 3) * 8
+    sbp = plan.sb               # blocks per affine superblock
 
     mc = n_shards > 1
+    # pure-affine single-chip: flatten (color x superblock) into ONE
+    # unit loop driven by an SMEM table, so pack_a prefetch crosses
+    # color boundaries and per-color loop setup vanishes — many-color
+    # graphs (voting degree 50: 51 colors x 1 unit) spend a third of
+    # the epoch on those seams otherwise
+    flat = has_aff and not has_old and not mc and not one_color
+    U = int((-(-plan.cmeta[plan.cmeta[:, 5] == 1, 1] // sbp)).sum()) \
+        if flat else 0
 
     def kernel(*refs):
         refs = list(refs)
@@ -1486,6 +1518,7 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
             refs = refs[4:]
             my = 0
         amet_ref = refs.pop(0) if has_aff else None
+        umeta_ref = refs.pop(0) if flat else None
         x_in = refs.pop(0)
         tally_in = None if one_color else refs.pop(0)
         ext_in = None
@@ -1636,23 +1669,79 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
         # whole superblocks (SB blocks) evaluate as ONE (SB*8, 128)
         # unit — packed_a is uploaded superblock-flat (flatten_packed_a)
         if has_aff:
-            lane_sb = jax.lax.broadcasted_iota(jnp.int32, (SB * 8, 128),
-                                               1)
-            SR = SB * rbl           # sublane rows per superblock
+            lane_sb = jax.lax.broadcasted_iota(jnp.int32,
+                                               (sbp * 8, 128), 1)
+            SR = sbp * rbl          # sublane rows per superblock
 
             def a_dma(gsb, slot, what):
                 if "dma" in abl:
                     return
                 cp = pltpu.make_async_copy(
-                    pack_a_hbm.at[pl.ds(gsb * (M8 * SB), M8 * SB)],
+                    pack_a_hbm.at[pl.ds(gsb * (M8 * sbp), M8 * sbp)],
                     pack_a_scr.at[slot], asem.at[slot])
                 cp.start() if what == "start" else cp.wait()
+
+            def aff_unit(ci, s, num_rb, row0, salt0, slot):
+                """Evaluate + draw + store ONE superblock unit (sbp
+                blocks) of color ``ci``; its pack_a DMA into ``slot``
+                must already be awaited."""
+                if "gather" not in abl:
+                    _aff_gather(av_a, x_out, cmeta_ref[ci, 4] * Ag,
+                                lambda j: amet_ref[ci, j],
+                                lambda c: c + s * (sbp * RB), sbp,
+                                lane_sb)
+                pka = pack_a_scr.at[slot]
+                if "eval" in abl:
+                    p = av_a[pl.ds(0, sbp * 8), :].astype(
+                        jnp.float32) * 1e-6
+                    pots = (p, -p)
+                else:
+                    pots = _aff_block_pots(
+                        lambda lr: pka[pl.ds(SR * lr, SR), :],
+                        lambda j: av_a[pl.ds(j * sbp * 8,
+                                             sbp * 8), :],
+                        cmeta_ref[ci, 4], cmeta_ref[ci, 7], Ag,
+                        aff_D, present, rows=sbp * 8)
+                if has_ext:
+                    pots = tuple(
+                        pots[k] + ext_in[pl.ds(k * vpr + row0,
+                                               SR), :]
+                        for k in range(2))
+                # per-BLOCK uniforms (same stream as the HBM
+                # kernel's per-block path: bit-identity holds)
+                if "uscr" not in abl:
+                    for b in range(sbp):
+                        u_scr[pl.ds(b * rbl, rbl), :] = uniform(
+                            salt0 * 65536 + s * sbp + b, (8, 128))
+                if "draw" in abl:
+                    new = (pots[0] < pots[1]).astype(jnp.int32)
+                else:
+                    new = _draw2(pots[0], pots[1], u_scr[...])
+                upd = pka[pl.ds(SR * (6 * aff_D), SR), :]
+                old = x_out[pl.ds(row0, SR), :]
+                new_v = jnp.where(upd == 1, new, old)
+                if "store" in abl:
+                    u_scr[...] = new_v.astype(jnp.float32)
+                elif mc:
+                    # the last superblock may round past this
+                    # device's share of the color (pad blocks carry
+                    # upd=0, i.e. the store would rewrite the OLD
+                    # values it read) — those rows belong to a peer
+                    # and race with its incoming halo broadcast, so
+                    # store only owned blocks
+                    for b in range(sbp):
+                        @pl.when(s * sbp + b < num_rb)
+                        def _(b=b):
+                            x_out[pl.ds(row0 + b * rbl, rbl), :] = \
+                                new_v[b * rbl:(b + 1) * rbl, :]
+                else:
+                    x_out[pl.ds(row0, SR), :] = new_v
 
             def aff_color_body(ci, epoch_i):
                 sb_off = cmeta_ref[ci, 6]      # superblock offset
                 num_rb = cmeta_ref[ci, 1]
                 row0c = cmeta_ref[ci, 2]
-                n_sb = (num_rb + SB - 1) // SB
+                n_sb = (num_rb + sbp - 1) // sbp
                 salt0 = (epoch_i * (COLOR_MAX + 1) + ci) * n_shards + my
                 a_dma(sb_off, 0, "start")
 
@@ -1664,57 +1753,7 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
                         a_dma(sb_off + s + 1, (s + 1) % 2, "start")
 
                     a_dma(sb_off + s, slot, "wait")
-                    if "gather" not in abl:
-                        _aff_gather(av_a, x_out, cmeta_ref[ci, 4] * Ag,
-                                    lambda j: amet_ref[ci, j],
-                                    lambda c: c + s * (SB * RB), SB,
-                                    lane_sb)
-                    pka = pack_a_scr.at[slot]
-                    if "eval" in abl:
-                        p = av_a[pl.ds(0, SB * 8), :].astype(
-                            jnp.float32) * 1e-6
-                        pots = (p, -p)
-                    else:
-                        pots = _aff_block_pots(
-                            lambda lr: pka[pl.ds(SR * lr, SR), :],
-                            lambda j: av_a[pl.ds(j * SB * 8, SB * 8), :],
-                            cmeta_ref[ci, 4], cmeta_ref[ci, 7], Ag,
-                            aff_D, present, rows=SB * 8)
-                    row0 = row0c + s * SR
-                    if has_ext:
-                        pots = tuple(
-                            pots[k] + ext_in[pl.ds(k * vpr + row0,
-                                                   SR), :]
-                            for k in range(2))
-                    # per-BLOCK uniforms (same stream as the HBM
-                    # kernel's per-block path: bit-identity holds)
-                    if "uscr" not in abl:
-                        for b in range(SB):
-                            u_scr[pl.ds(b * rbl, rbl), :] = uniform(
-                                salt0 * 65536 + s * SB + b, (8, 128))
-                    if "draw" in abl:
-                        new = (pots[0] < pots[1]).astype(jnp.int32)
-                    else:
-                        new = _draw2(pots[0], pots[1], u_scr[...])
-                    upd = pka[pl.ds(SR * (6 * aff_D), SR), :]
-                    old = x_out[pl.ds(row0, SR), :]
-                    new_v = jnp.where(upd == 1, new, old)
-                    if "store" in abl:
-                        u_scr[...] = new_v.astype(jnp.float32)
-                    elif mc:
-                        # the last superblock may round past this
-                        # device's share of the color (pad blocks carry
-                        # upd=0, i.e. the store would rewrite the OLD
-                        # values it read) — those rows belong to a peer
-                        # and race with its incoming halo broadcast, so
-                        # store only owned blocks
-                        for b in range(SB):
-                            @pl.when(s * SB + b < num_rb)
-                            def _(b=b):
-                                x_out[pl.ds(row0 + b * rbl, rbl), :] = \
-                                    new_v[b * rbl:(b + 1) * rbl, :]
-                    else:
-                        x_out[pl.ds(row0, SR), :] = new_v
+                    aff_unit(ci, s, num_rb, row0c + s * SR, salt0, slot)
                     return 0
 
                 jax.lax.fori_loop(0, n_sb, sb_body, 0)
@@ -1742,8 +1781,33 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
             color_body(ci_ref[0], ep_ref[0])
             return
 
+        def flat_units(i):
+            # colors stay sequential (units are ordered by color; the
+            # kernel executes in order), but the NEXT unit's pack_a
+            # stream is always in flight — including across colors
+            a_dma(umeta_ref[0, 2], 0, "start")
+
+            def unit_body(u, _):
+                slot = u % 2
+
+                @pl.when(u + 1 < U)
+                def _():
+                    a_dma(umeta_ref[u + 1, 2], (u + 1) % 2, "start")
+
+                a_dma(umeta_ref[u, 2], slot, "wait")
+                ci = umeta_ref[u, 0]
+                aff_unit(ci, umeta_ref[u, 1], cmeta_ref[ci, 1],
+                         umeta_ref[u, 3],
+                         i * (COLOR_MAX + 1) + ci, slot)
+                return 0
+
+            jax.lax.fori_loop(0, U, unit_body, 0)
+
         def epoch_body(i, _):
-            jax.lax.fori_loop(0, C, color_body, i)
+            if flat:
+                flat_units(i)
+            else:
+                jax.lax.fori_loop(0, C, color_body, i)
             if "tally" in abl:
                 return 0
             mult = (i >= burn).astype(jnp.int32)
@@ -2248,11 +2312,14 @@ class PallasItemGridEngine:
         DA = plan.D * plan.A
         has_aff = plan.packed_a is not None and plan.cmeta.size and \
             bool((plan.cmeta[:, 5] == 1).any())
+        # pure-affine: the kernel runs the flat unit schedule and takes
+        # the umeta SMEM table (see _make_kernel)
+        flat_sched = has_aff and not bool((plan.cmeta[:, 5] == 0).any())
         M8 = (6 * plan.aff_D + 3) * 8
 
         in_specs = (
             [pl.BlockSpec(memory_space=pltpu.SMEM)] *
-            (5 if has_aff else 4) +            # seed/b/e/cmeta[, amet]
+            (4 + has_aff + flat_sched) +  # seed/b/e/cmeta[, amet, umeta]
             [pl.BlockSpec(memory_space=pltpu.VMEM)] *
             (3 if has_ext else 2) +                        # x, tally[, ext]
             [pl.BlockSpec(memory_space=pl.ANY)] *
@@ -2267,19 +2334,22 @@ class PallasItemGridEngine:
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA((2,))]
         if has_aff:
-            scratch += [pltpu.VMEM((2, SB * M8, 128), jnp.int32),
-                        pltpu.VMEM((AFF_DA_MAX * SB * 8, 128),
+            sbp = plan.sb
+            scratch += [pltpu.VMEM((2, sbp * M8, 128), jnp.int32),
+                        pltpu.VMEM((AFF_DA_MAX * sbp * 8, 128),
                                    jnp.int32),
-                        pltpu.VMEM((SB * 8, 128), jnp.float32),
+                        pltpu.VMEM((sbp * 8, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))]
-        x_idx = 5 if has_aff else 4
+        x_idx = 4 + has_aff + flat_sched
 
         @jax.jit
         def call(seed, burn, epochs, cmeta, x0, tally, packed, wbase,
-                 ext=None, amet=None, packed_a=None):
+                 ext=None, amet=None, packed_a=None, umeta=None):
             args = [seed, burn, epochs, cmeta]
             if has_aff:
                 args.append(amet)
+            if flat_sched:
+                args.append(umeta)
             args += [x0, tally]
             if has_ext:
                 args.append(ext)
@@ -2372,14 +2442,26 @@ class PallasItemGridEngine:
                 # superblock-flat upload; col 6 becomes the SUPERBLOCK
                 # offset (this kernel's only use of it)
                 flat, sb_off = flatten_packed_a(self.plan.packed_a, cm,
-                                                self.plan.aff_D)
+                                                self.plan.aff_D,
+                                                self.plan.sb)
                 cm = cm.copy()
                 aff = cm[:, 5] == 1
                 cm[aff, 6] = sb_off[aff]
                 self._amet = jnp.asarray(self.plan.amet)
                 self._packed_a = jnp.asarray(flat)
+                if aff.all():
+                    # pure affine: the kernel's flat unit schedule
+                    # [ci, s, superblock id, row0] per unit
+                    sbp, rbl = self.plan.sb, RB // 128
+                    um = [(ci, s_, int(cm[ci, 6]) + s_,
+                           int(cm[ci, 2]) + s_ * sbp * rbl)
+                          for ci in range(cm.shape[0])
+                          for s_ in range(-(-int(cm[ci, 1]) // sbp))]
+                    self._umeta = jnp.asarray(np.asarray(um, np.int32))
+                else:
+                    self._umeta = None
             else:
-                self._amet = self._packed_a = None
+                self._amet = self._packed_a = self._umeta = None
             self._cmeta = jnp.asarray(cm)
             self._weights_for = wkey
 
@@ -2488,6 +2570,8 @@ class PallasItemGridEngine:
         if self._packed_a is not None:
             kw["amet"] = self._amet
             kw["packed_a"] = self._packed_a
+            if self._umeta is not None:
+                kw["umeta"] = self._umeta
         x_out, cnt = self._call(
             jnp.asarray([seed], jnp.int32), jnp.asarray([burn], jnp.int32),
             jnp.asarray([epochs], jnp.int32), self._cmeta, x2d, t2d,
@@ -2612,10 +2696,11 @@ class MultiChipItemGridEngine:
                    pltpu.SemaphoreType.DMA(()),       # send sem
                    pltpu.SemaphoreType.DMA((n_g,))]   # per-peer recv
         if has_aff:
-            scratch += [pltpu.VMEM((2, SB * M8, 128), jnp.int32),
-                        pltpu.VMEM((AFF_DA_MAX * SB * 8, 128),
+            sbp = plan.sb
+            scratch += [pltpu.VMEM((2, sbp * M8, 128), jnp.int32),
+                        pltpu.VMEM((AFF_DA_MAX * sbp * 8, 128),
                                    jnp.int32),
-                        pltpu.VMEM((SB * 8, 128), jnp.float32),
+                        pltpu.VMEM((sbp * 8, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))]
         x_idx = 7 if has_aff else 6
 
@@ -2670,7 +2755,8 @@ class MultiChipItemGridEngine:
                 flats = []
                 for d in range(self.n_g):
                     flat, sb_off = flatten_packed_a(
-                        packed_a_mc[d], cmeta_mc[d], self.plan.aff_D)
+                        packed_a_mc[d], cmeta_mc[d], self.plan.aff_D,
+                        self.plan.sb)
                     aff = cmeta_mc[d, :, 5] == 1
                     cmeta_mc[d, aff, 6] = sb_off[aff]
                     flats.append(flat)
@@ -2826,10 +2912,11 @@ class MultiChipItemGridEngine:
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA((2,))]
         if has_aff:
-            scratch += [pltpu.VMEM((2, SB * M8, 128), jnp.int32),
-                        pltpu.VMEM((AFF_DA_MAX * SB * 8, 128),
+            sbp = plan.sb
+            scratch += [pltpu.VMEM((2, sbp * M8, 128), jnp.int32),
+                        pltpu.VMEM((AFF_DA_MAX * sbp * 8, 128),
                                    jnp.int32),
-                        pltpu.VMEM((SB * 8, 128), jnp.float32),
+                        pltpu.VMEM((sbp * 8, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))]
         x_idx = n_scal
 
@@ -3270,7 +3357,7 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
                     pka = pack_a_scr.at[slot]
                     pots = _aff_block_pots(
                         lambda lr: pka[pl.ds(8 * lr, 8), :],
-                        lambda j: av_a[pl.ds(j * SB * 8, 8), :],
+                        lambda j: av_a[pl.ds(j * 8, 8), :],
                         cmeta_ref[ci, 4], cmeta_ref[ci, 7], Ag, aff_D,
                         present)
                     new = _draw2(pots[0], pots[1],
@@ -3917,7 +4004,7 @@ class HbmItemGridEngine:
                    pltpu.SemaphoreType.DMA(())]
         if has_aff:
             scratch += [pltpu.VMEM((2, M8, 128), jnp.int32),
-                        pltpu.VMEM((AFF_DA_MAX * SB * 8, 128),
+                        pltpu.VMEM((AFF_DA_MAX * 8, 128),
                                    jnp.int32),
                         pltpu.SemaphoreType.DMA((2,))]
         x_idx = 10 if has_aff else 8

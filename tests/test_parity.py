@@ -69,3 +69,16 @@ def test_parity_categorical_general_path_bit_equal():
     cg = compile_graph(w, v, f, fm, domain_mask=dm)
     eng = _assert_bit_equal(cg, seed=5, burn=5, epochs=40)
     assert bool((eng.plan.cmeta[:, 5] == 0).any())   # general path hit
+
+
+def test_parity_voting_sb4_bit_equal():
+    """Plan-adaptive superblock (sb=4 here: 4 row blocks per color):
+    the compact flat layout, pad-block masking, and per-block salt
+    streams must replay bit-identically at sb < 8."""
+    from numbskull_tpu.models import voting_grouped
+
+    w, v, f, fm, dm, e = voting_grouped(10000, 3, weight=0.5)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm)
+    eng = _assert_bit_equal(cg, seed=7, burn=2, epochs=8)
+    assert eng.plan.sb == 4, eng.plan.sb
+    assert bool((eng.plan.cmeta[:, 5] == 1).any())   # affine exercised
