@@ -749,6 +749,16 @@ def _plan_ranked(cg: CompiledGraph, sample_evidence: bool, rank,
         slab_lo = np.where(slab_lo == big32, 0, slab_lo)
         slab_lo = (slab_lo // 8) * 8
         slab_hi = np.where(has2, br2, 0).max(axis=1) + win_r
+        empty_b = ~has2.any(axis=1)
+        if empty_b.any():
+            # all-pad blocks (color padding to n_shards multiples):
+            # inherit the preceding real block's slab base with a
+            # minimal span, so the HBM kernel's per-GROUP slabs are
+            # not dragged to row 0 (their compute is masked anyway)
+            src = np.maximum(np.maximum.accumulate(
+                np.where(~empty_b, np.arange(num_rb), -1)), 0)
+            slab_lo = np.where(empty_b, slab_lo[src], slab_lo)
+            slab_hi = np.where(empty_b, slab_lo + 8, slab_hi)
         wbase_flat[sl, DA] = slab_lo
         # +16 rows of slack for the affine path's (9-row) roll reads
         # past a tight window end (harmless for the one-hot path)
@@ -1109,12 +1119,16 @@ def _loop_stats(Ag, arity, read_val, read_eq, read_card, read_sub,
     return res
 
 
-def _wb_view(wb_scr, slot, W):
-    """1-D view over a (slots, 8, W) SMEM window-base block: entry j
-    lives at [slot, j // W, j % W]."""
+def _wb_view(wb_scr, pre, W):
+    """1-D view over an (..., 8, W) SMEM window-base block: entry j
+    lives at [*pre, j // W, j % W] (``pre`` selects the buffer slot,
+    plus the block within a stream group for the HBM kernel)."""
+    if not isinstance(pre, tuple):
+        pre = (pre,)
+
     class _V:
         def __getitem__(self, j):
-            return wb_scr[slot, j // W, j % W]
+            return wb_scr[pre + (j // W, j % W)]
     return _V()
 
 
@@ -3039,14 +3053,23 @@ V_HBM_MAX = 256 << 20    # HBM-resident mode variable cap (values 4B +
 #                          per-block slabs)
 SR_MAX = 1024            # max value-slab rows per block (128K values)
 SBASE_TBL_MAX = 32768    # max row blocks for the SMEM slab-base table
+HG = 8                   # blocks per HBM stream group: the general
+#                          path fetches item tables, window bases, the
+#                          value slab, and own rows for HG consecutive
+#                          blocks in ONE DMA set each (the per-block
+#                          version issued ~5 DMA round trips per 1024
+#                          vars and ran issue-latency-bound at ~1e8
+#                          updates/s on the 33.5M-var lattice)
 
 
-def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
-                     allow_aff: bool = True):
+def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sr2: int,
+                     sw_prng: bool = False, allow_aff: bool = True):
     """HBM-resident inference kernel: the value array and tallies live
-    in HBM; each row block DMAs in the smallest value slab covering all
-    its windows (planner-computed, double-buffered with the item
-    tables), computes, and stores its updated rows straight back.
+    in HBM; the general path streams item tables, window bases, a value
+    slab (``sr2`` rows, planner-computed per GROUP), and own rows for
+    HG consecutive blocks per DMA set, double-buffered, computes the
+    group, and stores its rows back in one burst (the engine plans with
+    n_shards=HG so every color is a whole number of groups).
     Chromatic independence makes the store-back race-free within a
     color (windows never contain same-color rows); store completions
     are awaited at each color end so the next color's slab reads see
@@ -3089,8 +3112,9 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
 
     def kernel(*refs):
         refs = list(refs)
-        (seed_ref, burn_ref, epochs_ref, cmeta_ref, sbase_ref) = refs[:5]
-        refs = refs[5:]
+        (seed_ref, burn_ref, epochs_ref, cmeta_ref, sbase_ref,
+         gbase_ref) = refs[:6]
+        refs = refs[6:]
         amet_ref = refs.pop(0) if has_aff else None
         (tally_hbm, pack_hbm, wb_hbm) = refs[:3]
         refs = refs[3:]
@@ -3132,21 +3156,23 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
         sub_iota = jax.lax.broadcasted_iota(jnp.int32, (trw, RB), 0)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (128, RB), 0)
 
-        def start_dma(grb, slot):
+        def grp_dma(g0, slot, what):
+            # item tables + window bases for HG consecutive blocks
             if "dma" in ABLATE:
                 return
-            pltpu.make_async_copy(pack_hbm.at[grb], pack_scr.at[slot],
-                                  sem.at[slot]).start()
-            pltpu.make_async_copy(wb_hbm.at[grb], wb_scr.at[slot],
-                                  wsem.at[slot]).start()
+            for cp in (pltpu.make_async_copy(pack_hbm.at[pl.ds(g0, HG)],
+                                             pack_scr.at[slot],
+                                             sem.at[slot]),
+                       pltpu.make_async_copy(wb_hbm.at[pl.ds(g0, HG)],
+                                             wb_scr.at[slot],
+                                             wsem.at[slot])):
+                cp.start() if what == "start" else cp.wait()
 
-        def wait_dma(grb, slot):
-            if "dma" in ABLATE:
-                return
-            pltpu.make_async_copy(pack_hbm.at[grb], pack_scr.at[slot],
-                                  sem.at[slot]).wait()
-            pltpu.make_async_copy(wb_hbm.at[grb], wb_scr.at[slot],
-                                  wsem.at[slot]).wait()
+        def grp_slab(gid, slot, what):
+            cp = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(gbase_ref[gid], sr2)],
+                slab_scr.at[slot], ssem.at[slot])
+            cp.start() if what == "start" else cp.wait()
 
         # With use_tbl, slab bases come from the host-computed SMEM
         # table (already clamped to vpr - sr), so slab DMAs start
@@ -3160,27 +3186,29 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
         def slab_base_of(slot, grb):
             if use_tbl:
                 return sbase_ref[grb]
-            return _sbase(_wb_view(wb_scr, slot, Wb)[DA])
+            return _sbase(_wb_view(wb_scr, (slot, 0), Wb)[DA])
 
         def start_slab(slot, grb):
             pltpu.make_async_copy(
                 x_hbm.at[pl.ds(slab_base_of(slot, grb), sr)],
-                slab_scr.at[slot], ssem.at[slot]).start()
+                slab_scr.at[slot, pl.ds(0, sr)],
+                ssem.at[slot]).start()
 
         def wait_slab(slot, grb):
             pltpu.make_async_copy(
                 x_hbm.at[pl.ds(slab_base_of(slot, grb), sr)],
-                slab_scr.at[slot], ssem.at[slot]).wait()
+                slab_scr.at[slot, pl.ds(0, sr)],
+                ssem.at[slot]).wait()
 
-        def row_read(row0, slot):
+        def row_read(row0, slot, n=rbl):
             return pltpu.make_async_copy(
-                x_hbm.at[pl.ds(row0, rbl)], row_scr.at[slot],
-                rdsem.at[slot])
+                x_hbm.at[pl.ds(row0, n)],
+                row_scr.at[slot, pl.ds(0, n)], rdsem.at[slot])
 
-        def row_store(row0, slot):
+        def row_store(row0, slot, n=rbl):
             return pltpu.make_async_copy(
-                row_scr.at[slot], x_hbm.at[pl.ds(row0, rbl)],
-                stsem.at[slot])
+                row_scr.at[slot, pl.ds(0, n)],
+                x_hbm.at[pl.ds(row0, n)], stsem.at[slot])
 
         def old_color_body(ci, epoch_i):
             rb_off = cmeta_ref[ci, 0]
@@ -3188,109 +3216,125 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
             row0c = cmeta_ref[ci, 2]
             nt = cmeta_ref[ci, 3]
             d_c = cmeta_ref[ci, 4]
-            start_dma(rb_off, 0)
-            if not use_tbl:
-                wait_dma(rb_off, 0)   # slab base lives in the wb block
-            start_slab(0, rb_off)
-            row_read(row0c, 0).start()
+            # whole groups per color (the engine plans with
+            # n_shards=HG); every DMA set covers HG blocks
+            n_gr = num_rb // HG
+            g_off = rb_off // HG     # rb_off is a multiple of HG
+            grl = HG * rbl           # own-row rows per group
 
-            def rb_body(rb, salt_base):
-                slot = rb % 2
+            def start_grp(g, slot):
+                grp_dma(rb_off + g * HG, slot, "start")
+                grp_slab(g_off + g, slot, "start")
+                row_read(row0c + g * grl, slot, grl).start()
 
-                @pl.when(rb + 1 < num_rb)
+            start_grp(0, 0)
+
+            def g_body(g, salt_base):
+                slot = g % 2
+
+                @pl.when(g + 1 < n_gr)
                 def _():
-                    nslot = (rb + 1) % 2
+                    nslot = (g + 1) % 2
 
-                    # row_scr[nslot] still streams out block rb-1's
+                    # row_scr[nslot] still streams out group g-1's
                     # rows; finish that store before reusing the buffer
-                    @pl.when(rb >= 1)
+                    @pl.when(g >= 1)
                     def _():
-                        row_store(row0c + (rb - 1) * rbl, nslot).wait()
+                        row_store(row0c + (g - 1) * grl, nslot,
+                                  grl).wait()
 
-                    start_dma(rb_off + rb + 1, nslot)
-                    if not use_tbl:
-                        wait_dma(rb_off + rb + 1, nslot)
-                    start_slab(nslot, rb_off + rb + 1)
-                    row_read(row0c + (rb + 1) * rbl, nslot).start()
+                    start_grp(g + 1, nslot)
 
-                if use_tbl:
-                    wait_dma(rb_off + rb, slot)
-                wait_slab(slot, rb_off + rb)
-                pk = pack_scr.at[slot]
-                wb = _wb_view(wb_scr, slot, Wb)
+                grp_dma(rb_off + g * HG, slot, "wait")
+                grp_slab(g_off + g, slot, "wait")
+                row_read(row0c + g * grl, slot, grl).wait()
                 slab = slab_scr.at[slot]
-                sbase = slab_base_of(slot, rb_off + rb)
+                sbase = gbase_ref[g_off + g]
 
                 def gat(base_r, off):
-                    return _gather_tiled(slab, base_r - sbase, off,
+                    # clamp: all-pad blocks carry per-slot window base
+                    # 0, below the GROUP slab base (their rows are
+                    # masked; any in-slab read is fine — but a negative
+                    # offset is an OOB read on hardware)
+                    return _gather_tiled(slab,
+                                         jnp.maximum(base_r - sbase, 0),
+                                         off,
                                          None if single_tile else nt,
                                          trw, sub_iota, lane_iota)
 
-                upd = pk[L.upd:L.upd + 1, :]
-                rowmeta = pk[L.rowmeta:L.rowmeta + 1, :]
-                card = rowmeta & 0xFF
-                dense = (rowmeta >> 8) == 0
+                def b_body(b, _):
+                    pk = pack_scr.at[slot, b]
+                    wb = _wb_view(wb_scr, (slot, b), Wb)
+                    upd = pk[L.upd:L.upd + 1, :]
+                    rowmeta = pk[L.rowmeta:L.rowmeta + 1, :]
+                    card = rowmeta & 0xFF
+                    dense = (rowmeta >> 8) == 0
 
-                def d_body(d, pots):
-                    if unroll_a:
-                        term = _slot_decode(pk, wb, L, Ag, d, [gat])
-                        return _term_pots(term, present, Ag, kmax, card,
-                                          dense, 0, pots)
-                    fta = pk[pl.ds(L.fta + d, 1), :]
-                    ftype = (fta & 0xFF) - 1
-                    ar = fta >> 8
-                    w = pltpu.bitcast(pk[pl.ds(L.wbake + d, 1), :],
-                                      jnp.float32)
-                    dd = pk[pl.ds(L.dd + d, 1), :]
-                    d1, d2 = dd & 0xFF, dd >> 8
-                    _slot_gather_stage(pk, wb, L, Ag, d, gat, av_scr, 0)
-                    es = _slot_eval_loop(
-                        pk, L, Ag, d, av_scr, 0, present, ftype, ar,
-                        [jnp.int32(k) for k in range(kmax)])
-                    out = []
-                    for k in range(kmax):
-                        ok = ((dense & (jnp.int32(k) < card)) |
-                              ((~dense) & ((jnp.int32(k) == d1) |
-                                           (jnp.int32(k) == d2))))
-                        out.append(pots[k] +
-                                   ok.astype(jnp.float32) * w * es[k])
-                    return tuple(out)
+                    def d_body(d, pots):
+                        if unroll_a:
+                            term = _slot_decode(pk, wb, L, Ag, d, [gat])
+                            return _term_pots(term, present, Ag, kmax,
+                                              card, dense, 0, pots)
+                        fta = pk[pl.ds(L.fta + d, 1), :]
+                        ftype = (fta & 0xFF) - 1
+                        ar = fta >> 8
+                        w = pltpu.bitcast(pk[pl.ds(L.wbake + d, 1), :],
+                                          jnp.float32)
+                        dd = pk[pl.ds(L.dd + d, 1), :]
+                        d1, d2 = dd & 0xFF, dd >> 8
+                        _slot_gather_stage(pk, wb, L, Ag, d, gat,
+                                           av_scr, 0)
+                        es = _slot_eval_loop(
+                            pk, L, Ag, d, av_scr, 0, present, ftype, ar,
+                            [jnp.int32(k) for k in range(kmax)])
+                        out = []
+                        for k in range(kmax):
+                            ok = ((dense & (jnp.int32(k) < card)) |
+                                  ((~dense) & ((jnp.int32(k) == d1) |
+                                               (jnp.int32(k) == d2))))
+                            out.append(pots[k] +
+                                       ok.astype(jnp.float32) * w *
+                                       es[k])
+                        return tuple(out)
 
-                pots = tuple(jnp.zeros((1, RB), jnp.float32)
-                             for _ in range(kmax))
-                if "eval" in ABLATE:
-                    pots = tuple(
-                        p + pk[di:di + 1, :].astype(jnp.float32) * 1e-6
-                        for di, p in enumerate(pots))
-                elif unroll_d:
-                    for d in range(plan.D):
-                        pots = d_body(d, pots)
-                else:
-                    pots = jax.lax.fori_loop(0, d_c, d_body, pots)
-                new = _draw(list(pots), card, kmax,
-                            uniform(salt_base * 65536 + rb, (1, RB)))
-                row0 = row0c + rb * rbl
-                # old values of own rows were prefetched with the slab
-                row_read(row0, slot).wait()
-                old = row_scr[slot]
-                row_scr[slot] = jnp.where(
-                    upd.reshape(rbl, 128) == 1,
-                    new.reshape(rbl, 128), old)
-                # async store-back; completion is awaited when the
-                # buffer is next reused, or at the color-end drain
-                row_store(row0, slot).start()
+                    pots = tuple(jnp.zeros((1, RB), jnp.float32)
+                                 for _ in range(kmax))
+                    if "eval" in ABLATE:
+                        pots = tuple(
+                            p + pk[di:di + 1, :].astype(jnp.float32) *
+                            1e-6 for di, p in enumerate(pots))
+                    elif unroll_d:
+                        for d in range(plan.D):
+                            pots = d_body(d, pots)
+                    else:
+                        pots = jax.lax.fori_loop(0, d_c, d_body, pots)
+                    new = _draw(list(pots), card, kmax,
+                                uniform(salt_base * 65536 + g * HG + b,
+                                        (1, RB)))
+                    old = row_scr[slot, pl.ds(b * rbl, rbl)]
+                    row_scr[slot, pl.ds(b * rbl, rbl)] = jnp.where(
+                        upd.reshape(rbl, 128) == 1,
+                        new.reshape(rbl, 128), old)
+                    return 0
+
+                jax.lax.fori_loop(0, HG, b_body, 0)
+                # async store-back of the whole group; completion is
+                # awaited when the buffer is next reused, or at the
+                # color-end drain
+                row_store(row0c + g * grl, slot, grl).start()
                 return salt_base
 
-            jax.lax.fori_loop(0, num_rb, rb_body, epoch_i * (COLOR_MAX + 1) + ci)
+            jax.lax.fori_loop(0, n_gr, g_body,
+                              epoch_i * (COLOR_MAX + 1) + ci)
             # drain outbound stores so the next color's slab reads (and
             # the epoch-end tally stream) see every updated row
-            row_store(row0c + (num_rb - 1) * rbl,
-                      (num_rb - 1) % 2).wait()
+            row_store(row0c + (n_gr - 1) * grl,
+                      (n_gr - 1) % 2, grl).wait()
 
-            @pl.when(num_rb >= 2)
+            @pl.when(n_gr >= 2)
             def _():
-                row_store(row0c + (num_rb - 2) * rbl,
-                          (num_rb - 2) % 2).wait()
+                row_store(row0c + (n_gr - 2) * grl,
+                          (n_gr - 2) % 2, grl).wait()
             return epoch_i
 
         # affine fast path, per block: lane-roll gathers from the value
@@ -3307,7 +3351,7 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
 
             def wb_cp(grb, slot, what):
                 cp = pltpu.make_async_copy(wb_hbm.at[grb],
-                                           wb_scr.at[slot],
+                                           wb_scr.at[slot, 0],
                                            wsem.at[slot])
                 cp.start() if what == "start" else cp.wait()
 
@@ -3366,8 +3410,9 @@ def _make_kernel_hbm(plan: ItemGridPlan, sr: int, sw_prng: bool = False,
                     upd = pka[pl.ds(8 * (6 * aff_D), 8), :]
                     row0 = row0c + rb * rbl
                     row_read(row0, slot).wait()
-                    old = row_scr[slot]
-                    row_scr[slot] = jnp.where(upd == 1, new, old)
+                    old = row_scr[slot, pl.ds(0, rbl)]
+                    row_scr[slot, pl.ds(0, rbl)] = \
+                        jnp.where(upd == 1, new, old)
                     row_store(row0, slot).start()
                     return salt_base
 
@@ -3920,8 +3965,9 @@ class HbmItemGridEngine:
 
     def __init__(self, cg: CompiledGraph, sample_evidence: bool = True,
                  interpret: bool = False, allow_aff: bool | None = None):
+        # n_shards=HG pads every color to whole HG-block stream groups
         plan, reason = plan_item_grid(cg, sample_evidence,
-                                      vmax=V_HBM_MAX)
+                                      n_shards=HG, vmax=V_HBM_MAX)
         if plan is None:
             raise ValueError("itemgrid kernel unsupported: " + reason)
         DA = plan.D * plan.A
@@ -3954,6 +4000,26 @@ class HbmItemGridEngine:
                 wbf[:, DA_], plan.vp // 128 - sr).astype(np.int32)
         else:
             self._sbase_tbl = np.zeros(1, np.int32)   # never read
+        # per-GROUP slab table for the general path: one slab covers
+        # all HG blocks' windows (consecutive RCM blocks overlap, so
+        # the union is barely wider than one block's slab)
+        total_rb = plan.wbase.shape[0]
+        assert total_rb % HG == 0 and \
+            (plan.cmeta.size == 0 or
+             (plan.cmeta[:, 1] % HG == 0).all()), "colors not grouped"
+        base_b = wbf[:, DA].astype(np.int64)
+        end_b = base_b + wbf[:, DA + 1]
+        gb = base_b.reshape(-1, HG).min(1)
+        ge = end_b.reshape(-1, HG).max(1)
+        sr2 = max(_ceil(int((ge - gb).max()) if total_rb else 8, 8), 8)
+        if sr2 > SR_MAX + (HG - 1) * 8:
+            raise ValueError(
+                "itemgrid kernel unsupported: group value slab %d rows "
+                "> %d (graph lacks locality for HBM-resident mode)" %
+                (sr2, SR_MAX + (HG - 1) * 8))
+        self.sr2 = sr2
+        self._gbase_tbl = np.minimum(
+            gb, plan.vp // 128 - sr2).astype(np.int32)
         self.interpret = interpret
         # the affine fast path in the HBM kernel hangs the Mosaic
         # remote compile on real hardware (the VMEM variant compiles
@@ -3968,7 +4034,7 @@ class HbmItemGridEngine:
 
     def _build_call(self):
         plan = self.plan
-        kernel = _make_kernel_hbm(plan, self.sr,
+        kernel = _make_kernel_hbm(plan, self.sr, self.sr2,
                                   sw_prng=bool(self.interpret),
                                   allow_aff=self.allow_aff)
         vp, kmax = plan.vp, plan.kmax
@@ -3981,18 +4047,19 @@ class HbmItemGridEngine:
 
         in_specs = (
             [pl.BlockSpec(memory_space=pltpu.SMEM)] *
-            (6 if has_aff else 5) +      # seed/b/e/cmeta/sbase[, amet]
+            (7 if has_aff else 6) +  # seed/b/e/cmeta/sbase/gbase[,amet]
             [pl.BlockSpec(memory_space=pl.ANY)] *
             (5 if has_aff else 4)       # tally/pk/wb[, pk_a]/x
         )
         out_specs = (pl.BlockSpec(memory_space=pl.ANY),
                      pl.BlockSpec(memory_space=pl.ANY))
-        scratch = [pltpu.VMEM((2, L.rows, RB), jnp.int32),
-                   pltpu.SMEM((2, 8, _ceil(-(-(DA + 2) // 8), 128)),
+        scratch = [pltpu.VMEM((2, HG, L.rows, RB), jnp.int32),
+                   pltpu.SMEM((2, HG, 8, _ceil(-(-(DA + 2) // 8), 128)),
                               jnp.int32),
                    pltpu.VMEM((max(plan.A, 1), RB), jnp.int32),
-                   pltpu.VMEM((2, self.sr, 128), jnp.int32),   # slabs
-                   pltpu.VMEM((2, RB // 128, 128), jnp.int32),  # own rows
+                   pltpu.VMEM((2, self.sr2, 128), jnp.int32),  # slabs
+                   pltpu.VMEM((2, HG * (RB // 128), 128),
+                              jnp.int32),                     # own rows
                    pltpu.VMEM((TCH, 128), jnp.int16),          # counts
                    pltpu.VMEM((TCH, 128), jnp.int8),           # tally
                    pltpu.VMEM((TCH, 128), jnp.int32),          # x chunk
@@ -4007,14 +4074,15 @@ class HbmItemGridEngine:
                         pltpu.VMEM((AFF_DA_MAX * 8, 128),
                                    jnp.int32),
                         pltpu.SemaphoreType.DMA((2,))]
-        x_idx = 10 if has_aff else 8
+        x_idx = 11 if has_aff else 9
 
         sbase_tbl = jnp.asarray(self._sbase_tbl)
+        gbase_tbl = jnp.asarray(self._gbase_tbl)
 
         @jax.jit
         def call(seed, burn, epochs, cmeta, tally, packed, wbase, x0,
                  amet=None, packed_a=None):
-            args = [seed, burn, epochs, cmeta, sbase_tbl]
+            args = [seed, burn, epochs, cmeta, sbase_tbl, gbase_tbl]
             if has_aff:
                 args.append(amet)
             args += [tally, packed, wbase]

@@ -84,7 +84,7 @@ def test_exchange_makes_chains_globally_consistent():
         assert (vv[p] == vv[0]).all()
 
 
-@pytest.mark.parametrize("mode", ["values", "messages"])
+@pytest.mark.parametrize("mode", ["values", pytest.param("messages", marks=pytest.mark.slow)])
 def test_bsp_marginals_match_exact(mode):
     """Partitioned marginals vs exact joint (boolean graph, moderate
     coupling): the stale-halo approximation must land within Monte-Carlo
@@ -102,7 +102,7 @@ def test_bsp_marginals_match_exact(mode):
     assert err < 0.06, err
 
 
-@pytest.mark.parametrize("mode", ["values", "messages"])
+@pytest.mark.parametrize("mode", ["values", pytest.param("messages", marks=pytest.mark.slow)])
 def test_bsp_learning_recovers_coin_weights(mode):
     """Distributed SGD (per-part deltas summed) recovers the coin weights;
     the partition splits every (x1, x2) pair so EVERY factor-coupled pair
@@ -123,7 +123,7 @@ def test_bsp_learning_recovers_coin_weights(mode):
     assert got[2] == pytest.approx(c, abs=0.2)
 
 
-@pytest.mark.parametrize("mode", ["values", "messages"])
+@pytest.mark.parametrize("mode", ["values", pytest.param("messages", marks=pytest.mark.slow)])
 def test_bsp_multi_device_placement(mode):
     """Parts pinned to distinct devices: states live where assigned,
     exchanges hop through the coordinator, marginals still match the
@@ -228,6 +228,7 @@ def test_bsp_itemgrid_messages_inference_interpret():
     assert abs(m[1::2, 1].mean() - (ex[1] + ex[3])) < 0.15
 
 
+@pytest.mark.slow
 def test_bsp_itemgrid_messages_learning_interpret():
     """In-kernel BSP learning across 2 parts in messages mode: weight
     deltas sum at the coordinator and move toward the generating

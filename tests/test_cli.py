@@ -1,6 +1,7 @@
 """End-to-end CLI tests (reference analog: test.py integration smoke)."""
 
 import os
+import pytest
 
 import numpy as np
 
@@ -163,6 +164,7 @@ def test_remaining_api_surface():
     assert is_coordinator() is True        # single-process
 
 
+@pytest.mark.slow
 def test_programmatic_smoke():
     """Analog of reference loadfg.py: every factor function learns+infers
     without crashing."""

@@ -257,7 +257,9 @@ def test_itemgrid_card32_potentials_match_golden(seed):
             assert got[vid][k] == pytest.approx(want, abs=1e-4), (vid, k)
 
 
-@pytest.mark.parametrize("degree", [33, 45, 63])
+@pytest.mark.parametrize("degree", [
+    33, pytest.param(45, marks=pytest.mark.slow),
+    pytest.param(63, marks=pytest.mark.slow)])
 def test_itemgrid_high_arity_potentials_match_golden(degree):
     """Arity beyond one int32 substitution word (33..64): potentials
     must match the scalar oracle for every variable — in particular for

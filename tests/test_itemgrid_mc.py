@@ -218,6 +218,7 @@ def test_itemgrid_mc_tpu_matches_single_chip():
     assert np.sort(gap.ravel())[-10] < 0.05
 
 
+@pytest.mark.slow
 def test_mc_learn_single_shard_bit_equal_to_single_chip():
     """MultiChipItemGridEngine.learn at n_g=1: the multi-chip learn
     kernel (per-color exchange of both chains with zero peers + the
@@ -276,6 +277,7 @@ def test_itemgrid_learn_beyond_1024_weights():
     assert np.abs(wv).max() > 0.05       # gradients actually landed
 
 
+@pytest.mark.slow
 def test_run_emulated_single_shard_bit_equal_to_single_chip():
     """run_emulated at n_g=1 executes the one-color kernel variant per
     (epoch, color) with host-side tallies; it must be BIT-EQUAL to the
@@ -298,6 +300,7 @@ def test_run_emulated_single_shard_bit_equal_to_single_chip():
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
 
 
+@pytest.mark.slow
 def test_run_emulated_two_shards_end_to_end_marginals():
     """END-TO-END 2-device execution of the multi-chip itemgrid
     schedule (sequential emulation — bit-equal to the concurrent kernel

@@ -10,6 +10,7 @@ item 7 / ROADMAP item 4).
 """
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -41,6 +42,7 @@ def test_parity_coin_affine_bit_equal():
     assert bool((eng.plan.cmeta[:, 5] == 1).any())   # affine exercised
 
 
+@pytest.mark.slow
 def test_parity_ising_grid_bit_equal():
     """2-color lattice, longer run, evidence mixture."""
     w, v, f, fm, dm, e = ising_grid(6, 6, weight=0.5)
