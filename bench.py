@@ -31,56 +31,14 @@ from __future__ import annotations
 
 import json
 import sys
-import time
 
 import jax
 import numpy as np
 
+from numbskull_tpu.benchutil import CALL_CONST as _CALL_CONST
+from numbskull_tpu.benchutil import epoch_rate
+
 NUMBA_CPU_BASELINE = 1.0e7  # updates/s, single-core numba CSR Gibbs
-
-_CALL_CONST = []
-
-
-def _force(out):
-    """Force completion of a device computation while transferring only
-    ONE scalar (bulk result transfer over the tunnel costs 0.1-0.7 s
-    with high variance — it must stay out of the timed region)."""
-    a = out[0] if isinstance(out, (tuple, list)) else out
-    if a is None or isinstance(a, np.ndarray):  # materialized by the run
-        return
-    np.asarray(a[(0,) * a.ndim])
-
-
-def epoch_rate(run, units_per_epoch, lo=16, hi=1500, reps=3,
-               min_delta=1.2):
-    """On-device rate via epoch differencing (see module docstring).
-
-    ``run(epochs, rep)`` returns a device array (or tuple) that depends
-    on the whole run; it is forced with a scalar fetch so bulk result
-    transfer stays out of the timed region. The hi point is raised
-    until the lo->hi wall-time delta reaches ``min_delta`` seconds
-    (per-call tunnel jitter is ~±0.1 s, so a >=1.2 s delta bounds the
-    rate error at ~10%), capped at the 30000-epoch in-kernel tally
-    limit. Returns (units_per_s, s_per_epoch)."""
-    _force(run(2, 0))              # compile + warm
-    def best(ep):
-        b = None
-        for r in range(reps):
-            t0 = time.perf_counter()
-            _force(run(ep, r))
-            dt = time.perf_counter() - t0
-            b = dt if b is None else min(b, dt)
-        return b
-
-    tlo = best(lo)
-    for _ in range(4):
-        thi = best(hi)
-        per = max((thi - tlo) / (hi - lo), 1e-8)
-        if thi - tlo >= min_delta or hi >= 30000:
-            break
-        hi = min(int(lo + 1.5 * min_delta / per), 30000)
-    _CALL_CONST.append(tlo - lo * per)
-    return units_per_epoch / per, per
 
 
 def _bench_pallas_grid(n: int):
@@ -201,6 +159,34 @@ def _bench_itemgrid(n: int):
     return ups, float(cnt[:, 1].mean()) / 200
 
 
+def _bench_hbm(n: int, m: int):
+    """HBM-resident engine at 33.5M variables — a scale the reference
+    needed a 10-node salt cluster for (salt/src/numbskull_master.py:133-233).
+    Chains and tallies live in HBM; value slabs stream to VMEM per row
+    block (HG blocks per DMA set). Host graph compile goes through the
+    plan cache so repeated bench runs skip the ~minutes-long compile."""
+    import os
+
+    from numbskull_tpu.compile import compile_graph
+    from numbskull_tpu.models import ising_color_hint, ising_grid
+    from numbskull_tpu.ops.itemgrid_pallas import HbmItemGridEngine
+
+    cache = os.environ.get(
+        "NSX_PLAN_CACHE", os.path.expanduser("~/.cache/numbskull_tpu"))
+    w, v, f, fm, dm, e = ising_grid(n, m, weight=0.3)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm,
+                       color_hint=ising_color_hint(n, m),
+                       cache=cache or None)
+    eng = HbmItemGridEngine(cg)
+
+    def run(ep, r):
+        vals, counts = eng.run(seed=1 + r, burn=0, epochs=ep)
+        return counts
+
+    ups, _ = epoch_rate(run, n * m, lo=4, hi=40)
+    return ups
+
+
 def _bench_voting(n_vars: int, degree: int):
     """The reference's flagship degree experiment family (grouped
     voting: n_vars//degree disjoint AND factors of arity degree+1;
@@ -294,6 +280,7 @@ def main():
     auto_ups, auto_itemgrid = _bench_auto(256)
     voting_ups = _bench_voting(200_000, 10)
     voting50_ups = _bench_voting(204_000, 50)
+    hbm_ups = _bench_hbm(4096, 8192)
 
     healthy = (0.2 < mean < 0.8) and (0.2 < item_mean < 0.8)
     result = {
@@ -314,6 +301,7 @@ def main():
         "categorical_card64_ups": round(potts_ups, 1),
         "itemgrid_voting_deg10_ups": round(voting_ups, 1),
         "itemgrid_voting_deg50_ups": round(voting50_ups, 1),
+        "hbm_ups_33M": round(hbm_ups, 1),
         "learn_steps_per_s_40k_vars": round(learn_sps, 2),
         "learn_var_updates_per_s": round(learn_vups, 1),
         "learn_recovers_weights": learn_ok,

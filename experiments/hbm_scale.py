@@ -7,9 +7,12 @@ the chains and tallies in HBM and streams value slabs per row block.
 
 Validates small-first (the tunnel-wedge rule: never run a new kernel
 shape at scale before a small config of the same class has executed),
-then sweeps lattice sizes, writing a TSV of epoch time and updates/s.
+then sweeps lattice sizes. Rates are EPOCH-DIFFERENCED
+(numbskull_tpu/benchutil.py): two runs at different in-kernel epoch
+counts isolate the on-device per-epoch rate from the tunnel's per-call
+constant.
 
-Usage: python experiments/hbm_scale.py [out.tsv] [epochs]
+Usage: python experiments/hbm_scale.py [out.tsv]
 """
 
 from __future__ import annotations
@@ -19,12 +22,13 @@ import time
 
 import numpy as np
 
+from numbskull_tpu.benchutil import epoch_rate
 from numbskull_tpu.compile import compile_graph
 from numbskull_tpu.models import ising_color_hint, ising_grid
 from numbskull_tpu.ops.itemgrid_pallas import HbmItemGridEngine
 
 
-def run(out_path="hbm_scale.tsv", epochs=100,
+def run(out_path="hbm_scale.tsv",
         grids=((160, 512), (1024, 2048), (4096, 4096), (4096, 8192))):
     rows = ["n_vars\tgrid\tsr_rows\tcompile_s\tepoch_ms\tupdates_per_s"]
     for (n, m) in grids:
@@ -38,17 +42,18 @@ def run(out_path="hbm_scale.tsv", epochs=100,
         except ValueError as err:
             print("%dx%d: rejected (%s)" % (n, m, err), flush=True)
             continue
-        # warm-up run compiles the kernel and validates the shape class
-        vals, counts = eng.run(seed=0, burn=0, epochs=2)
-        np.asarray(counts)
-        t0 = time.perf_counter()
-        vals, counts = eng.run(seed=1, burn=0, epochs=epochs)
-        np.asarray(counts)          # materialize through the tunnel
-        dt = time.perf_counter() - t0
-        ups = n * m * epochs / dt
+
+        def runner(ep, r):
+            vals, counts = eng.run(seed=1 + r, burn=0, epochs=ep)
+            return counts
+
+        # sanity: marginals of an unbiased lattice hover around 0.5
+        cnt = np.asarray(runner(8, 8))
+        assert 0.2 < cnt.mean() / 8 < 0.8, cnt.mean() / 8
+        lo, hi = (4, 40) if n * m > 4e6 else (16, 1500)
+        ups, per = epoch_rate(runner, n * m, lo=lo, hi=hi)
         rows.append("%d\t%dx%d\t%d\t%.2f\t%.3f\t%.3e" %
-                    (n * m, n, m, eng.sr, compile_s,
-                     1e3 * dt / epochs, ups))
+                    (n * m, n, m, eng.sr, compile_s, 1e3 * per, ups))
         print(rows[-1], flush=True)
     with open(out_path, "w") as fh:
         fh.write("\n".join(rows) + "\n")
@@ -56,5 +61,4 @@ def run(out_path="hbm_scale.tsv", epochs=100,
 
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "hbm_scale.tsv"
-    ep = int(sys.argv[2]) if len(sys.argv) > 2 else 100
-    run(out, ep)
+    run(out)
