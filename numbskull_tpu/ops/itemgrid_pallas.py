@@ -1465,7 +1465,8 @@ def _exchange_color(x_out, cmeta_ref, gmeta_ref, ci, my, n_g, rbl,
 
 def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
                  n_shards: int = 1, has_ext: bool = False,
-                 allow_aff: bool = True, one_color: bool = False):
+                 allow_aff: bool = True, one_color: bool = False,
+                 mc_layout: bool | None = None):
     """``one_color``: build the sequential-emulation variant — ONE color
     step for ONE device per call (scalars: epoch index, color index,
     device id), no epoch loop, no tallies, no in-kernel exchange. Used
@@ -1473,7 +1474,14 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
     the concurrent kernel (chromatic independence makes the sequential
     interleaving exactly equal to the concurrent execution — verified
     bit-equal on 2 interpret devices in tests/test_itemgrid_mc.py;
-    salt streams are the MC kernel's)."""
+    salt streams are the MC kernel's).
+
+    ``mc_layout``: force the multi-chip argument layout (device-id
+    scalar + gmeta + exchange semaphores) even at n_shards == 1, where
+    the exchange loops run over zero peers — used by
+    MultiChipItemGridEngine so a 1-device mesh executes the same
+    signature its >1-device meshes do. Default (None) keeps the
+    historical rule n_shards > 1."""
     vp = plan.vp
     kmax = plan.kmax
     vpr = vp // 128
@@ -1499,7 +1507,7 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
     M8 = (6 * aff_D + 3) * 8
     sbp = plan.sb               # blocks per affine superblock
 
-    mc = n_shards > 1
+    mc = (n_shards > 1) if mc_layout is None else mc_layout
     # pure-affine single-chip: flatten (color x superblock) into ONE
     # unit loop driven by an SMEM table, so pack_a prefetch crosses
     # color boundaries and per-color loop setup vanishes — many-color
@@ -2684,7 +2692,7 @@ class MultiChipItemGridEngine:
         plan = self.plan
         n_g = self.n_g
         kernel = _make_kernel(plan, sw_prng=bool(self.interpret),
-                              n_shards=n_g)
+                              n_shards=n_g, mc_layout=True)
         L = _Layout(plan.D, plan.A)
         DA = plan.D * plan.A
         vp, kmax = plan.vp, plan.kmax

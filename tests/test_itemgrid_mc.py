@@ -277,6 +277,30 @@ def test_itemgrid_learn_beyond_1024_weights():
     assert np.abs(wv).max() > 0.05       # gradients actually landed
 
 
+def test_mc_run_single_shard_bit_equal_to_single_chip():
+    """The CONCURRENT MC kernel at n_g=1 (MC argument layout, device-id
+    scalar, zero-peer exchange loops) must be bit-equal to the
+    single-chip fused kernel — at n_shards=1 the salt stream formula
+    (epoch*(COLOR_MAX+1)+ci)*n_shards+my collapses to the single-chip
+    one. Regression for the round-5 mc_layout fix: _make_kernel used to
+    build the single-chip signature at n_shards==1 while the MC engine
+    passed MC-layout args, shifting every ref by two."""
+    from numbskull_tpu.ops.itemgrid_pallas import (
+        MultiChipItemGridEngine, PallasItemGridEngine)
+
+    w, v, f, fm, dm, e = coin_model(8, 0.3, -0.2, 0.4, evidence=False,
+                                    weight_init=(0.3, -0.2, 0.4),
+                                    fixed=True)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm)
+    single = PallasItemGridEngine(cg, interpret=True)
+    x1, c1 = single.run(seed=5, burn=2, epochs=8)
+    mc = MultiChipItemGridEngine(cg, devices=jax.devices()[:1],
+                                 interpret=True)
+    x2, c2 = mc.run(seed=5, burn=2, epochs=8)
+    np.testing.assert_array_equal(np.asarray(x1), x2)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
 @pytest.mark.slow
 def test_run_emulated_single_shard_bit_equal_to_single_chip():
     """run_emulated at n_g=1 executes the one-color kernel variant per
