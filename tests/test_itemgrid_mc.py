@@ -143,24 +143,32 @@ def test_exchange_color_real_interpret():
     assert (y[:rbl] == 5.0).all() and (y[rbl:] == 9.0).all()
 
 
-def test_mc_concurrent_bit_equal_to_emulated():
+@pytest.mark.parametrize("n_g", [2, 4])
+def test_mc_concurrent_bit_equal_to_emulated(n_g):
     """THE multi-chip validation: the genuine fused MC kernel (epoch
     loop, per-color remote-DMA exchange, tallies — the exact code a pod
-    runs) executed CONCURRENTLY on 2 simulated interpret devices is
+    runs) executed CONCURRENTLY on simulated interpret devices is
     BIT-EQUAL to the sequential emulation, confirming the
     chromatic-independence equivalence with an actual concurrent
-    execution rather than an argument."""
+    execution rather than an argument. n_g=4 exercises multi-peer ring
+    exchange (every device broadcasts to 3 peers).
+
+    NOTE: the mesh must span FEWER devices than the CPU client owns —
+    the client's callback thread pool sizes with its device count, and
+    an interpret mesh over ALL devices can block every pool thread in
+    a remote-DMA wait (4 shards on a 4-device client deadlocks; on the
+    suite's 8-device client it runs in seconds)."""
     from numbskull_tpu.ops.itemgrid_pallas import MultiChipItemGridEngine
 
-    if len(jax.devices()) < 2:
-        pytest.skip("needs 2 devices")
+    if len(jax.devices()) <= n_g:
+        pytest.skip("needs > %d devices" % n_g)
     w, v, f, fm, dm, e = coin_model(8, 0.3, -0.2, 0.4, evidence=False,
                                     weight_init=(0.3, -0.2, 0.4),
                                     fixed=True)
     cg = compile_graph(w, v, f, fm, domain_mask=dm)
-    mc = MultiChipItemGridEngine(cg, devices=jax.devices()[:2],
+    mc = MultiChipItemGridEngine(cg, devices=jax.devices()[:n_g],
                                  interpret=True)
-    assert mc.n_g == 2
+    assert mc.n_g == n_g
     x1, c1 = mc.run(seed=1, burn=2, epochs=10)
     x2, c2 = mc.run_emulated(seed=1, burn=2, epochs=10)
     np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
