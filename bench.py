@@ -92,12 +92,14 @@ def _bench_general(n: int):
 
 
 def _bench_potts_card64(n: int):
-    """Cardinality-64 categorical (Potts) grid — far beyond the Pallas
-    kernel envelope (card <= 32), so this IS the fallback path a user
-    hits on high-cardinality graphs. Reference comparison: the numba
-    kernel's draw loops over all 64 candidate values per variable
-    (inference.py:36-52), so its boolean-graph ~1e7 updates/s shrinks
-    ~32x on this family."""
+    """Cardinality-64 categorical (Potts) grid through the fused
+    itemgrid kernel (K_MAX_SUP raised to 64 in round 5; the 64-way
+    candidate loop + masked inverse-CDF draw are bit-validated against
+    the XLA engine by the parity replay, tests/test_parity.py).
+    Reference comparison: the numba kernel's draw loops over all 64
+    candidate values per variable (inference.py:36-52), so its
+    boolean-graph ~1e7 updates/s shrinks ~32x on this family. Falls
+    back to the XLA engine outside the envelope."""
     from numbskull_tpu.compile import compile_graph
     from numbskull_tpu.models import ising_color_hint, potts_grid
     from numbskull_tpu.ops import GibbsEngine
@@ -105,15 +107,25 @@ def _bench_potts_card64(n: int):
     w, v, f, fm, dm, e = potts_grid(n, n, card=64, weight=0.2)
     cg = compile_graph(w, v, f, fm, domain_mask=dm,
                        color_hint=ising_color_hint(n, n))
-    eng = GibbsEngine(cg)
-    st = eng.init_state()
+    try:
+        from numbskull_tpu.ops.itemgrid_pallas import PallasItemGridEngine
+        eng = PallasItemGridEngine(cg)
 
-    def run(ep, r):
-        return eng.inference(st, jax.random.PRNGKey(1 + r),
-                             epochs=ep).count
+        def run(ep, r):
+            return eng.run(seed=1 + r, burn=0, epochs=ep, host=False)
 
-    ups, _ = epoch_rate(run, n * n, 200, 800)
-    return ups
+        ups, _ = epoch_rate(run, n * n, 50, 400)
+        return ups, True
+    except ValueError:
+        eng = GibbsEngine(cg)
+        st = eng.init_state()
+
+        def run(ep, r):
+            return eng.inference(st, jax.random.PRNGKey(1 + r),
+                                 epochs=ep).count
+
+        ups, _ = epoch_rate(run, n * n, 200, 800)
+        return ups, False
 
 
 def _bench_auto(n: int):
@@ -288,7 +300,7 @@ def main():
     chain_ratio, chain_sat = _bench_chain_replication()
     xla_ups = _bench_xla_grid(2048)
     gen_ups = _bench_general(256)
-    potts_ups = _bench_potts_card64(128)
+    potts_ups, potts_kernel = _bench_potts_card64(128)
     auto_ups, auto_itemgrid = _bench_auto(256)
     voting_ups = _bench_voting(200_000, 10)
     voting50_ups = _bench_voting(204_000, 50)
@@ -311,6 +323,7 @@ def main():
         "general_engine_used_itemgrid": auto_itemgrid,
         "xla_oracle_ups_256": round(gen_ups, 1),
         "categorical_card64_ups": round(potts_ups, 1),
+        "categorical_card64_kernel_engaged": potts_kernel,
         "itemgrid_voting_deg10_ups": round(voting_ups, 1),
         "itemgrid_voting_deg50_ups": round(voting50_ups, 1),
         "hbm_ups_33M": round(hbm_ups, 1),

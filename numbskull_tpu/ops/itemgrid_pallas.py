@@ -62,12 +62,17 @@ A_MAX = 64           # max factor arity (arity > 8 evaluates via stats
 #                      loops — code size O(1) in arity)
 DA_MAX = 1024        # max D*A per row (bounds the staged-gather and
 #                      packed-block scratch)
-K_MAX_SUP = 32       # max variable cardinality (the candidate loop and
+K_MAX_SUP = 64       # max variable cardinality (the candidate loop and
 #                      count slabs are static in kmax = the GRAPH's max
 #                      card, so raising the cap costs nothing for
 #                      boolean graphs; high-card graphs trade variable
 #                      capacity for count slabs — see the vcap scaling
-#                      in _plan_ranked)
+#                      in _plan_ranked. Raised 32 -> 64 in round 5:
+#                      the candidate loop and _draw's inverse-CDF
+#                      unroll linearly in kmax (code size + live slabs)
+#                      — 64 verified bit-exact vs the parity replay and
+#                      compile-safe on v5e; beyond 64 Mosaic compile
+#                      time and register spills grow unattractive)
 V_MAX = 10 << 20     # max padded variables AT kmax=2 (VMEM: 4B values +
 #                      1B tally + 2B/value counts = ~9B/var; chunked
 #                      init/tally avoid register spills; 3072x3072
@@ -1042,16 +1047,58 @@ def _draw(pots, card, kmax, u01):
     return jnp.minimum(val, card - 1)
 
 
+def _draw_vec(pots, card, kmax, u01):
+    """Masked inverse-CDF draw from a (kmax, RB) potential slab —
+    candidates live on the SUBLANE axis, so the max / normalize /
+    cumulative-pick pipeline is O(1) ops in kmax instead of _draw's
+    unrolled per-candidate chains (which explode Mosaic compile time
+    beyond ~kmax 32; the 64-way unroll measured minutes of compile and
+    could stall the device). Used by the kernel's vec-k path (kmax >
+    VEC_K_MIN) and mirrored EXACTLY by ops/parity.kernel_parity_run, so
+    bit-parity holds with the same lowering. card/u01: (1, RB)."""
+    kio = jax.lax.broadcasted_iota(jnp.int32, pots.shape, 0)
+    valid = kio < card
+    m = jnp.max(jnp.where(valid, pots, jnp.float32(-jnp.inf)), axis=0,
+                keepdims=True)
+    zs = jnp.where(valid, jnp.exp(pots - m), 0.0)
+    total = jnp.sum(zs, axis=0, keepdims=True)
+    u = u01 * total
+    csum = jnp.cumsum(zs, axis=0)
+    val = jnp.sum((csum < u).astype(jnp.int32), axis=0, keepdims=True)
+    return jnp.minimum(val, card - 1)
+
+
+VEC_K_MIN = 9       # kmax >= this uses the candidate-vectorized path:
+#                     (kmax, RB) slabs with candidates on sublanes, one
+#                     broadcast eval per slot instead of kmax unrolled
+#                     evals (code size O(1) in kmax). kmax <= 8 keeps
+#                     the historical unrolled tuples (marginally faster
+#                     at tiny kmax, and the layout the affine path and
+#                     existing parity fixtures assume).
+
+
 def _loop_stats(Ag, arity, read_val, read_eq, read_card, read_sub,
                 subvals):
     """ArgStats for EVERY substituted candidate in ``subvals`` via two
     fori loops over the argument index — code size O(1) in arity, so
     factors of arity up to A_MAX evaluate without unrolling, and all
     candidates share the per-argument reads. ``read_*(a)`` return
-    (1, RB) slabs for a TRACED index a; subvals entries are scalar k
-    or (1, RB). Returns a list of ArgStats, one per candidate."""
+    (1, RB) slabs for a TRACED index a; subvals entries are scalar k,
+    (1, RB), or (kmax, RB) — a 2-D multi-row subval (the vec-k path's
+    sublane candidate iota) broadcasts every value-derived stat to its
+    shape, so ONE call evaluates all candidates. Returns a list of
+    ArgStats, one per candidate."""
     zi = jnp.zeros_like(arity)
     K = len(subvals)
+
+    def _zk(k, dtype=None):
+        """Zero init matching candidate k's broadcast shape (loop
+        carries must be shape-stable, so value-derived stats start at
+        the subval's shape, not (1, RB))."""
+        sv = subvals[k]
+        if hasattr(sv, "ndim") and sv.ndim == 2 and sv.shape != zi.shape:
+            return jnp.zeros(sv.shape, dtype or zi.dtype)
+        return zi.astype(dtype) if dtype else zi
 
     def body1(a, c):
         g = read_val(a)
@@ -1089,9 +1136,9 @@ def _loop_stats(Ag, arity, read_val, read_eq, read_card, read_sub,
         return tuple(out)
 
     ones = jnp.ones_like(arity)
-    init = tuple((zi, zi, zi, zi, zi, zi, zi, zi, zi, zi, zi, zi,
-                  ones, ones, jnp.zeros(arity.shape, jnp.float32))
-                 for _ in range(K))
+    init = tuple((_zk(k),) * 8 + (zi, _zk(k), _zk(k), _zk(k),
+                                  ones, ones, _zk(k, jnp.float32))
+                 for k in range(K))
     c = jax.lax.fori_loop(0, Ag, body1, init)
     heads = [c[k][7] for k in range(K)]
 
@@ -1104,7 +1151,7 @@ def _loop_stats(Ag, arity, read_val, read_eq, read_card, read_sub,
                 mb & (jnp.where(sub, subvals[k], g) == heads[k]), 1, 0)
             for k in range(K))
 
-    n_head_eq = jax.lax.fori_loop(0, Ag, body2, tuple(zi for _ in
+    n_head_eq = jax.lax.fori_loop(0, Ag, body2, tuple(_zk(k) for k in
                                                       range(K)))
     res = []
     for k in range(K):
@@ -1508,6 +1555,7 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
     sbp = plan.sb               # blocks per affine superblock
 
     mc = (n_shards > 1) if mc_layout is None else mc_layout
+    vec_k = kmax >= VEC_K_MIN   # candidates on sublanes (see _draw_vec)
     # pure-affine single-chip: flatten (color x superblock) into ONE
     # unit loop driven by an SMEM table, so pack_a prefetch crosses
     # color boundaries and per-color loop setup vanishes — many-color
@@ -1551,8 +1599,11 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
         pack_a_hbm = refs.pop(0) if has_aff else None
         x_out = refs.pop(0)
         count_out = None if one_color else refs.pop(0)
-        (pack_scr, wb_scr, av_scr, sem, wsem) = refs[:5]
-        refs = refs[5:]
+        (pack_scr, wb_scr, av_scr) = refs[:3]
+        refs = refs[3:]
+        pots_scr = refs.pop(0) if vec_k else None
+        (sem, wsem) = refs[:2]
+        refs = refs[2:]
         if mc and not one_color:
             ssem, rsems = refs[:2]
             refs = refs[2:]
@@ -1655,27 +1706,85 @@ def _make_kernel(plan: ItemGridPlan, sw_prng: bool = False,
                                    ok.astype(jnp.float32) * w * es[k])
                     return tuple(out)
 
-                pots = tuple(jnp.zeros((1, RB), jnp.float32)
-                             for _ in range(kmax))
-                if "eval" in ABLATE:
-                    pots = tuple(
-                        p + pk[di:di + 1, :].astype(jnp.float32) * 1e-6
-                        for di, p in enumerate(pots))
-                elif unroll_d:
-                    for d in range(plan.D):
-                        pots = d_body(d, pots)
-                else:
-                    pots = jax.lax.fori_loop(0, d_c, d_body, pots)
+                def d_body_vec(d, _):
+                    """Candidate-vectorized slot: ONE broadcast eval
+                    covers every candidate — the substituted argument
+                    is a (kmax, RB) sublane iota, every other slab
+                    broadcasts from (1, RB). Accumulates into the
+                    pots_scr VMEM slab (code size O(1) in kmax)."""
+                    kio = jax.lax.broadcasted_iota(
+                        jnp.int32, (kmax, RB), 0)
+                    if unroll_a:
+                        term = _slot_decode(pk, wb, L, Ag, d, [gat])
+                        ftype, ar = term["ftype"], term["arity"]
+                        w, dd = term["w"], term["dd"]
+                        vals = [jnp.where(term["sub"][a], kio,
+                                          term["gat"][0][a])
+                                for a in range(Ag)]
+                        e = _eval_all(present, ftype, ar, vals,
+                                      term["eqs"], term["cards"], Ag)
+                    else:
+                        fta = pk[pl.ds(L.fta + d, 1), :]
+                        ftype = (fta & 0xFF) - 1
+                        ar = fta >> 8
+                        w = pltpu.bitcast(
+                            pk[pl.ds(L.wbake + d, 1), :], jnp.float32)
+                        dd = pk[pl.ds(L.dd + d, 1), :]
+                        _slot_gather_stage(pk, wb, L, Ag, d, gat,
+                                           av_scr, 0)
+                        e = _slot_eval_loop(
+                            pk, L, Ag, d, av_scr, 0, present,
+                            ftype, ar, [kio])[0]
+                    d1, d2 = dd & 0xFF, dd >> 8
+                    ok = ((dense & (kio < card)) |
+                          ((~dense) & ((kio == d1) | (kio == d2))))
+                    pots_scr[:] = pots_scr[:] + \
+                        ok.astype(jnp.float32) * w * e
+                    return 0
+
                 row0 = row0c + rb * rbl
-                if has_ext:
-                    # external per-(row, value) potentials: incoming
-                    # boundary messages in partitioned execution
-                    pots = tuple(
-                        pots[k] + ext_in[pl.ds(k * vpr + row0, rbl),
-                                         :].reshape(1, RB)
-                        for k in range(kmax))
-                new = _draw(list(pots), card, kmax,
-                            uniform(salt_base * 65536 + rb, (1, RB)))
+                if vec_k:
+                    pots_scr[:] = jnp.zeros((kmax, RB), jnp.float32)
+                    if "eval" in ABLATE:
+                        pots_scr[0:1, :] = \
+                            pk[0:1, :].astype(jnp.float32) * 1e-6
+                    elif unroll_d:
+                        for d in range(plan.D):
+                            d_body_vec(d, 0)
+                    else:
+                        jax.lax.fori_loop(0, d_c, d_body_vec, 0)
+                    if has_ext:
+                        for k in range(kmax):
+                            pots_scr[pl.ds(k, 1), :] = \
+                                pots_scr[pl.ds(k, 1), :] + \
+                                ext_in[pl.ds(k * vpr + row0, rbl),
+                                       :].reshape(1, RB)
+                    new = _draw_vec(pots_scr[:], card, kmax,
+                                    uniform(salt_base * 65536 + rb,
+                                            (1, RB)))
+                else:
+                    pots = tuple(jnp.zeros((1, RB), jnp.float32)
+                                 for _ in range(kmax))
+                    if "eval" in ABLATE:
+                        pots = tuple(
+                            p + pk[di:di + 1, :].astype(jnp.float32)
+                            * 1e-6
+                            for di, p in enumerate(pots))
+                    elif unroll_d:
+                        for d in range(plan.D):
+                            pots = d_body(d, pots)
+                    else:
+                        pots = jax.lax.fori_loop(0, d_c, d_body, pots)
+                    if has_ext:
+                        # external per-(row, value) potentials: incoming
+                        # boundary messages in partitioned execution
+                        pots = tuple(
+                            pots[k] + ext_in[pl.ds(k * vpr + row0, rbl),
+                                             :].reshape(1, RB)
+                            for k in range(kmax))
+                    new = _draw(list(pots), card, kmax,
+                                uniform(salt_base * 65536 + rb,
+                                        (1, RB)))
                 old = x_out[pl.ds(row0, rbl), :]
                 x_out[pl.ds(row0, rbl), :] = jnp.where(
                     upd.reshape(rbl, 128) == 1,
@@ -1868,6 +1977,15 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
     at the master, numbskull_master.py:174-233, made per-color, exact,
     and on-interconnect)."""
     kmax = plan.kmax
+    if kmax > 32:
+        # the learn kernel's dual-chain candidate loops are still
+        # unrolled in kmax; beyond 32 the code-size blowup makes the
+        # Mosaic compile pathological (measured minutes / device stall
+        # at 64). The inference kernel's vec-k path fixes this; porting
+        # it to the dual-chain+gradient structure is ROADMAP work. The
+        # XLA learn engine covers card > 32 graphs meanwhile.
+        raise ValueError("itemgrid learn caps cardinality at 32 "
+                         "(got %d); use the XLA engine" % kmax)
     vp = plan.vp
     vpr = vp // 128
     trw = plan.trw
@@ -2188,6 +2306,10 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
                         (dense | hit)
                     grad = jnp.where(inc, (ev_p - ev_e) * term["fv"],
                                      0.0)
+                    if "gradmm" in ABLATE:    # profiling: keep evals,
+                        gw_scr[0:1, :] = gw_scr[0:1, :] + \
+                            grad.reshape(RB // 128, 128)[0:1, :]
+                        return 0              # drop the matmuls
                     roh = (w_iota == (term["wid"] >> 7)).astype(
                         jnp.float32)
                     loh = lane_iota == (term["wid"] & 127)
@@ -2202,7 +2324,9 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
                         preferred_element_type=jnp.float32)
                     return 0
 
-                if unroll_d:
+                if "grad" in ABLATE:          # profiling: sampling only
+                    pass
+                elif unroll_d:
                     for d in range(plan.D):
                         d_grad(d, 0)
                 else:
@@ -2353,6 +2477,8 @@ class PallasItemGridEngine:
                    pltpu.SMEM((2, 8, _ceil(-(-(DA + 2) // 8), 128)),
                               jnp.int32),              # win bases
                    pltpu.VMEM((max(plan.A, 1), RB), jnp.int32),  # staged
+                   *([pltpu.VMEM((kmax, RB), jnp.float32)]   # vec-k pots
+                     if kmax >= VEC_K_MIN else []),
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA((2,))]
         if has_aff:
@@ -2713,6 +2839,8 @@ class MultiChipItemGridEngine:
                    pltpu.SMEM((2, 8, _ceil(-(-(DA + 2) // 8), 128)),
                               jnp.int32),
                    pltpu.VMEM((max(plan.A, 1), RB), jnp.int32),
+                   *([pltpu.VMEM((kmax, RB), jnp.float32)]   # vec-k
+                     if kmax >= VEC_K_MIN else []),
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA(()),       # send sem
@@ -2931,6 +3059,8 @@ class MultiChipItemGridEngine:
                    pltpu.SMEM((2, 8, _ceil(-(-(DA + 2) // 8), 128)),
                               jnp.int32),
                    pltpu.VMEM((max(plan.A, 1), RB), jnp.int32),
+                   *([pltpu.VMEM((plan.kmax, RB), jnp.float32)]  # vec-k
+                     if plan.kmax >= VEC_K_MIN else []),
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA((2,))]
         if has_aff:
@@ -3884,6 +4014,10 @@ def _make_learn_kernel_hbm(plan: ItemGridPlan, lp, wrows: int, sr: int,
                         (dense | hit)
                     grad = jnp.where(inc, (ev_p - ev_e) * term["fv"],
                                      0.0)
+                    if "gradmm" in ABLATE:    # profiling: keep evals,
+                        gw_scr[0:1, :] = gw_scr[0:1, :] + \
+                            grad.reshape(RB // 128, 128)[0:1, :]
+                        return 0              # drop the matmuls
                     roh = (w_iota == (term["wid"] >> 7)).astype(
                         jnp.float32)
                     loh = lane_iota == (term["wid"] & 127)
@@ -3898,7 +4032,9 @@ def _make_learn_kernel_hbm(plan: ItemGridPlan, lp, wrows: int, sr: int,
                         preferred_element_type=jnp.float32)
                     return 0
 
-                if unroll_d:
+                if "grad" in ABLATE:          # profiling: sampling only
+                    pass
+                elif unroll_d:
                     for d in range(plan.D):
                         d_grad(d, 0)
                 else:
@@ -3978,6 +4114,12 @@ class HbmItemGridEngine:
                                       n_shards=HG, vmax=V_HBM_MAX)
         if plan is None:
             raise ValueError("itemgrid kernel unsupported: " + reason)
+        if plan.kmax > 32:
+            # the HBM kernel's candidate loops are still unrolled in
+            # kmax (the VMEM kernel's vec-k path is not ported here);
+            # beyond 32 the Mosaic compile is pathological
+            raise ValueError("HBM itemgrid caps cardinality at 32 "
+                             "(got %d)" % plan.kmax)
         DA = plan.D * plan.A
         wbf = plan.wbase.reshape(plan.wbase.shape[0], -1)
         sr = int(wbf[:, DA + 1].max()) if plan.wbase.size else 8

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from numbskull_tpu.compile import CompiledGraph
 from numbskull_tpu.ops.gibbs import GibbsEngine, color_potentials
 from numbskull_tpu.ops.itemgrid_pallas import (
-    COLOR_MAX, _draw, _draw2, _uniform_sw, plan_item_grid,
+    COLOR_MAX, VEC_K_MIN, _draw, _draw2, _draw_vec, _uniform_sw,
+    plan_item_grid,
 )
 from numbskull_tpu.types import EV_EVIDENCE, EV_QUERY
 
@@ -120,6 +121,13 @@ def kernel_parity_run(cg: CompiledGraph, seed: int, burn: int,
                 new = np.asarray(_draw2(
                     jnp.asarray(p[:, 0][None]), jnp.asarray(p[:, 1][None]),
                     jnp.asarray(u[None])))[0]
+            elif kmax >= VEC_K_MIN:
+                # the kernel's vec-k path: same (kmax, N) slab, same
+                # max/exp/cumsum lowering — bit-comparable draws
+                new = np.asarray(_draw_vec(
+                    jnp.asarray(p.T.copy()),
+                    jnp.asarray(card_k[pos][None].astype(np.int32)),
+                    kmax, jnp.asarray(u[None])))[0]
             else:
                 pots = [jnp.asarray(p[:, k][None]) for k in range(kmax)]
                 new = np.asarray(_draw(

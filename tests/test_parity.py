@@ -84,3 +84,19 @@ def test_parity_voting_sb4_bit_equal():
     eng = _assert_bit_equal(cg, seed=7, burn=2, epochs=8)
     assert eng.plan.sb == 4, eng.plan.sb
     assert bool((eng.plan.cmeta[:, 5] == 1).any())   # affine exercised
+
+
+@pytest.mark.slow
+def test_parity_potts_card64_bit_equal():
+    """Cardinality-64 Potts lattice (K_MAX_SUP raised 32 -> 64 in round
+    5): the 64-candidate eval loop and the 64-way masked inverse-CDF
+    draw replay bit-identically through the XLA engine — the card-64
+    fused path is exact, not just statistically close. Dyadic weight
+    (0.25) keeps potential sums order-independent (module docstring)."""
+    from numbskull_tpu.models import ising_color_hint, potts_grid
+
+    w, v, f, fm, dm, e = potts_grid(8, 16, card=64, weight=0.25)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm,
+                       color_hint=ising_color_hint(8, 16))
+    eng = _assert_bit_equal(cg, seed=3, burn=2, epochs=12)
+    assert eng.plan.kmax == 64
