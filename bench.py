@@ -248,6 +248,35 @@ def _bench_learning(copies: int):
     return sps, 2 * copies * sps, bool(ok)
 
 
+def _bench_learning_voting(n_vars: int, degree: int):
+    """In-kernel dual-chain SGD on the grouped-voting family — the
+    graphs the reference actually LEARNED on across its cluster
+    (salt/src/experiment_intro_degree.py:29-88 drives learning epochs;
+    numbskull_master.py:174-233 sums the per-minion gradients). 30%
+    evidence voters, learnable AND weight. Var-updates/s counts each
+    variable once per epoch (the free chain; the clamped chain and the
+    gradient pass are part of the epoch cost)."""
+    from numbskull_tpu.compile import compile_graph
+    from numbskull_tpu.models import voting_grouped
+    from numbskull_tpu.ops.gibbs import LearnParams
+    from numbskull_tpu.ops.itemgrid_pallas import PallasItemGridEngine
+
+    w, v, f, fm, dm, e = voting_grouped(n_vars, degree, weight=0.0,
+                                        fixed=False, evidence_frac=0.3,
+                                        seed=2)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm)
+    eng = PallasItemGridEngine(cg)
+    lp = LearnParams(regularization=2, reg_param=1e-4)
+
+    def run(ep, r):
+        eng.learn(seed=1 + r, burn=0, epochs=ep, stepsize=0.01,
+                  decay=0.999, lp=lp)
+        return None
+
+    sps, _ = epoch_rate(run, 1, 30, 300)
+    return len(v) * sps
+
+
 def _bench_chain_replication():
     """Replica-chain throughput recovery on one chip: C disjoint graph
     copies in one kernel vs one copy (reference's var_copies axis,
@@ -297,6 +326,7 @@ def main():
     ups, epoch_s, mean = _bench_pallas_grid(n)
     item_ups, item_mean = _bench_itemgrid(1024)
     learn_sps, learn_vups, learn_ok = _bench_learning(20000)
+    learn_voting_vups = _bench_learning_voting(200_000, 10)
     chain_ratio, chain_sat = _bench_chain_replication()
     xla_ups = _bench_xla_grid(2048)
     gen_ups = _bench_general(256)
@@ -330,6 +360,8 @@ def main():
         "learn_steps_per_s_40k_vars": round(learn_sps, 2),
         "learn_var_updates_per_s": round(learn_vups, 1),
         "learn_recovers_weights": learn_ok,
+        "learn_voting_deg10_var_updates_per_s":
+            round(learn_voting_vups, 1),
         "chain_replication_throughput_ratio_x4": round(chain_ratio, 3),
         "chain_replication_saturated_frac":
             round(chain_sat / item_ups, 3),
