@@ -481,18 +481,27 @@ class FactorGraph:
                 seed = int(jax.random.randint(
                     jax.random.fold_in(key, epoch_offset),
                     (), 0, np.int32(2 ** 31 - 1)))
-                wv, x, xe = ig.learn(
-                    seed, burnin_epochs, epochs,
-                    stepsize=stepsize, decay=decay, lp=lp,
-                    weight_value=np.asarray(self.state.weight_value),
-                    x0=np.asarray(self.state.var_value),
-                    xe0=np.asarray(self.state.var_value_evid),
-                    return_state=True)
-                self.state = _dc.replace(
-                    self.state, weight_value=jnp.asarray(wv),
-                    var_value=jnp.asarray(x.astype(np.int32)),
-                    var_value_evid=jnp.asarray(xe.astype(np.int32)))
-            else:
+                try:
+                    wv, x, xe = ig.learn(
+                        seed, burnin_epochs, epochs,
+                        stepsize=stepsize, decay=decay, lp=lp,
+                        weight_value=np.asarray(self.state.weight_value),
+                        x0=np.asarray(self.state.var_value),
+                        xe0=np.asarray(self.state.var_value_evid),
+                        return_state=True)
+                except ValueError as err:
+                    # inference-eligible but outside the LEARN kernel's
+                    # envelope (e.g. cardinality 33..64, L1+multi-chip):
+                    # fall back to the XLA learn engine
+                    import warnings
+                    warnings.warn("itemgrid learn fallback: %s" % err)
+                    ig = None
+                else:
+                    self.state = _dc.replace(
+                        self.state, weight_value=jnp.asarray(wv),
+                        var_value=jnp.asarray(x.astype(np.int32)),
+                        var_value_evid=jnp.asarray(xe.astype(np.int32)))
+            if ig is None:
                 self.state = self.engine.learn(
                     self.state, jax.random.fold_in(key, epoch_offset),
                     epochs=epochs, stepsize=stepsize, decay=decay,
