@@ -878,13 +878,49 @@ def fill_weights(plan: ItemGridPlan, weight_value: np.ndarray):
 # --------------------------------------------------------------------------
 # factor evaluation (full reference set; golden.eval_factor parity)
 
+_STAT_USERS = {
+    # finalize's static stat -> consumer-type map: a stat is computed
+    # only when one of its consumers is PRESENT in the graph, so e.g. a
+    # pure-EQUAL Potts color generates ONE reduction instead of eight
+    # (measured 3.1e8 -> see bench categorical_card64_ups)
+    "n_zero": {T.FUNC_IMPLY_NATURAL, T.FUNC_AND, T.FUNC_ISTRUE},
+    "n_one": {T.FUNC_OR},
+    "n_diff0": {T.FUNC_EQUAL},
+    "n_head_eq": {T.FUNC_LINEAR, T.FUNC_RATIO, T.FUNC_LOGICAL},
+    "n_body_zero": {T.FUNC_IMPLY_MLN},
+    "n_neq_eq": {T.FUNC_AND_CAT, T.FUNC_EQUAL_CAT_CONST},
+    "n_eq_eq": {T.FUNC_OR_CAT},
+    "n_body_neq_eq": {T.FUNC_IMPLY_NATURAL_CAT, T.FUNC_IMPLY_MLN_CAT},
+    # head is read both by the imply family's finalize branches AND by
+    # the n_head_eq reduction itself (vals[a] == head), so the
+    # n_head_eq consumers are head consumers too
+    "head": {T.FUNC_IMPLY_NATURAL, T.FUNC_IMPLY_MLN,
+             T.FUNC_IMPLY_NATURAL_CAT, T.FUNC_IMPLY_MLN_CAT,
+             T.FUNC_LINEAR, T.FUNC_RATIO, T.FUNC_LOGICAL},
+    "ufo": {T.FUNC_UFO},
+}
+_DPGEN = {T.FUNC_DP_GEN_CLASS_PRIOR, T.FUNC_DP_GEN_LF_PRIOR,
+          T.FUNC_DP_GEN_LF_PROPENSITY, T.FUNC_DP_GEN_LF_ACCURACY,
+          T.FUNC_DP_GEN_LF_CLASS_PROPENSITY, T.FUNC_DP_GEN_DEP_FIXING,
+          T.FUNC_DP_GEN_DEP_REINFORCING, T.FUNC_DP_GEN_DEP_EXCLUSIVE,
+          T.FUNC_DP_GEN_DEP_SIMILAR}
+
+
 def _eval_all(present, ftype, arity, vals, eqs, cards, A):
     """Factor evaluation on (1, RB)-shaped slabs via the shared
     semantics table (ops/factor_semantics.finalize; parity with
     golden.eval_factor, reference numbskull/inference.py:149-413).
     vals/eqs/cards are lists of A (1, RB) int32 slabs (hypothetical
-    already substituted). This is the UNROLLED stats producer (small
-    arity); high-arity slots use the loop producer in the kernel."""
+    already substituted); the vec-k path passes (kmax, RB) substituted
+    slabs, which broadcast through every stat. Stats are pruned
+    STATICALLY by the present type set (_STAT_USERS) — finalize
+    generates no code for absent types, so unused stats are passed as
+    scalar zeros."""
+    pres = set(present)
+
+    def need(stat):
+        return bool(pres & _STAT_USERS[stat])
+
     avalid = [(jnp.int32(a) < arity) for a in range(A)]
     head_pos = arity - 1
 
@@ -900,37 +936,48 @@ def _eval_all(present, ftype, arity, vals, eqs, cards, A):
     ufo_sel = jnp.float32(0)
     for a in range(A):
         at_head = jnp.int32(a) == head_pos
-        head = jnp.where(at_head, vals[a], head)
-        head_eq = jnp.where(at_head, eqs[a], head_eq)
+        if need("head"):
+            head = jnp.where(at_head, vals[a], head)
+            head_eq = jnp.where(at_head, eqs[a], head_eq)
         # validity mask matches _loop_stats: a malformed UFO head value
         # beyond the arity must not read a padding slot (ADVICE r2)
-        ufo_sel = jnp.where((vals[0] - 1 == jnp.int32(a)) & avalid[a],
-                            vals[a].astype(jnp.float32), ufo_sel)
+        if need("ufo"):
+            ufo_sel = jnp.where(
+                (vals[0] - 1 == jnp.int32(a)) & avalid[a],
+                vals[a].astype(jnp.float32), ufo_sel)
     v0 = vals[0]
+
+    def sred(stat, fn, body_only=False):
+        if not need(stat):
+            return 0
+        return red(fn, 0, body_only=body_only)
+
     st = ArgStats(
-        n_zero=red(lambda s, m, a: s +
-                   jnp.where(m & (vals[a] == 0), 1, 0), 0),
-        n_one=red(lambda s, m, a: s +
-                  jnp.where(m & (vals[a] == 1), 1, 0), 0),
-        n_diff0=red(lambda s, m, a: s +
-                    jnp.where(m & (vals[a] != v0), 1, 0), 0),
-        n_head_eq=red(lambda s, m, a: s +
-                      jnp.where(m & (vals[a] == head), 1, 0), 0,
-                      body_only=True),
-        n_body_zero=red(lambda s, m, a: s +
-                        jnp.where(m & (vals[a] == 0), 1, 0), 0,
-                        body_only=True),
-        n_neq_eq=red(lambda s, m, a: s +
-                     jnp.where(m & (vals[a] != eqs[a]), 1, 0), 0),
-        n_eq_eq=red(lambda s, m, a: s +
-                    jnp.where(m & (vals[a] == eqs[a]), 1, 0), 0),
-        n_body_neq_eq=red(lambda s, m, a: s +
-                          jnp.where(m & (vals[a] != eqs[a]), 1, 0), 0,
-                          body_only=True),
+        n_zero=sred("n_zero", lambda s, m, a: s +
+                    jnp.where(m & (vals[a] == 0), 1, 0)),
+        n_one=sred("n_one", lambda s, m, a: s +
+                   jnp.where(m & (vals[a] == 1), 1, 0)),
+        n_diff0=sred("n_diff0", lambda s, m, a: s +
+                     jnp.where(m & (vals[a] != v0), 1, 0)),
+        n_head_eq=sred("n_head_eq", lambda s, m, a: s +
+                       jnp.where(m & (vals[a] == head), 1, 0),
+                       body_only=True),
+        n_body_zero=sred("n_body_zero", lambda s, m, a: s +
+                         jnp.where(m & (vals[a] == 0), 1, 0),
+                         body_only=True),
+        n_neq_eq=sred("n_neq_eq", lambda s, m, a: s +
+                      jnp.where(m & (vals[a] != eqs[a]), 1, 0)),
+        n_eq_eq=sred("n_eq_eq", lambda s, m, a: s +
+                     jnp.where(m & (vals[a] == eqs[a]), 1, 0)),
+        n_body_neq_eq=sred("n_body_neq_eq", lambda s, m, a: s +
+                           jnp.where(m & (vals[a] != eqs[a]), 1, 0),
+                           body_only=True),
         head=head, head_eq=head_eq,
-        v0=v0, v1=vals[1] if A > 1 else v0 * 0,
-        v2=vals[2] if A > 2 else v0 * 0,
-        card0=cards[0], card1=cards[1] if A > 1 else cards[0],
+        v0=v0 if (pres & _DPGEN) or need("ufo") else 0,
+        v1=(vals[1] if A > 1 else v0 * 0) if pres & _DPGEN else 0,
+        v2=(vals[2] if A > 2 else v0 * 0) if pres & _DPGEN else 0,
+        card0=cards[0] if pres & _DPGEN else 0,
+        card1=(cards[1] if A > 1 else cards[0]) if pres & _DPGEN else 0,
         ufo_sel=ufo_sel)
     return finalize(present, ftype, st)
 
@@ -1056,14 +1103,25 @@ def _draw_vec(pots, card, kmax, u01):
     could stall the device). Used by the kernel's vec-k path (kmax >
     VEC_K_MIN) and mirrored EXACTLY by ops/parity.kernel_parity_run, so
     bit-parity holds with the same lowering. card/u01: (1, RB)."""
+    K = pots.shape[0]
     kio = jax.lax.broadcasted_iota(jnp.int32, pots.shape, 0)
     valid = kio < card
     m = jnp.max(jnp.where(valid, pots, jnp.float32(-jnp.inf)), axis=0,
                 keepdims=True)
     zs = jnp.where(valid, jnp.exp(pots - m), 0.0)
-    total = jnp.sum(zs, axis=0, keepdims=True)
+    # inclusive prefix sum along sublanes via log-step shifted adds
+    # (Hillis-Steele): Mosaic has no cumsum lowering, and this fixed
+    # add order is reproduced identically by the parity replay (the
+    # shifts are static concats, valid both in-kernel and as plain XLA)
+    csum = zs
+    s = 1
+    while s < K:
+        csum = csum + jnp.concatenate(
+            [jnp.zeros((s,) + csum.shape[1:], csum.dtype), csum[:-s]],
+            axis=0)
+        s *= 2
+    total = csum[K - 1:K]
     u = u01 * total
-    csum = jnp.cumsum(zs, axis=0)
     val = jnp.sum((csum < u).astype(jnp.int32), axis=0, keepdims=True)
     return jnp.minimum(val, card - 1)
 
@@ -2313,15 +2371,22 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
                     roh = (w_iota == (term["wid"] >> 7)).astype(
                         jnp.float32)
                     loh = lane_iota == (term["wid"] & 127)
-                    gw_scr[:] = gw_scr[:] + jax.lax.dot_general(
-                        roh, jnp.where(loh, grad, 0.0),
+                    # one MXU contraction for BOTH per-weight reductions
+                    # (gradient sum + contribution count): the rhs
+                    # stacks them on the sublane axis, and each output
+                    # element is the same single-axis contraction as
+                    # two separate dots — bit-identical results, half
+                    # the MXU issues
+                    both = jnp.concatenate(
+                        [jnp.where(loh, grad, 0.0),
+                         jnp.where(loh, inc.astype(jnp.float32), 0.0)],
+                        axis=0)                           # (256, RB)
+                    gn = jax.lax.dot_general(
+                        roh, both,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                    nw_scr[:] = nw_scr[:] + jax.lax.dot_general(
-                        roh, jnp.where(loh, inc.astype(jnp.float32),
-                                       0.0),
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+                    gw_scr[:] = gw_scr[:] + gn[:, 0:128]
+                    nw_scr[:] = nw_scr[:] + gn[:, 128:256]
                     return 0
 
                 if "grad" in ABLATE:          # profiling: sampling only
@@ -4021,15 +4086,22 @@ def _make_learn_kernel_hbm(plan: ItemGridPlan, lp, wrows: int, sr: int,
                     roh = (w_iota == (term["wid"] >> 7)).astype(
                         jnp.float32)
                     loh = lane_iota == (term["wid"] & 127)
-                    gw_scr[:] = gw_scr[:] + jax.lax.dot_general(
-                        roh, jnp.where(loh, grad, 0.0),
+                    # one MXU contraction for BOTH per-weight reductions
+                    # (gradient sum + contribution count): the rhs
+                    # stacks them on the sublane axis, and each output
+                    # element is the same single-axis contraction as
+                    # two separate dots — bit-identical results, half
+                    # the MXU issues
+                    both = jnp.concatenate(
+                        [jnp.where(loh, grad, 0.0),
+                         jnp.where(loh, inc.astype(jnp.float32), 0.0)],
+                        axis=0)                           # (256, RB)
+                    gn = jax.lax.dot_general(
+                        roh, both,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                    nw_scr[:] = nw_scr[:] + jax.lax.dot_general(
-                        roh, jnp.where(loh, inc.astype(jnp.float32),
-                                       0.0),
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+                    gw_scr[:] = gw_scr[:] + gn[:, 0:128]
+                    nw_scr[:] = nw_scr[:] + gn[:, 128:256]
                     return 0
 
                 if "grad" in ABLATE:          # profiling: sampling only
