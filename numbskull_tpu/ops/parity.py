@@ -34,16 +34,26 @@ from numbskull_tpu.ops.itemgrid_pallas import (
 from numbskull_tpu.types import EV_EVIDENCE, EV_QUERY
 
 
-def _block_uniforms(seed977, salt_base, rb0, n_blocks):
-    """The kernel's per-block (8, 128) uniform stream, flattened for
-    ``n_blocks`` consecutive blocks: position p of block rb draws
-    _uniform_sw(seed*977, salt_base*65536 + rb) at (p//128, p%128)."""
+def _block_uniforms(seed977, salt_base, rb0, n_blocks, aff=False):
+    """The kernel's per-block uniform stream, flattened for
+    ``n_blocks`` consecutive blocks of 1024 positions.
+
+    The AFFINE path draws (8, 128)-shaped blocks — position p hashes
+    iotas (p//128, p%128) — while the general/vec path draws
+    (1, RB)-shaped blocks — position p hashes iotas (0, p). The maps
+    agree only for p < 128, which hid the distinction while every
+    parity fixture had <= 128 variables per color (round-5 fix: a
+    512-var card-64 Potts exposed it)."""
     N = n_blocks * 1024
     pos = np.arange(N)
     salt = (np.int32(salt_base) * np.int32(65536) +
             np.int32(rb0) + (pos // 1024).astype(np.int32))
-    i0 = ((pos % 1024) // 128).astype(np.uint32)
-    i1 = (pos % 128).astype(np.uint32)
+    if aff:
+        i0 = ((pos % 1024) // 128).astype(np.uint32)
+        i1 = (pos % 128).astype(np.uint32)
+    else:
+        i0 = np.zeros(N, np.uint32)
+        i1 = (pos % 1024).astype(np.uint32)
     # inline _uniform_sw with explicit iotas (its shape-derived iotas
     # are exactly these within each (8, 128) block)
     x = (jnp.uint32(i0) * jnp.uint32(0x9E3779B9) ^
@@ -113,7 +123,8 @@ def kernel_parity_run(cg: CompiledGraph, seed: int, burn: int,
             pot_of[cvv[cvok], :kx] = pot[cvok]
             # uniforms in kernel position order for this color's blocks
             salt_base = np.int32(i * (COLOR_MAX + 1) + ci)
-            u_blocks = _block_uniforms(seed977, salt_base, 0, num_rb)
+            u_blocks = _block_uniforms(seed977, salt_base, 0, num_rb,
+                                       aff=is_aff)
             pos = perm[vids]
             u = u_blocks[pos - row0 * 128]
             p = pot_of[vids]                             # (N, kmax)

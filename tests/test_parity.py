@@ -100,3 +100,22 @@ def test_parity_potts_card64_bit_equal():
                        color_hint=ising_color_hint(8, 16))
     eng = _assert_bit_equal(cg, seed=3, burn=2, epochs=12)
     assert eng.plan.kmax == 64
+
+
+@pytest.mark.slow
+def test_parity_general_path_block_beyond_128_positions():
+    """The general/vec path draws (1, RB)-shaped uniform blocks (iotas
+    (0, p)) while the affine path draws (8, 128) blocks (iotas
+    (p//128, p%128)); the maps agree only below position 128, so every
+    small fixture masked the distinction. This 512-var card-64 Potts
+    (256 vars per color) exercises positions >= 128 through the
+    general vec-k path — round-5 regression for the replay's
+    per-path uniform map."""
+    from numbskull_tpu.models import ising_color_hint, potts_grid
+
+    w, v, f, fm, dm, e = potts_grid(16, 32, card=64, weight=0.25)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm,
+                       color_hint=ising_color_hint(16, 32))
+    eng = _assert_bit_equal(cg, seed=3, burn=1, epochs=4)
+    assert eng.plan.kmax == 64
+    assert bool((eng.plan.cmeta[:, 5] == 0).any())
