@@ -222,7 +222,9 @@ def _bench_voting(n_vars: int, degree: int):
 def _bench_learning(copies: int):
     """Weight-learn epochs/s on the coin model: in-kernel dual-chain SGD
     (Pallas itemgrid learn; reference analog: learnthread,
-    learning.py:12-31)."""
+    learning.py:12-31). Round 5: affine learning colors run the
+    lane-roll/shared-stats path, bit-identical to the general learn
+    path by construction (tests/test_itemgrid_affine.py)."""
     from numbskull_tpu.compile import compile_graph
     from numbskull_tpu.models import coin_model
     from numbskull_tpu.ops.gibbs import LearnParams
@@ -326,6 +328,7 @@ def main():
     ups, epoch_s, mean = _bench_pallas_grid(n)
     item_ups, item_mean = _bench_itemgrid(1024)
     learn_sps, learn_vups, learn_ok = _bench_learning(20000)
+    learn_sps4, learn_vups_400k, _ = _bench_learning(200000)
     learn_voting_vups = _bench_learning_voting(200_000, 10)
     chain_ratio, chain_sat = _bench_chain_replication()
     xla_ups = _bench_xla_grid(2048)
@@ -360,6 +363,7 @@ def main():
         "learn_steps_per_s_40k_vars": round(learn_sps, 2),
         "learn_var_updates_per_s": round(learn_vups, 1),
         "learn_recovers_weights": learn_ok,
+        "learn_var_updates_per_s_400k": round(learn_vups_400k, 1),
         "learn_voting_deg10_var_updates_per_s":
             round(learn_voting_vups, 1),
         "chain_replication_throughput_ratio_x4": round(chain_ratio, 3),

@@ -1374,6 +1374,109 @@ def _draw2(p0, p1, u01):
     return (u01 * (1.0 + z) < 1.0).astype(jnp.int32)
 
 
+def _aff_need(present):
+    """Static stat requirements per factor type (finalize's truth
+    table): (need_head, need_body, need_v0, need_v12)."""
+    pres = set(present)
+    need_head = bool(pres & {
+        T.FUNC_IMPLY_NATURAL, T.FUNC_IMPLY_MLN, T.FUNC_LINEAR,
+        T.FUNC_RATIO, T.FUNC_LOGICAL, T.FUNC_IMPLY_NATURAL_CAT,
+        T.FUNC_IMPLY_MLN_CAT})
+    need_v0 = bool(pres & ({T.FUNC_EQUAL} | _DPGEN))
+    need_v12 = bool(pres & {
+        T.FUNC_DP_GEN_LF_ACCURACY, T.FUNC_DP_GEN_LF_CLASS_PROPENSITY,
+        T.FUNC_DP_GEN_DEP_FIXING, T.FUNC_DP_GEN_DEP_REINFORCING,
+        T.FUNC_DP_GEN_DEP_EXCLUSIVE, T.FUNC_DP_GEN_DEP_SIMILAR})
+    return need_head, need_head, need_v0, need_v12
+
+
+def _aff_slot_stats(read_pk, read_av, d, amax_c, Ag, present, rows):
+    """ONE slot's counting stats over the staged affine gathers: the
+    shared stats pass every candidate (and, in learning, every sampled
+    value) is evaluated from. Returns the 12-tuple the a_body loop
+    accumulates plus the slot's decoded (ftype, arity)."""
+    need_head, need_body, need_v0, need_v12 = _aff_need(present)
+    zero8 = jnp.zeros((rows, 128), jnp.int32)
+    fta = read_pk(6 * d)
+    ftype = (fta & 0xFF) - 1
+    arity = fta >> 8
+    read_sub = _read_sub2(read_pk(6 * d + 2), read_pk(6 * d + 3))
+
+    def a_body(a, c):
+        (nz, nbz, ns, nbs, hf, hs, v0f, v0s, v1f, v1s,
+         v2f, v2s) = c
+        v = read_av(d * Ag + a)
+        sub = read_sub(a)
+        m = a < arity
+        fet = m & ~sub
+        nz = nz + jnp.where(fet & (v == 0), 1, 0)
+        ns = ns + jnp.where(m & sub, 1, 0)
+        subi = sub.astype(jnp.int32)
+        if need_body:
+            mb = a < arity - 1
+            nbz = nbz + jnp.where(mb & ~sub & (v == 0), 1, 0)
+            nbs = nbs + jnp.where(mb & sub, 1, 0)
+        if need_head:
+            at_h = (a == arity - 1)
+            hf = jnp.where(at_h & ~sub, v, hf)
+            hs = jnp.where(at_h, subi, hs)
+        if need_v0:
+            v0f = jnp.where((a == 0) & ~sub, v, v0f)
+            v0s = jnp.where(a == 0, subi, v0s)
+        if need_v12:
+            v1f = jnp.where((a == 1) & ~sub, v, v1f)
+            v1s = jnp.where(a == 1, subi, v1s)
+            v2f = jnp.where((a == 2) & ~sub, v, v2f)
+            v2s = jnp.where(a == 2, subi, v2s)
+        return (nz, nbz, ns, nbs, hf, hs, v0f, v0s, v1f, v1s,
+                v2f, v2s)
+
+    stats = jax.lax.fori_loop(0, amax_c, a_body,
+                              tuple(zero8 for _ in range(12)))
+    return stats, ftype, arity
+
+
+def _aff_eval_at(stats, V, ftype, arity, present, rows):
+    """Factor value of one slot at substituted value ``V`` — a python
+    int candidate (0/1: the inference k-loop) or a (rows, 128) slab
+    (learning: the freshly-sampled values) — from the shared stats.
+    Static-int candidates reproduce the historical expressions exactly
+    (bit-compatibility of the inference path)."""
+    need_head, need_body, need_v0, need_v12 = _aff_need(present)
+    zero8 = jnp.zeros((rows, 128), jnp.int32)
+    full2 = jnp.full((rows, 128), 2, jnp.int32)
+    (nz, nbz, ns, nbs, hf, hs, v0f, v0s, v1f, v1s, v2f, v2s) = stats
+    if isinstance(V, int):
+        n_zero = nz + ns if V == 0 else nz
+        n_bz = nbz + nbs if V == 0 else nbz
+        vv = jnp.int32(V)
+    else:
+        n_zero = nz + jnp.where(V == 0, ns, 0)
+        n_bz = nbz + jnp.where(V == 0, nbs, 0)
+        vv = V
+    head = jnp.where(hs == 1, vv, hf)
+    v0 = jnp.where(v0s == 1, vv, v0f)
+    st = ArgStats(
+        n_zero=n_zero,
+        n_one=arity - n_zero,
+        n_diff0=jnp.where(v0 == 0, arity - n_zero, n_zero)
+        if need_v0 else zero8,
+        n_head_eq=jnp.where(head == 0, n_bz,
+                            arity - 1 - n_bz)
+        if need_head else zero8,
+        n_body_zero=n_bz,
+        n_neq_eq=arity - n_zero,
+        n_eq_eq=n_zero,
+        n_body_neq_eq=arity - 1 - n_bz,
+        head=head, head_eq=zero8,
+        v0=v0,
+        v1=jnp.where(v1s == 1, vv, v1f),
+        v2=jnp.where(v2s == 1, vv, v2f),
+        card0=full2, card1=full2,
+        ufo_sel=jnp.float32(0))
+    return finalize(present, ftype, st)
+
+
 def _aff_block_pots(read_pk, read_av, d_c, amax_c, Ag, aff_D, present,
                     w_of=None, rows=8):
     """Potentials for both boolean candidates of one (rows, 128) unit on
@@ -1385,97 +1488,20 @@ def _aff_block_pots(read_pk, read_av, d_c, amax_c, Ag, aff_D, present,
     ``rows``: 8 for one block (HBM kernel) or SB*8 when the VMEM kernel
     evaluates a whole superblock as one unit.
 
-    Accumulators are pruned STATICALLY by the factor types present:
-    e.g. a pure EQUAL/AND/ISTRUE color (Ising, voting) tracks only
-    n_zero, head existence is irrelevant, and the v1/v2 position
-    selects vanish — the stats loop body is the dominant VPU cost."""
-    zero8 = jnp.zeros((rows, 128), jnp.int32)
-    full2 = jnp.full((rows, 128), 2, jnp.int32)
-    # static stat requirements per factor type (finalize's truth table)
-    need_head = bool(set(present) & {
-        T.FUNC_IMPLY_NATURAL, T.FUNC_IMPLY_MLN, T.FUNC_LINEAR,
-        T.FUNC_RATIO, T.FUNC_LOGICAL, T.FUNC_IMPLY_NATURAL_CAT,
-        T.FUNC_IMPLY_MLN_CAT})
-    need_body = need_head    # n_body_zero feeds the head-family stats
-    need_v0 = bool(set(present) & {
-        T.FUNC_EQUAL, T.FUNC_DP_GEN_CLASS_PRIOR, T.FUNC_DP_GEN_LF_PRIOR,
-        T.FUNC_DP_GEN_LF_PROPENSITY, T.FUNC_DP_GEN_LF_ACCURACY,
-        T.FUNC_DP_GEN_LF_CLASS_PROPENSITY, T.FUNC_DP_GEN_DEP_FIXING,
-        T.FUNC_DP_GEN_DEP_REINFORCING, T.FUNC_DP_GEN_DEP_EXCLUSIVE,
-        T.FUNC_DP_GEN_DEP_SIMILAR})
-    need_v12 = bool(set(present) & {
-        T.FUNC_DP_GEN_LF_ACCURACY, T.FUNC_DP_GEN_LF_CLASS_PROPENSITY,
-        T.FUNC_DP_GEN_DEP_FIXING, T.FUNC_DP_GEN_DEP_REINFORCING,
-        T.FUNC_DP_GEN_DEP_EXCLUSIVE, T.FUNC_DP_GEN_DEP_SIMILAR})
-
+    Accumulators are pruned STATICALLY by the factor types present
+    (_aff_need): e.g. a pure EQUAL/AND/ISTRUE color (Ising, voting)
+    tracks only n_zero — the stats loop body is the dominant VPU
+    cost."""
     def d_body(d, pots2):
-        fta = read_pk(6 * d)
-        ftype = (fta & 0xFF) - 1
-        arity = fta >> 8
         if w_of is None:
             w = pltpu.bitcast(read_pk(6 * d + 1), jnp.float32)
         else:
             w = w_of(read_pk(6 * d + 4))
-        read_sub = _read_sub2(read_pk(6 * d + 2), read_pk(6 * d + 3))
-
-        def a_body(a, c):
-            (nz, nbz, ns, nbs, hf, hs, v0f, v0s, v1f, v1s,
-             v2f, v2s) = c
-            v = read_av(d * Ag + a)
-            sub = read_sub(a)
-            m = a < arity
-            fet = m & ~sub
-            nz = nz + jnp.where(fet & (v == 0), 1, 0)
-            ns = ns + jnp.where(m & sub, 1, 0)
-            subi = sub.astype(jnp.int32)
-            if need_body:
-                mb = a < arity - 1
-                nbz = nbz + jnp.where(mb & ~sub & (v == 0), 1, 0)
-                nbs = nbs + jnp.where(mb & sub, 1, 0)
-            if need_head:
-                at_h = (a == arity - 1)
-                hf = jnp.where(at_h & ~sub, v, hf)
-                hs = jnp.where(at_h, subi, hs)
-            if need_v0:
-                v0f = jnp.where((a == 0) & ~sub, v, v0f)
-                v0s = jnp.where(a == 0, subi, v0s)
-            if need_v12:
-                v1f = jnp.where((a == 1) & ~sub, v, v1f)
-                v1s = jnp.where(a == 1, subi, v1s)
-                v2f = jnp.where((a == 2) & ~sub, v, v2f)
-                v2s = jnp.where(a == 2, subi, v2s)
-            return (nz, nbz, ns, nbs, hf, hs, v0f, v0s, v1f, v1s,
-                    v2f, v2s)
-
-        (nz, nbz, ns, nbs, hf, hs, v0f, v0s, v1f, v1s, v2f, v2s) = \
-            jax.lax.fori_loop(0, amax_c, a_body,
-                              tuple(zero8 for _ in range(12)))
+        stats, ftype, arity = _aff_slot_stats(read_pk, read_av, d,
+                                              amax_c, Ag, present, rows)
         out = []
         for k in range(2):
-            n_zero = nz + ns if k == 0 else nz
-            n_bz = nbz + nbs if k == 0 else nbz
-            kk = jnp.int32(k)
-            head = jnp.where(hs == 1, kk, hf)
-            v0 = jnp.where(v0s == 1, kk, v0f)
-            st = ArgStats(
-                n_zero=n_zero,
-                n_one=arity - n_zero,
-                n_diff0=jnp.where(v0 == 0, arity - n_zero, n_zero)
-                if need_v0 else zero8,
-                n_head_eq=jnp.where(head == 0, n_bz,
-                                    arity - 1 - n_bz)
-                if need_head else zero8,
-                n_body_zero=n_bz,
-                n_neq_eq=arity - n_zero,
-                n_eq_eq=n_zero,
-                n_body_neq_eq=arity - 1 - n_bz,
-                head=head, head_eq=zero8,
-                v0=v0,
-                v1=jnp.where(v1s == 1, kk, v1f),
-                v2=jnp.where(v2s == 1, kk, v2f),
-                card0=full2, card1=full2,
-                ufo_sel=jnp.float32(0))
-            e = finalize(present, ftype, st)
+            e = _aff_eval_at(stats, k, ftype, arity, present, rows)
             out.append(pots2[k] + w * e)
         return tuple(out)
 
@@ -2063,6 +2089,16 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
     # used to validate the MC path against the single-chip kernel)
     mc = n_shards >= 1
     W2 = 2 * wrows
+    # affine learn path: dual-chain lane-roll gathers + shared stats
+    # (single-chip, no external potentials — those colors run the
+    # general path, which remains correct for affine-flagged colors
+    # because the old-stack blocks are always written)
+    has_aff = (not mc and not has_ext and plan.packed_a is not None
+               and plan.cmeta.size
+               and bool((plan.cmeta[:, 5] == 1).any()))
+    aff_D = plan.aff_D
+    sbp = plan.sb
+    M8 = (6 * aff_D + 3) * 8
 
     def kernel(*refs):
         refs = list(refs)
@@ -2075,17 +2111,25 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
         else:
             cmeta_ref = refs.pop(0)
             my = 0
+        amet_ref = refs.pop(0) if has_aff else None
         (x_in, xe_in, w_in, wfix) = refs[:4]
         refs = refs[4:]
         ext_p_in = ext_e_in = None
         if has_ext:
             ext_p_in = refs.pop(0)
             ext_e_in = refs.pop(0)
-        (pack_hbm, wb_hbm, x_out, xe_out, w_out,
-         pack_scr, wb_scr, gv_scr, gw_scr, nw_scr, sem, wsem) = refs[:12]
-        refs = refs[12:]
+        (pack_hbm, wb_hbm) = refs[:2]
+        refs = refs[2:]
+        pack_a_hbm = refs.pop(0) if has_aff else None
+        (x_out, xe_out, w_out,
+         pack_scr, wb_scr, gv_scr, gw_scr, nw_scr, sem, wsem) = refs[:10]
+        refs = refs[10:]
         if mc:
             ssem, rsems, gwr, gssem, grsems = refs[:5]
+            refs = refs[5:]
+        if has_aff:
+            (pack_a_scr, av_ap, av_ae, ua_scr, g_scr, i_scr,
+             asem) = refs[:7]
         pltpu.prng_seed(seed_ref[0] + my)
         uniform = _make_uniform(sw_prng, seed_ref[0] + my)
         # weight-update randomness (L1 truncation) must be IDENTICAL on
@@ -2451,6 +2495,9 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
                 # apply the update (reference learning.py:111-125
                 # semantics, batched as in ops/gibbs._color_step_learn)
                 gw, nw = gw_scr[:], nw_scr[:]
+            apply_update(gw, nw, step, epoch_i, ci)
+
+        def apply_update(gw, nw, step, epoch_i, ci):
             if lp.grad_agg == "mean":
                 gw = gw / jnp.maximum(nw, 1.0)
             w = w_out[:]
@@ -2470,6 +2517,202 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
                 w_new = w - step * gw
             w_out[:] = jnp.where(touched, w_new, w)
 
+        if has_aff:
+            lane_sb = jax.lax.broadcasted_iota(jnp.int32,
+                                               (sbp * 8, 128), 1)
+            SRr = sbp * rbl         # sublane rows per superblock
+
+            def a_dma(gsb, slot, what):
+                cp = pltpu.make_async_copy(
+                    pack_a_hbm.at[pl.ds(gsb * (M8 * sbp), M8 * sbp)],
+                    pack_a_scr.at[slot], asem.at[slot])
+                cp.start() if what == "start" else cp.wait()
+
+            def aff_w_of(wid):
+                """Live-weight lookup for a (SRr, 128) wid slab: the
+                general path's two-step one-hot gather, per 8-row
+                block, reassembled."""
+                parts = []
+                for b in range(sbp):
+                    wid_b = wid[b * rbl:(b + 1) * rbl, :].reshape(1, RB)
+                    roh = (w_iota == (wid_b >> 7)).astype(jnp.float32)
+                    rs = jax.lax.dot_general(
+                        w_out[:], roh,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    loh = lane_iota == (wid_b & 127)
+                    sel = jnp.sum(jnp.where(loh, rs, 0.0), axis=0,
+                                  keepdims=True)
+                    parts.append(sel.reshape(rbl, 128))
+                return jnp.concatenate(parts, axis=0)
+
+            def aff_learn_color(ci, carry):
+                """Affine learning color: dual-chain lane-roll gathers,
+                ONE shared stats pass per (chain, slot) for potentials
+                (pass A) and one more at the sampled values for the
+                gradient (pass B) — the general path's per-arg one-hot
+                gather matmuls and per-candidate eval unrolls vanish.
+
+                BIT-IDENTICAL to the general learn path by
+                construction: same per-block (1, RB) uniform streams
+                and _draw arithmetic, potentials/evals from exact int
+                stats (same f32 values in the same per-slot add
+                order), and gradient dot-accumulation replayed in the
+                general path's (block, slot) order via the staged
+                grad/inc slabs — verified by the aff-vs-forced-general
+                bit test (tests/test_itemgrid_affine.py)."""
+                step, epoch_i = carry
+                sb_off = cmeta_ref[ci, 6]
+                num_rb = cmeta_ref[ci, 1]
+                row0c = cmeta_ref[ci, 2]
+                d_c = cmeta_ref[ci, 4]
+                amax_c = cmeta_ref[ci, 7]
+                n_sb = (num_rb + sbp - 1) // sbp
+                gw_scr[:] = jnp.zeros((wrows, 128), jnp.float32)
+                nw_scr[:] = jnp.zeros((wrows, 128), jnp.float32)
+                salt0 = epoch_i * (COLOR_MAX + 1) + ci
+                a_dma(sb_off, 0, "start")
+
+                def sb_body(s, _):
+                    slot = s % 2
+
+                    @pl.when(s + 1 < n_sb)
+                    def _():
+                        a_dma(sb_off + s + 1, (s + 1) % 2, "start")
+
+                    a_dma(sb_off + s, slot, "wait")
+                    pka = pack_a_scr.at[slot]
+
+                    def read_pk(lr):
+                        return pka[pl.ds(SRr * lr, SRr), :]
+
+                    row0 = row0c + s * SRr
+                    _aff_gather(av_ap, x_out, d_c * Ag,
+                                lambda j: amet_ref[ci, j],
+                                lambda c: c + s * (sbp * RB), sbp,
+                                lane_sb)
+                    _aff_gather(av_ae, xe_out, d_c * Ag,
+                                lambda j: amet_ref[ci, j],
+                                lambda c: c + s * (sbp * RB), sbp,
+                                lane_sb)
+
+                    def rd_p(j):
+                        return av_ap[pl.ds(j * SRr, SRr), :]
+
+                    def rd_e(j):
+                        return av_ae[pl.ds(j * SRr, SRr), :]
+
+                    # pass A: potentials for both chains — ONE stats
+                    # pass per (chain, slot), live weights gathered
+                    # once per slot and shared by the chains
+                    def d_pots(d, pots4):
+                        w = aff_w_of(read_pk(6 * d + 4))
+                        st_p, ftype, ar = _aff_slot_stats(
+                            read_pk, rd_p, d, amax_c, Ag, present, SRr)
+                        st_e, _, _ = _aff_slot_stats(
+                            read_pk, rd_e, d, amax_c, Ag, present, SRr)
+                        out = []
+                        for k in range(2):
+                            out.append(pots4[k] + w * _aff_eval_at(
+                                st_p, k, ftype, ar, present, SRr))
+                        for k in range(2):
+                            out.append(pots4[2 + k] + w * _aff_eval_at(
+                                st_e, k, ftype, ar, present, SRr))
+                        return tuple(out)
+
+                    zf = jnp.zeros((SRr, 128), jnp.float32)
+                    p0, p1, e0, e1 = jax.lax.fori_loop(
+                        0, d_c, d_pots, (zf, zf, zf, zf))
+                    # per-block uniform STREAMS ((1, RB) shapes, same
+                    # salts, e-before-p — the general path's streams),
+                    # then ONE vectorized draw per chain per unit:
+                    # elementwise ops are reshape-invariant, so this is
+                    # bit-identical to the general path's per-block
+                    # _draw at card 2
+                    for b in range(sbp):
+                        ua_scr[0, pl.ds(b * rbl, rbl), :] = uniform(
+                            (salt0 * 65536 + s * sbp + b) ^ 0x55555555,
+                            (1, RB)).reshape(rbl, 128)
+                        ua_scr[1, pl.ds(b * rbl, rbl), :] = uniform(
+                            salt0 * 65536 + s * sbp + b,
+                            (1, RB)).reshape(rbl, 128)
+
+                    def draw2_bit(q0, q1, u):
+                        # _draw's kmax=2 arithmetic, vectorized
+                        m = jnp.where(q1 > q0, q1, q0)
+                        z0 = jnp.exp(q0 - m)
+                        z1 = jnp.exp(q1 - m)
+                        uu = u * (z0 + z1)
+                        val = (z0 < uu).astype(jnp.int32) + \
+                            ((z0 + z1) < uu).astype(jnp.int32)
+                        return jnp.minimum(val, 1)
+
+                    e_samp = draw2_bit(e0, e1, ua_scr[0])
+                    p_samp = draw2_bit(p0, p1, ua_scr[1])
+                    upd = read_pk(6 * aff_D)
+                    upd_e = read_pk(6 * aff_D + 1)
+                    lrn = upd if lp.learn_non_evidence else \
+                        read_pk(6 * aff_D + 2)
+                    x_rows = x_out[pl.ds(row0, SRr), :]
+                    xe_rows = xe_out[pl.ds(row0, SRr), :]
+                    p_val = jnp.where(upd == 1, p_samp, x_rows)
+                    e_val = jnp.where(upd_e == 1, e_samp, xe_rows)
+                    # pad rows carry upd = 0 and rewrite what they read
+                    x_out[pl.ds(row0, SRr), :] = p_val
+                    xe_out[pl.ds(row0, SRr), :] = e_val
+
+                    # pass B: gradient at the sampled values, STAGED so
+                    # the gw/nw accumulation replays the general path's
+                    # (block, slot) add order
+                    def d_grad(d, _):
+                        st_p, ftype, ar = _aff_slot_stats(
+                            read_pk, rd_p, d, amax_c, Ag, present, SRr)
+                        st_e, _, _ = _aff_slot_stats(
+                            read_pk, rd_e, d, amax_c, Ag, present, SRr)
+                        ev_p = _aff_eval_at(st_p, p_val, ftype, ar,
+                                            present, SRr)
+                        ev_e = _aff_eval_at(st_e, e_val, ftype, ar,
+                                            present, SRr)
+                        fv = pltpu.bitcast(read_pk(6 * d + 5),
+                                           jnp.float32)
+                        inc = (lrn == 1) & (ftype != -1)
+                        grad = jnp.where(inc, (ev_p - ev_e) * fv, 0.0)
+                        g_scr[pl.ds(d * SRr, SRr), :] = grad
+                        i_scr[pl.ds(d * SRr, SRr), :] = \
+                            inc.astype(jnp.float32)
+                        return 0
+
+                    jax.lax.fori_loop(0, d_c, d_grad, 0)
+
+                    for b in range(sbp):
+                        def bd_acc(d, _, b=b):
+                            g_b = g_scr[pl.ds(d * SRr + b * rbl, rbl),
+                                        :].reshape(1, RB)
+                            i_b = i_scr[pl.ds(d * SRr + b * rbl, rbl),
+                                        :].reshape(1, RB)
+                            wid_b = read_pk(6 * d + 4)[
+                                b * rbl:(b + 1) * rbl, :].reshape(1, RB)
+                            roh = (w_iota == (wid_b >> 7)).astype(
+                                jnp.float32)
+                            loh = lane_iota == (wid_b & 127)
+                            both = jnp.concatenate(
+                                [jnp.where(loh, g_b, 0.0),
+                                 jnp.where(loh, i_b, 0.0)], axis=0)
+                            gn = jax.lax.dot_general(
+                                roh, both,
+                                dimension_numbers=(((1,), (1,)),
+                                                   ((), ())),
+                                preferred_element_type=jnp.float32)
+                            gw_scr[:] = gw_scr[:] + gn[:, 0:128]
+                            nw_scr[:] = nw_scr[:] + gn[:, 128:256]
+                            return 0
+
+                        jax.lax.fori_loop(0, d_c, bd_acc, 0)
+                    return 0
+
+                jax.lax.fori_loop(0, n_sb, sb_body, 0)
+                apply_update(gw_scr[:], nw_scr[:], step, epoch_i, ci)
+
         def burn_body(i, _):
             jax.lax.fori_loop(0, C, free_color, i)
             return 0
@@ -2481,7 +2724,16 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
                 i.astype(jnp.float32) * jnp.log(decay_ref[0]))
 
             def cstep(ci, carry):
-                learn_color(ci, carry)
+                if has_aff:
+                    @pl.when(cmeta_ref[ci, 5] == 1)
+                    def _():
+                        aff_learn_color(ci, carry)
+
+                    @pl.when(cmeta_ref[ci, 5] != 1)
+                    def _():
+                        learn_color(ci, carry)
+                else:
+                    learn_color(ci, carry)
                 return carry
 
             jax.lax.fori_loop(0, C, cstep, (step, i + (1 << 16)))
@@ -2600,12 +2852,20 @@ class PallasItemGridEngine:
         kernel = _make_learn_kernel(plan, lp, wrows,
                                     sw_prng=bool(self.interpret),
                                     has_ext=has_ext)
+        # mirror the kernel's own affine-learn eligibility rule
+        has_aff = (not has_ext and plan.packed_a is not None
+                   and plan.cmeta.size
+                   and bool((plan.cmeta[:, 5] == 1).any()))
+        M8 = (6 * plan.aff_D + 3) * 8
+        sbp = plan.sb
 
         in_specs = (
-            [pl.BlockSpec(memory_space=pltpu.SMEM)] * 6 +  # scalars+meta
+            [pl.BlockSpec(memory_space=pltpu.SMEM)] *
+            (7 if has_aff else 6) +        # scalars+meta[, amet]
             [pl.BlockSpec(memory_space=pltpu.VMEM)] *
             (6 if has_ext else 4) +              # x0,xe0,w0,wfix[,extp,exte]
-            [pl.BlockSpec(memory_space=pl.ANY)] * 2     # packed, wbase
+            [pl.BlockSpec(memory_space=pl.ANY)] *
+            (3 if has_aff else 2)     # packed, wbase[, packed_a]
         )
         out_specs = tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                           for _ in range(3))
@@ -2617,14 +2877,32 @@ class PallasItemGridEngine:
                    pltpu.VMEM((wrows, 128), jnp.float32),   # nw
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA((2,))]
+        if has_aff:
+            scratch += [
+                pltpu.VMEM((2, sbp * M8, 128), jnp.int32),  # pack_a x2
+                pltpu.VMEM((AFF_DA_MAX * sbp * 8, 128),
+                           jnp.int32),                  # p-chain gathers
+                pltpu.VMEM((AFF_DA_MAX * sbp * 8, 128),
+                           jnp.int32),                  # e-chain gathers
+                pltpu.VMEM((2, sbp * 8, 128), jnp.float32),  # samples
+                pltpu.VMEM((AFF_D_MAX * sbp * 8, 128),
+                           jnp.float32),                # staged grads
+                pltpu.VMEM((AFF_D_MAX * sbp * 8, 128),
+                           jnp.float32),                # staged incs
+                pltpu.SemaphoreType.DMA((2,))]
 
         def call(seed, burn, epochs, step0, decay, cmeta, x0, xe0, w0,
-                 wfix, packed, wbase, ext_p=None, ext_e=None):
-            args = [seed, burn, epochs, step0, decay, cmeta, x0, xe0,
-                    w0, wfix]
+                 wfix, packed, wbase, ext_p=None, ext_e=None,
+                 amet=None, packed_a=None):
+            args = [seed, burn, epochs, step0, decay, cmeta]
+            if has_aff:
+                args.append(amet)
+            args += [x0, xe0, w0, wfix]
             if has_ext:
                 args += [ext_p, ext_e]
             args += [packed, wbase]
+            if has_aff:
+                args.append(packed_a)
             return pl.pallas_call(
                 kernel,
                 out_shape=(
@@ -2637,7 +2915,9 @@ class PallasItemGridEngine:
                 compiler_params=pltpu.CompilerParams(
                     has_side_effects=True,
                     vmem_limit_bytes=127 * 1024 * 1024),
-                input_output_aliases={6: 0, 7: 1},  # chains alias outputs
+                input_output_aliases={6 + has_aff: 0,
+                                      7 + has_aff: 1},  # chains alias
+                #                                         the outputs
                 interpret=(pltpu.InterpretParams()
                            if self.interpret else False),
             )(*args)
@@ -2736,7 +3016,10 @@ class PallasItemGridEngine:
                 return jnp.asarray(
                     ext.reshape(plan.kmax * plan.vp // 128, 128))
             args += [ext2d(ext_pot), ext2d(ext_pot_evid)]
-        x_out, xe_out, w_out = self._learn_call(*args)
+        kw = {}
+        if not has_ext and self._packed_a is not None:
+            kw = dict(amet=self._amet, packed_a=self._packed_a)
+        x_out, xe_out, w_out = self._learn_call(*args, **kw)
         w = np.asarray(w_out).reshape(-1)[:plan.n_weights]
         if not return_state:
             return w

@@ -206,3 +206,34 @@ def test_shard_schedule_shifts_affine_offsets():
             assert (amet_mc[d, ci, ~keep] == AFF_NONE).all()
         # per-device packed_a blocks slice the color contiguously
         assert packed_a_mc.shape[0] == n_g
+
+
+def test_aff_learn_bit_equal_to_general_path():
+    """The round-5 AFFINE LEARNING color (dual-chain lane-roll gathers,
+    shared stats passes, vectorized unit draw) is BIT-IDENTICAL to the
+    general learn path by construction: same per-block (1, RB) uniform
+    streams and _draw arithmetic (elementwise, reshape-invariant),
+    exact-int stats -> identical f32 potentials/evals in the same add
+    order, and gradient dots accumulated in the general path's (block,
+    slot) order. Forcing the general path (cmeta[:, 5] = 0) on the
+    same graph must reproduce the weights and both chains bit-for-bit."""
+    from numbskull_tpu.models import coin_model
+    from numbskull_tpu.ops.gibbs import LearnParams
+    from numbskull_tpu.ops.itemgrid_pallas import PallasItemGridEngine
+
+    w, v, f, fm, dm, e = coin_model(90, 0.8, -0.5, 0.4, evidence=True,
+                                    weight_init=(0.0, 0.0, 0.0),
+                                    fixed=False, seed=3)
+    cg = compile_graph(w, v, f, fm, domain_mask=dm)
+    lp = LearnParams(regularization=2, reg_param=1e-4)
+    kw = dict(seed=7, burn=2, epochs=10, stepsize=0.05, decay=0.98,
+              lp=lp, return_state=True)
+    aff = PallasItemGridEngine(cg, interpret=True)
+    assert bool((aff.plan.cmeta[:, 5] == 1).any())
+    w1, x1, xe1 = aff.learn(**kw)
+    gen = PallasItemGridEngine(cg, interpret=True)
+    gen.plan.cmeta[:, 5] = 0          # force the general learn path
+    w2, x2, xe2 = gen.learn(**kw)
+    np.testing.assert_array_equal(w1, w2)
+    np.testing.assert_array_equal(x1, x2)
+    np.testing.assert_array_equal(xe1, xe2)
