@@ -325,6 +325,12 @@ def _bench_chain_replication():
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 
+    # HBM first: the 33.5M-var engine needs most of the chip's HBM
+    # (values + tallies + item tables); run it before the other
+    # benches' buffers and cached executables accumulate (measured: a
+    # worker OOM-crash when it ran last)
+    hbm_ups = _bench_hbm(4096, 8192)
+    jax.clear_caches()
     ups, epoch_s, mean = _bench_pallas_grid(n)
     item_ups, item_mean = _bench_itemgrid(1024)
     learn_sps, learn_vups, learn_ok = _bench_learning(20000)
@@ -337,7 +343,6 @@ def main():
     auto_ups, auto_itemgrid = _bench_auto(256)
     voting_ups = _bench_voting(200_000, 10)
     voting50_ups = _bench_voting(204_000, 50)
-    hbm_ups = _bench_hbm(4096, 8192)
 
     healthy = (0.2 < mean < 0.8) and (0.2 < item_mean < 0.8)
     result = {
