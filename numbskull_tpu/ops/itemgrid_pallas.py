@@ -2528,23 +2528,28 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
                     pack_a_scr.at[slot], asem.at[slot])
                 cp.start() if what == "start" else cp.wait()
 
+            w_iota_u = jax.lax.broadcasted_iota(
+                jnp.int32, (wrows, sbp * RB), 0)
+            lane_iota_u = jax.lax.broadcasted_iota(
+                jnp.int32, (128, sbp * RB), 0)
+
             def aff_w_of(wid):
                 """Live-weight lookup for a (SRr, 128) wid slab: the
-                general path's two-step one-hot gather, per 8-row
-                block, reassembled."""
-                parts = []
-                for b in range(sbp):
-                    wid_b = wid[b * rbl:(b + 1) * rbl, :].reshape(1, RB)
-                    roh = (w_iota == (wid_b >> 7)).astype(jnp.float32)
-                    rs = jax.lax.dot_general(
-                        w_out[:], roh,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    loh = lane_iota == (wid_b & 127)
-                    sel = jnp.sum(jnp.where(loh, rs, 0.0), axis=0,
-                                  keepdims=True)
-                    parts.append(sel.reshape(rbl, 128))
-                return jnp.concatenate(parts, axis=0)
+                general path's two-step one-hot gather, ONE unit-wide
+                MXU contraction instead of per-block dots (each output
+                element is the same wrows-deep contraction — values
+                bit-identical; weight VALUES carry no accumulation
+                order, unlike the gradient dots)."""
+                wid_f = wid.reshape(1, sbp * RB)
+                roh = (w_iota_u == (wid_f >> 7)).astype(jnp.float32)
+                rs = jax.lax.dot_general(
+                    w_out[:], roh,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                loh = lane_iota_u == (wid_f & 127)
+                sel = jnp.sum(jnp.where(loh, rs, 0.0), axis=0,
+                              keepdims=True)
+                return sel.reshape(SRr, 128)
 
             def aff_learn_color(ci, carry):
                 """Affine learning color: dual-chain lane-roll gathers,
