@@ -62,17 +62,17 @@ A_MAX = 64           # max factor arity (arity > 8 evaluates via stats
 #                      loops — code size O(1) in arity)
 DA_MAX = 1024        # max D*A per row (bounds the staged-gather and
 #                      packed-block scratch)
-K_MAX_SUP = 64       # max variable cardinality (the candidate loop and
-#                      count slabs are static in kmax = the GRAPH's max
-#                      card, so raising the cap costs nothing for
-#                      boolean graphs; high-card graphs trade variable
-#                      capacity for count slabs — see the vcap scaling
-#                      in _plan_ranked. Raised 32 -> 64 in round 5:
-#                      the candidate loop and _draw's inverse-CDF
-#                      unroll linearly in kmax (code size + live slabs)
-#                      — 64 verified bit-exact vs the parity replay and
-#                      compile-safe on v5e; beyond 64 Mosaic compile
-#                      time and register spills grow unattractive)
+K_MAX_SUP = 128      # max variable cardinality. kmax <= 8 runs the
+#                      historical unrolled candidate tuples; beyond
+#                      that the vec-k path (candidates on sublanes,
+#                      (kmax, RB) slabs, log-step inverse-CDF — code
+#                      size O(1) in kmax) keeps Mosaic compile seconds
+#                      at any cardinality. Bit-exact vs the parity
+#                      replay at 64 and 128; the cap bounds the
+#                      (kmax, RB) working slabs (128 -> 512 KB f32 per
+#                      live slab) and the count-slab vcap scaling in
+#                      _plan_ranked. The LEARN and HBM kernels still
+#                      unroll and gate at 32.
 V_MAX = 10 << 20     # max padded variables AT kmax=2 (VMEM: 4B values +
 #                      1B tally + 2B/value counts = ~9B/var; chunked
 #                      init/tally avoid register spills; 3072x3072

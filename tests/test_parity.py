@@ -87,19 +87,21 @@ def test_parity_voting_sb4_bit_equal():
 
 
 @pytest.mark.slow
-def test_parity_potts_card64_bit_equal():
-    """Cardinality-64 Potts lattice (K_MAX_SUP raised 32 -> 64 in round
-    5): the 64-candidate eval loop and the 64-way masked inverse-CDF
-    draw replay bit-identically through the XLA engine — the card-64
-    fused path is exact, not just statistically close. Dyadic weight
-    (0.25) keeps potential sums order-independent (module docstring)."""
+@pytest.mark.parametrize("card", [64, 128])
+def test_parity_potts_highcard_bit_equal(card):
+    """High-cardinality Potts lattice (K_MAX_SUP raised 32 -> 128 in
+    round 5): the vec-k path's candidate-on-sublanes eval and log-step
+    inverse-CDF draw replay bit-identically through the XLA engine —
+    the high-card fused path is exact, not just statistically close.
+    Dyadic weight (0.25) keeps potential sums order-independent
+    (module docstring)."""
     from numbskull_tpu.models import ising_color_hint, potts_grid
 
-    w, v, f, fm, dm, e = potts_grid(8, 16, card=64, weight=0.25)
+    w, v, f, fm, dm, e = potts_grid(8, 16, card=card, weight=0.25)
     cg = compile_graph(w, v, f, fm, domain_mask=dm,
                        color_hint=ising_color_hint(8, 16))
     eng = _assert_bit_equal(cg, seed=3, burn=2, epochs=12)
-    assert eng.plan.kmax == 64
+    assert eng.plan.kmax == card
 
 
 @pytest.mark.slow
