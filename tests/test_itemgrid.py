@@ -453,11 +453,12 @@ def test_planner_edge_cases():
 
 
 def test_unsupported_graphs_report_reason():
-    # cardinality beyond the kernel envelope
+    # cardinality beyond the kernel envelope (K_MAX_SUP = 128 since
+    # round 5's vec-k path; 100 used to be out of envelope)
     w, v, f, fm = _random_bool_graph(1)
     v2 = v.copy()
     v2["dataType"][0] = 1
-    v2["cardinality"][0] = 100
+    v2["cardinality"][0] = 200
     cg = compile_graph(w, v2, f, fm)
     plan, reason = plan_item_grid(cg)
     assert plan is None and "cardinality" in reason
