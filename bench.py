@@ -30,6 +30,7 @@ as "call_overhead_s" for transparency.
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 import jax
@@ -169,6 +170,46 @@ def _bench_itemgrid(n: int):
     ups, _ = epoch_rate(run, n * n, 300, 1500)
     x, cnt = eng.run(seed=9, burn=0, epochs=200)
     return ups, float(cnt[:, 1].mean()) / 200
+
+
+def _bench_hbm_isolated():
+    """The 33.5M-var HBM bench in a SUBPROCESS: the run needs most of
+    the chip's HBM and has crashed the TPU worker on some worker
+    lifetimes (allocator-state dependent, see hbm_scale.tsv's variance
+    note) — isolation keeps one crash from voiding every other metric.
+    The parent touches the device only after the child exits, so the
+    clients never contend. Falls back to 16.7M once (after a pause for
+    the worker to come back), then reports 0."""
+    import subprocess
+    import time as _time
+
+    def attempt(n, m, timeout):
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "from bench import _bench_hbm; "
+             "print('HBM_RESULT', _bench_hbm(%d, %d))" % (n, m)],
+            capture_output=True, text=True, timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in r.stdout.splitlines():
+            if line.startswith("HBM_RESULT"):
+                return float(line.split()[1])
+        return None
+
+    try:
+        got = attempt(4096, 8192, 1200)
+        if got is not None:
+            return got, "33.5M"
+    except Exception:
+        pass
+    _time.sleep(180)              # let a crashed worker restart
+    try:
+        got = attempt(4096, 4096, 900)
+        if got is not None:
+            return got, "16.7M (33.5M crashed the worker this run)"
+    except Exception:
+        pass
+    _time.sleep(180)
+    return 0.0, "failed (worker crash; see hbm_scale.tsv for recorded rates)"
 
 
 def _bench_hbm(n: int, m: int):
@@ -329,7 +370,7 @@ def main():
     # (values + tallies + item tables); run it before the other
     # benches' buffers and cached executables accumulate (measured: a
     # worker OOM-crash when it ran last)
-    hbm_ups = _bench_hbm(4096, 8192)
+    hbm_ups, hbm_cfg = _bench_hbm_isolated()
     jax.clear_caches()
     ups, epoch_s, mean = _bench_pallas_grid(n)
     item_ups, item_mean = _bench_itemgrid(1024)
@@ -365,6 +406,7 @@ def main():
         "itemgrid_voting_deg10_ups": round(voting_ups, 1),
         "itemgrid_voting_deg50_ups": round(voting50_ups, 1),
         "hbm_ups_33M": round(hbm_ups, 1),
+        "hbm_config": hbm_cfg,
         "learn_steps_per_s_40k_vars": round(learn_sps, 2),
         "learn_var_updates_per_s": round(learn_vups, 1),
         "learn_recovers_weights": learn_ok,
