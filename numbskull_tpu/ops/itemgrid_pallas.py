@@ -2128,8 +2128,8 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
             ssem, rsems, gwr, gssem, grsems = refs[:5]
             refs = refs[5:]
         if has_aff:
-            (pack_a_scr, av_ap, av_ae, ua_scr, g_scr, i_scr,
-             asem) = refs[:7]
+            (pack_a_scr, av_ap, av_ae, ua_scr, g_scr, i_scr, st_scr,
+             asem) = refs[:8]
         pltpu.prng_seed(seed_ref[0] + my)
         uniform = _make_uniform(sw_prng, seed_ref[0] + my)
         # weight-update randomness (L1 truncation) must be IDENTICAL on
@@ -2521,6 +2521,29 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
             lane_sb = jax.lax.broadcasted_iota(jnp.int32,
                                                (sbp * 8, 128), 1)
             SRr = sbp * rbl         # sublane rows per superblock
+            # statically-needed stat slots (by _aff_need) staged from
+            # pass A for pass B's sampled-value evals — the stats do
+            # not depend on the candidate, so recomputing them for the
+            # gradient measured ~50% of the learn epoch
+            nh, nb, nv0, nv12 = _aff_need(present)
+            st_active = [0, 2] + ([1, 3] if nb else []) + \
+                ([4, 5] if nh else []) + ([6, 7] if nv0 else []) + \
+                ([8, 9, 10, 11] if nv12 else [])
+            n_st = len(st_active)
+
+            def st_put(chain, d, st):
+                for si, ti in enumerate(st_active):
+                    st_scr[pl.ds(((chain * AFF_D_MAX + d) * n_st + si)
+                                 * SRr, SRr), :] = st[ti]
+
+            def st_get(chain, d):
+                zero8 = jnp.zeros((SRr, 128), jnp.int32)
+                out = [zero8] * 12
+                for si, ti in enumerate(st_active):
+                    out[ti] = st_scr[
+                        pl.ds(((chain * AFF_D_MAX + d) * n_st + si)
+                              * SRr, SRr), :]
+                return tuple(out)
 
             def a_dma(gsb, slot, what):
                 cp = pltpu.make_async_copy(
@@ -2592,14 +2615,15 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
                         return pka[pl.ds(SRr * lr, SRr), :]
 
                     row0 = row0c + s * SRr
-                    _aff_gather(av_ap, x_out, d_c * Ag,
-                                lambda j: amet_ref[ci, j],
-                                lambda c: c + s * (sbp * RB), sbp,
-                                lane_sb)
-                    _aff_gather(av_ae, xe_out, d_c * Ag,
-                                lambda j: amet_ref[ci, j],
-                                lambda c: c + s * (sbp * RB), sbp,
-                                lane_sb)
+                    if "gather" not in ABLATE:
+                        _aff_gather(av_ap, x_out, d_c * Ag,
+                                    lambda j: amet_ref[ci, j],
+                                    lambda c: c + s * (sbp * RB), sbp,
+                                    lane_sb)
+                        _aff_gather(av_ae, xe_out, d_c * Ag,
+                                    lambda j: amet_ref[ci, j],
+                                    lambda c: c + s * (sbp * RB), sbp,
+                                    lane_sb)
 
                     def rd_p(j):
                         return av_ap[pl.ds(j * SRr, SRr), :]
@@ -2616,6 +2640,8 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
                             read_pk, rd_p, d, amax_c, Ag, present, SRr)
                         st_e, _, _ = _aff_slot_stats(
                             read_pk, rd_e, d, amax_c, Ag, present, SRr)
+                        st_put(0, d, st_p)
+                        st_put(1, d, st_e)
                         out = []
                         for k in range(2):
                             out.append(pots4[k] + w * _aff_eval_at(
@@ -2626,21 +2652,27 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
                         return tuple(out)
 
                     zf = jnp.zeros((SRr, 128), jnp.float32)
-                    p0, p1, e0, e1 = jax.lax.fori_loop(
-                        0, d_c, d_pots, (zf, zf, zf, zf))
+                    if "eval" in ABLATE:
+                        t = av_ap[pl.ds(0, SRr), :].astype(
+                            jnp.float32) * 1e-6
+                        p0, p1, e0, e1 = t, -t, t, -t
+                    else:
+                        p0, p1, e0, e1 = jax.lax.fori_loop(
+                            0, d_c, d_pots, (zf, zf, zf, zf))
                     # per-block uniform STREAMS ((1, RB) shapes, same
                     # salts, e-before-p — the general path's streams),
                     # then ONE vectorized draw per chain per unit:
                     # elementwise ops are reshape-invariant, so this is
                     # bit-identical to the general path's per-block
                     # _draw at card 2
-                    for b in range(sbp):
-                        ua_scr[0, pl.ds(b * rbl, rbl), :] = uniform(
-                            (salt0 * 65536 + s * sbp + b) ^ 0x55555555,
-                            (1, RB)).reshape(rbl, 128)
-                        ua_scr[1, pl.ds(b * rbl, rbl), :] = uniform(
-                            salt0 * 65536 + s * sbp + b,
-                            (1, RB)).reshape(rbl, 128)
+                    if "uscr" not in ABLATE:
+                        for b in range(sbp):
+                            ua_scr[0, pl.ds(b * rbl, rbl), :] = uniform(
+                                (salt0 * 65536 + s * sbp + b) ^
+                                0x55555555, (1, RB)).reshape(rbl, 128)
+                            ua_scr[1, pl.ds(b * rbl, rbl), :] = uniform(
+                                salt0 * 65536 + s * sbp + b,
+                                (1, RB)).reshape(rbl, 128)
 
                     def draw2_bit(q0, q1, u):
                         # _draw's kmax=2 arithmetic, vectorized
@@ -2670,10 +2702,11 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
                     # the gw/nw accumulation replays the general path's
                     # (block, slot) add order
                     def d_grad(d, _):
-                        st_p, ftype, ar = _aff_slot_stats(
-                            read_pk, rd_p, d, amax_c, Ag, present, SRr)
-                        st_e, _, _ = _aff_slot_stats(
-                            read_pk, rd_e, d, amax_c, Ag, present, SRr)
+                        fta = read_pk(6 * d)
+                        ftype = (fta & 0xFF) - 1
+                        ar = fta >> 8
+                        st_p = st_get(0, d)   # staged by pass A: the
+                        st_e = st_get(1, d)   # stats are candidate-free
                         ev_p = _aff_eval_at(st_p, p_val, ftype, ar,
                                             present, SRr)
                         ev_e = _aff_eval_at(st_e, e_val, ftype, ar,
@@ -2687,7 +2720,11 @@ def _make_learn_kernel(plan: ItemGridPlan, lp, wrows: int,
                             inc.astype(jnp.float32)
                         return 0
 
+                    if "grad" in ABLATE:
+                        return 0
                     jax.lax.fori_loop(0, d_c, d_grad, 0)
+                    if "gradmm" in ABLATE:
+                        return 0
 
                     for b in range(sbp):
                         def bd_acc(d, _, b=b):
@@ -2894,6 +2931,8 @@ class PallasItemGridEngine:
                            jnp.float32),                # staged grads
                 pltpu.VMEM((AFF_D_MAX * sbp * 8, 128),
                            jnp.float32),                # staged incs
+                pltpu.VMEM((2 * AFF_D_MAX * 12 * sbp * 8, 128),
+                           jnp.int32),                  # staged stats
                 pltpu.SemaphoreType.DMA((2,))]
 
         def call(seed, burn, epochs, step0, decay, cmeta, x0, xe0, w0,
